@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic rounding.
+  *
+  * Spark's `round` rounds the SHORTEST DECIMAL STRING of the double
+  * (BigDecimal.valueOf + HALF_UP); DuckDB's `round` multiplies in binary
+  * and rounds half away from zero. The two disagree whenever the shortest
+  * representation looks like a tie at the target digit (~0.1% of rows on
+  * real data — measured 73/60k on lineitem charge values), which would
+  * break the driver's hash compare.
+  *
+  * `roundTo` instead pins ONE formula — sign(x)·⌊|x|·10ⁿ + 0.5⌋ / 10ⁿ —
+  * expressed in plain IEEE double ops that evaluate bit-identically in any
+  * engine; `roundSql` emits the same formula as SQL for the DuckDB oracle.
+  * The trailing `+ 0.0` normalizes -0.0 to 0.0 on both sides.
+  */
+object Num {
+
+  def roundTo(c: Column, n: Int): Column = {
+    val p = math.pow(10, n.toDouble)
+    signum(c) * floor(abs(c) * p + lit(0.5)) / p + lit(0.0)
+  }
+
+  def roundSql(expr: String, n: Int): String =
+    s"(sign($expr) * floor(abs($expr) * 1e$n + 0.5) / 1e$n + 0.0)"
+}
