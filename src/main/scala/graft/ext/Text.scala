@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: normalization,
+  * tokenization, k-gram shingles, stopword/quality scoring, n-gram
+  * language ID, and document fingerprints. Everything is built from
+  * codegen'd built-ins + higher-order array functions — no UDFs, no
+  * per-row JVM closures — so the whole surface stays inside whole-stage
+  * codegen and scales linearly with input.
+  */
+object Text {
+
+  /** lower + trim + collapse internal whitespace — the canonical form all
+    * dedup/fingerprint ops key on.
+    */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the trimmed text (lowercased for set ops). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokensNorm(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Distinct word k-gram shingles (space-joined). Texts with fewer than
+    * k tokens yield an empty array.
+    */
+  def shingles(c: Column, k: Int): Column = {
+    val ws = tokensNorm(c)
+    val n = size(ws)
+    val mk = (i: Column) =>
+      concat_ws(" ", (0 until k).map(j => element_at(ws, i + lit(j))): _*)
+    array_distinct(
+      when(n >= k, transform(sequence(lit(1), n - lit(k - 1)), mk))
+        .otherwise(array()))
+  }
+
+  /** MD5 fingerprint of the normalized text — the exact-dedup key (md5 is
+    * engine-independent, unlike murmur/xxhash).
+    */
+  def fingerprintMd5(c: Column): Column = md5(normalize(c))
+
+  /** Count of `words` members among the tokens (higher-order filter —
+    * no explode, no shuffle).
+    */
+  def wordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))).cast("bigint")
+
+  val stopwordsEn = Seq("the", "of", "and", "to", "in", "is", "it", "that", "for", "on")
+  val stopwordsDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  val stopwordsFr = Seq("le", "la", "les", "et", "est", "pas", "pour", "dans", "que", "une")
+  val stopwordsEs = Seq("el", "los", "las", "y", "es", "no", "por", "para", "con", "una")
+
+  /** CJK character count — the zh signal (no whitespace tokenization). */
+  def cjkCount(c: Column): Column =
+    length(regexp_replace(c, "[^\\u4e00-\\u9fff]", "")).cast("bigint")
+
+  /** Deterministic stopword-vote language ID with a fixed tie-break
+    * priority (zh by script, then en ≥ de ≥ fr ≥ es, 'und' when all
+    * scores are zero). Heuristic by design — the point is a scalable,
+    * deterministic n-gram-style classifier, not a model.
+    */
+  def langId(c: Column): Column = {
+    val t = tokensNorm(c)
+    val (en, de, fr, es) = (
+      wordCount(t, stopwordsEn), wordCount(t, stopwordsDe),
+      wordCount(t, stopwordsFr), wordCount(t, stopwordsEs))
+    val zh = cjkCount(c)
+    when(zh > 0, "zh")
+      .when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Composite quality score in [0,1]: stopword density + lexical
+    * diversity (type/token ratio) + length saturation. All three terms are
+    * exact integer ratios → deterministic across engines.
+    */
+  def qualityScore(c: Column): Column = {
+    val t = tokensNorm(c)
+    val n = size(t).cast("double")
+    val stop = wordCount(t, stopwordsEn).cast("double") / n
+    val ttr = size(array_distinct(t)).cast("double") / n
+    val lenSat = least(lit(1.0), n / lit(100.0))
+    stop * 0.4 + ttr * 0.3 + lenSat * 0.3
+  }
+
+  /** Polynomial rolling hash of the token stream (base-31 mod 1e9+7),
+    * computed with the `aggregate` higher-order function — a pure-Spark
+    * order-sensitive fingerprint (unlike md5-of-whole-text it can be
+    * windowed/extended incrementally). The modulus keeps every
+    * intermediate product < 2^35, safe under ANSI overflow checking.
+    * Engine-specific layout → not oracle-checked; pinned by unit test.
+    */
+  def rollingHash(toks: Column): Column = {
+    val mod = lit(1000000007L)
+    aggregate(
+      toks,
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), mod), mod))
+  }
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Text}
+import graft.ops.Num
+import QueryDef.tbl
+
+/** Text-analysis + dedup battery over the `documents` fixture: stats,
+  * quality scoring, language ID, fingerprints, exact dedup, n-gram
+  * Jaccard near-dup (oracled), and MinHash-LSH / SimHash (rows-only —
+  * results depend on xxhash64, which has no DuckDB equivalent; their
+  * correctness is pinned in DedupSpec against the exact-Jaccard oracle
+  * query instead).
+  */
+object TextQueries {
+
+  // shared DuckDB fragments (must mirror graft.ext.Text exactly)
+  private val wsSql = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
+  private def scoreSql(words: Seq[String]) =
+    s"len(list_filter($wsSql, x -> x IN ${inList(words)}))"
+
+  // shingle relation CTE (3-grams, distinct per doc); range bound 1000
+  // covers any fixture doc (≤ ~120 tokens)
+  private val shingleCte =
+    s"""w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |       FROM w CROSS JOIN range(1, 1000) t(i) WHERE i <= len(ws) - 2),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    // Token/char statistics — pure higher-order functions, no explode.
+    QueryDef(
+      "q31_text_stats",
+      (s, dir) => {
+        val t = Text.tokensNorm(col("text"))
+        tbl(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("bigint").as("n_chars_calc"),
+            size(t).cast("bigint").as("n_tokens"),
+            size(array_distinct(t)).cast("bigint").as("n_distinct"),
+            (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
+              length(col("text")).cast("double")).as("alpha_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  length(text) AS n_chars_calc,
+              |  len($wsSql) AS n_tokens,
+              |  len(list_distinct($wsSql)) AS n_distinct,
+              |  length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text)
+              |    AS alpha_ratio
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Composite quality score (stopword density + type/token ratio +
+    // length saturation) with a bucketed label.
+    QueryDef(
+      "q32_quality_score",
+      (s, dir) => {
+        val q = Text.qualityScore(col("text"))
+        tbl(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(Text.tokensNorm(col("text"))).cast("bigint").as("n_tokens"),
+            q.as("quality"),
+            when(q >= 0.6, "high").when(q >= 0.45, "medium").otherwise("low").as("label"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, len($wsSql) AS n,
+              |    ${scoreSql(Text.stopwordsEn)} AS n_stop,
+              |    len(list_distinct($wsSql)) AS n_dist
+              |  FROM documents),
+              |q AS (SELECT doc_id, n,
+              |        (n_stop / n) * 0.4 + (n_dist / n) * 0.3 + least(1.0, n / 100.0) * 0.3
+              |          AS quality
+              |      FROM t)
+              |SELECT doc_id, n AS n_tokens, quality,
+              |  CASE WHEN quality >= 0.6 THEN 'high'
+              |       WHEN quality >= 0.45 THEN 'medium' ELSE 'low' END AS label
+              |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stopword-vote language ID (+ per-language scores).
+    QueryDef(
+      "q33_lang_id",
+      (s, dir) => {
+        val t = Text.tokensNorm(col("text"))
+        tbl(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            Text.wordCount(t, Text.stopwordsEn).as("s_en"),
+            Text.wordCount(t, Text.stopwordsDe).as("s_de"),
+            Text.wordCount(t, Text.stopwordsFr).as("s_fr"),
+            Text.wordCount(t, Text.stopwordsEs).as("s_es"),
+            Text.cjkCount(col("text")).as("s_zh"),
+            Text.langId(col("text")).as("lang_pred"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sc AS (
+              |  SELECT doc_id,
+              |    ${scoreSql(Text.stopwordsEn)} AS s_en,
+              |    ${scoreSql(Text.stopwordsDe)} AS s_de,
+              |    ${scoreSql(Text.stopwordsFr)} AS s_fr,
+              |    ${scoreSql(Text.stopwordsEs)} AS s_es,
+              |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh
+              |  FROM documents)
+              |SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+              |  CASE WHEN s_zh > 0 THEN 'zh'
+              |       WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+              |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              |       WHEN s_fr >= s_es THEN 'fr'
+              |       ELSE 'es' END AS lang_pred
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Canonical-form fingerprint (md5 of normalized text — the
+    // engine-independent exact-dedup key).
+    QueryDef(
+      "q34_fingerprint",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            Text.fingerprintMd5(col("text")).as("fp"),
+            length(Text.normalize(col("text"))).cast("bigint").as("n_chars_norm"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5($normSql) AS fp, length($normSql) AS n_chars_norm
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact-duplicate groups: one hash aggregate, deterministic keeper.
+    QueryDef(
+      "q35_dedup_exact",
+      (s, dir) =>
+        Dedup.exactGroups(tbl(s, dir, "documents"), "doc_id", "text").orderBy("fp"),
+      Some(s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
+              |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
+
+    // Exact 3-gram-shingle Jaccard near-dup pairs at ≥ 0.5 — pairs only
+    // materialize through the shared-shingle join.
+    QueryDef(
+      "q36_dedup_ngram",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+          .orderBy("a_id", "b_id"),
+      Some(s"""WITH $shingleCte,
+              |inter AS (
+              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_inter
+              |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT a_id, b_id,
+              |  n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON sa.doc_id = a_id
+              |JOIN sizes sb ON sb.doc_id = b_id
+              |WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // MinHash + LSH banding (64 hashes, 16 bands × 4) with exact
+    // verification of candidates. xxhash64-based → rows-only check;
+    // DedupSpec asserts recall == 1.0 vs q36's exact pairs at sf0.001.
+    QueryDef(
+      "q37_dedup_minhash",
+      (s, dir) =>
+        Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text", 3, 64, 4, 0.5)
+          .orderBy("a_id", "b_id"),
+      None),
+
+    // SimHash near-dup sketch (64-bit, 4-chunk blocking, hamming ≤ 3).
+    QueryDef(
+      "q38_dedup_simhash",
+      (s, dir) =>
+        Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", 3)
+          .orderBy("a_id", "b_id"),
+      None),
+
+    // Order-sensitive rolling-hash fingerprint of the token stream
+    // (xxhash64-seeded polynomial) — rows-only; pinned by TextSpec.
+    QueryDef(
+      "q42_rolling_fingerprint",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), Text.rollingHash(Text.tokensNorm(col("text"))).as("rhash"))
+          .orderBy("doc_id"),
+      None))
+}

@@ -25,7 +25,7 @@ object Windows {
         tbl(s, dir, "orders")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
-          .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+          .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("bigint").as("rn"))
           .orderBy("o_custkey", "rn")
       },
       Some("""WITH r AS (
