@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.schema.Schemas
+
+/** Structured Streaming surface (SURVEY.md §2.10). The reference is a
+  * @daily batch DAG; its honest streaming mapping is a file-source stream
+  * with Trigger.AvailableNow over the landing directory. Beyond parity,
+  * this module adds the event-stream operators a training-data pipeline
+  * needs: event-time tumbling/sliding windows with watermarks, session
+  * windows, and dedup-within-watermark.
+  *
+  * Every transform below takes a DataFrame (batch OR streaming — the
+  * logic is identical; Catalyst plans stateful versions for streams),
+  * so the batch oracle queries (q28/q29) and these streaming paths share
+  * semantics. A Kafka source would plug in via
+  * `spark.readStream.format("kafka")...` behind the same transforms —
+  * config-gated since the sandbox has no broker (and no kafka connector
+  * jar); the file source exercises the identical downstream plan.
+  */
+object Streaming {
+
+  /** File-source stream over an events parquet directory (replays the
+    * fixture as a stream). maxFilesPerTrigger throttles micro-batches so
+    * tests exercise multi-batch accumulation.
+    */
+  def eventsFileStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(Schemas.eventsRaw)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling event-time window counts with a watermark for state expiry.
+    * In append mode a window emits once the watermark passes its end —
+    * late events beyond `watermark` are dropped deterministically.
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  /** Sliding window (overlapping) — same stateful agg, denser windows. */
+  def slidingCounts(
+      events: DataFrame, window_ : String = "1 hour", slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows per user (gap-based, the streaming twin of
+    * Sessions.assign): state merges as events arrive, emits on watermark.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value_sum"))
+
+  /** Streaming dedup by key with bounded state: duplicates arriving
+    * within the watermark horizon are dropped; state for old keys is
+    * reclaimed as the watermark advances (the unbounded-state footgun of
+    * plain dropDuplicates on streams).
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Drain a (bounded) stream into an in-memory table and return the
+    * result — the reference's @daily batch loop expressed as
+    * Trigger.AvailableNow (process everything currently in the source,
+    * then stop). Used by tests and the batch-replay path.
+    */
+  def runAvailableNow(df: DataFrame, queryName: String, outputMode: String = "append"): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+/** Executes every registered query end-to-end at sf0.001 — catches
+  * runtime plan errors (overflow, bad casts, unresolvable columns) that
+  * compile-time checks cannot. The oracle hash-compare runs driver-side;
+  * this pins "every query at least executes and produces a schema+rows".
+  */
+class EntrySmokeSpec extends SparkSuite {
+
+  test("flagship entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has either an oracle or a documented rows-only check") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // xxhash/sketch/IVF-based ops are rows-only by design
+    assert(noOracle == Set(
+      "q26_approx_distinct", "q37_dedup_minhash", "q38_dedup_simhash",
+      "q40_embed_ivf", "q42_rolling_fingerprint"))
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name executes at sf0.001 with a nonempty schema") {
+      val df = fn(spark, sf0001)
+      assert(df.schema.fields.nonEmpty)
+      assert(df.count() >= 0) // forces full execution
+    }
+  }
+}

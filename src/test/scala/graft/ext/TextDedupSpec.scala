@@ -1,0 +1,82 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  quick   Brown fox jumps over the lazy dog"), // exact dup after normalize
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup (1 shingle differs at tail)
+    (4L, "completely different words entirely here now today")
+  ).toDF("doc_id", "text")
+
+  test("normalize collapses case + whitespace; md5 fingerprints collide for dups") {
+    val fps = docs.select($"doc_id", Text.fingerprintMd5($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+
+  test("shingles: distinct k-grams; short texts yield empty") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+      .select($"doc_id", Text.shingles($"text", 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sh(1L) == Set("a b c", "b c d") && sh(2L) == Set.empty)
+  }
+
+  test("exactDedup keeps the smallest doc_id per fingerprint") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("ngramJaccardPairs finds the near-dup pair with the exact jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 1,2 identical after normalize → jaccard 1.0; 1-3 and 2-3
+    // share 6 of 8 distinct shingles → 6/8 = 0.75
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val j = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(j((1L, 2L)) == 1.0 && math.abs(j((1L, 3L)) - 0.75) < 1e-12)
+  }
+
+  test("minhash LSH recall is 1.0 vs exact jaccard on sf0.001 documents") {
+    val d = graft.Tables.load(spark, sf0001, "documents")
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 64, 4, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && lsh == exact) // verification step makes precision exact; recall observed 1.0
+  }
+
+  test("simhash: identical docs hamming 0; near-dups close; distinct docs far") {
+    val sims = Dedup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) < java.lang.Long.bitCount(sims(1L) ^ sims(4L)))
+  }
+
+  test("langId votes deterministically with fixed priority") {
+    val preds = Seq(
+      (1L, "the cat is on the mat and it is warm"),
+      (2L, "der hund ist nicht mit der katze"),
+      (3L, "le chat est dans la maison pour dormir"),
+      (4L, "el perro es grande y no come por la noche"),
+      (5L, "世界你好"),
+      (6L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", Text.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh", 6L -> "und"))
+  }
+
+  test("rollingHash is order-sensitive (unlike set-based fingerprints)") {
+    val h = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Text.rollingHash(Text.tokensNorm($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(3L) && h(1L) != h(2L))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class AggregatesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val df = Seq(
+    ("g1", "b"), ("g1", "b"), ("g1", "a"), // clear mode b
+    ("g2", "b"), ("g2", "a"), // tie a/b
+    ("g3", null.asInstanceOf[String]), ("g3", "z") // nulls skipped
+  ).toDF("k", "v")
+
+  test("modeDeterministic: ties break to the smallest value (pandas mode()[0])") {
+    val m = Aggregates.modeDeterministic(df, Seq("k"), "v", "m")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("g1" -> "b", "g2" -> "a", "g3" -> "z"))
+  }
+
+  test("modeStrict: any tie → null (get_precip_mode_or_nan)") {
+    val m = Aggregates.modeStrict(df, Seq("k"), "v", "m")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(m == Map("g1" -> Some("b"), "g2" -> None, "g3" -> Some("z")))
+  }
+
+  test("all-null group is absent (pandas value_counts drops NaN)") {
+    val allNull = Seq(("g", null.asInstanceOf[String])).toDF("k", "v")
+    assert(Aggregates.modeDeterministic(allNull, Seq("k"), "v", "m").count() == 0)
+  }
+
+  test("typed Aggregator UDAF twins agree with the relational plans") {
+    Aggregates.registerUdafs(spark)
+    df.createOrReplaceTempView("t")
+    val strictUdaf = spark.sql("SELECT k, mode_strict(v) AS m FROM t GROUP BY k")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(strictUdaf == Map("g1" -> Some("b"), "g2" -> None, "g3" -> Some("z")))
+    val detUdaf = spark.sql("SELECT k, mode_det(v) AS m FROM t GROUP BY k")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(detUdaf == Map("g1" -> Some("b"), "g2" -> Some("a"), "g3" -> Some("z")))
+  }
+
+  test("windowMeans broadcasts the group mean to every row (transform('mean'))") {
+    val d = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "x")
+    val out = Aggregates.windowMeans(d, Seq("k"), Map("x" -> "m"))
+      .select("k", "m").distinct().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 2.0, "b" -> 10.0))
+  }
+
+  test("approx_count_distinct lands within 5% of exact at sf0.001") {
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+    val exact = li.agg(countDistinct($"l_partkey")).head().getLong(0).toDouble
+    val approx = li.agg(approx_count_distinct($"l_partkey", 0.02)).head().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+}
