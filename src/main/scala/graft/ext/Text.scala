@@ -23,11 +23,18 @@ object Text {
 
   def tokensNorm(c: Column): Column = split(lower(trim(c)), "\\s+")
 
-  /** Distinct word k-gram shingles (space-joined). Texts with fewer than
-    * k tokens yield an empty array.
+  /** Distinct word k-gram shingles (space-joined) from a MATERIALIZED
+    * token-array column. Texts with fewer than k tokens yield an empty
+    * array.
+    *
+    * Callers must project the token array to a real column first
+    * (`df.withColumn("ws", tokensNorm(...))`): passing `tokensNorm(text)`
+    * inline would re-run the regex split for every element_at access
+    * inside the lambda (~3×shingle-count splits per row — measured 6×
+    * slower end-to-end), because Catalyst does not CSE subtrees into
+    * higher-order-function lambdas.
     */
-  def shingles(c: Column, k: Int): Column = {
-    val ws = tokensNorm(c)
+  def shinglesFromTokens(ws: Column, k: Int): Column = {
     val n = size(ws)
     val mk = (i: Column) =>
       concat_ws(" ", (0 until k).map(j => element_at(ws, i + lit(j))): _*)
@@ -35,6 +42,9 @@ object Text {
       when(n >= k, transform(sequence(lit(1), n - lit(k - 1)), mk))
         .otherwise(array()))
   }
+
+  /** Convenience form for single-use contexts (tests, tiny frames). */
+  def shingles(c: Column, k: Int): Column = shinglesFromTokens(tokensNorm(c), k)
 
   /** MD5 fingerprint of the normalized text — the exact-dedup key (md5 is
     * engine-independent, unlike murmur/xxhash).

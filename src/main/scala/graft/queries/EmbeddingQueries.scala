@@ -6,15 +6,21 @@ import graft.ops.Num
 import QueryDef.tbl
 
 /** Similarity search over the `embeddings` fixture (Array[Float], dim 64).
-  * Brute-force and blocked near-dup are oracle-checked (double math is
-  * pinned identically on both engines); IVF is the approximate scale path
-  * (rows-only; recall vs brute force asserted in SimilaritySpec).
+  * Brute-force and blocked near-dup are oracle-checked — the oracle
+  * mirrors the engine's normalize-first evaluation order exactly
+  * (element/norm division, then an ascending-index product fold), so the
+  * doubles match bit-for-bit. IVF is the approximate scale path
+  * (rows-only; exhaustive-probe ≡ brute-force asserted in
+  * SimilaritySpec).
   */
 object EmbeddingQueries {
 
-  // DuckDB per-dimension cosine fragments (dim = 64, 1-based slots)
-  private def dotSql(a: String, b: String) =
-    s"sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))"
+  // DuckDB fragments mirroring Similarity's normalize-first math
+  private val normCte =
+    """n AS (SELECT vec_id,
+      |        sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+      |      FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY vec_id)""".stripMargin
+  private val pairDot = "sum((CAST(qe[i] AS DOUBLE) / qn) * (CAST(ce[i] AS DOUBLE) / cn))"
 
   val all: Seq[QueryDef] = Seq(
     // Brute-force cosine top-5 for 10 query vectors: corpus streams once,
@@ -28,23 +34,22 @@ object EmbeddingQueries {
           .select(col("qid"), col("cid"), col("rn"), Num.roundTo(col("cos"), 4).as("cos_r"))
           .orderBy("qid", "rn")
       },
-      Some(s"""WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 10),
-              |c AS (SELECT vec_id cid, embedding ce FROM embeddings),
-              |d AS (SELECT qid, cid,
-              |        ${dotSql("qe", "ce")} AS dp,
-              |        sqrt(${dotSql("qe", "qe")}) AS nq,
-              |        sqrt(${dotSql("ce", "ce")}) AS nc
+      Some(s"""WITH $normCte,
+              |q AS (SELECT e.vec_id qid, e.embedding qe, n.nrm qn
+              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id WHERE e.vec_id < 10),
+              |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
+              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
+              |d AS (SELECT qid, cid, $pairDot AS cos
               |      FROM q CROSS JOIN c CROSS JOIN range(1, 65) t(i)
               |      WHERE qid != cid GROUP BY qid, cid),
-              |r AS (SELECT qid, cid, dp / (nq * nc) AS cos,
-              |        row_number() OVER (PARTITION BY qid
-              |                           ORDER BY dp / (nq * nc) DESC, cid) AS rn
+              |r AS (SELECT qid, cid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
               |      FROM d)
               |SELECT qid, cid, rn, ${Num.roundSql("cos", 4)} AS cos_r
               |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
     // IVF approximate top-5 (deterministic centroid sample, 3-probe) —
-    // the 100 TB path: candidates shrink by ~nCells/nProbe. Rows-only.
+    // the 100 TB path: candidates shrink by ~nProbe/nCells. Rows-only.
     QueryDef(
       "q40_embed_ivf",
       (s, dir) => {
@@ -65,15 +70,15 @@ object EmbeddingQueries {
           .nearDupPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.4)
           .select(col("a_id"), col("b_id"), Num.roundTo(col("cos"), 4).as("cos_r"))
           .orderBy("a_id", "b_id"),
-      Some(s"""WITH p AS (
-              |  SELECT a.vec_id a_id, b.vec_id b_id, a.embedding ae, b.embedding be
-              |  FROM embeddings a JOIN embeddings b
-              |    ON a.label = b.label AND a.vec_id < b.vec_id),
-              |d AS (SELECT a_id, b_id,
-              |        ${dotSql("ae", "be")} AS dp,
-              |        sqrt(${dotSql("ae", "ae")}) AS na,
-              |        sqrt(${dotSql("be", "be")}) AS nb
+      Some(s"""WITH $normCte,
+              |p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+              |             a.embedding qe, na.nrm qn, b.embedding ce, nb.nrm cn
+              |      FROM embeddings a
+              |      JOIN n na ON na.vec_id = a.vec_id
+              |      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+              |      JOIN n nb ON nb.vec_id = b.vec_id),
+              |d AS (SELECT a_id, b_id, $pairDot AS cos
               |      FROM p CROSS JOIN range(1, 65) t(i) GROUP BY a_id, b_id)
-              |SELECT a_id, b_id, ${Num.roundSql("dp / (na * nb)", 4)} AS cos_r
-              |FROM d WHERE dp / (na * nb) >= 0.4 ORDER BY a_id, b_id""".stripMargin)))
+              |SELECT a_id, b_id, ${Num.roundSql("cos", 4)} AS cos_r
+              |FROM d WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin)))
 }
