@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.VectorDot
+
+/** Session-extension entry point: makes the engine's native expressions
+  * available in any session via
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`), the idiomatic way to
+  * ship custom Catalyst functions with a library. The in-code surfaces
+  * (Similarity.dot etc.) self-register per session and do not require
+  * this.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(
+        classOf[VectorDot].getCanonicalName, null, "vec_dot",
+        "vec_dot(a, b) - ascending-index dot product of two array<double> columns", ""),
+      exprs => VectorDot(exprs.head, exprs(1))))
+  }
+}

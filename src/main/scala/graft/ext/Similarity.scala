@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * cross-engine-exact, which is what lets the brute-force path be
   * oracle-checked against DuckDB.
   *
-  * Cost shape: vectors are L2-NORMALIZED ONCE per row before any join, so
-  * each candidate pair costs ONE dot fold instead of three (dot + two
-  * norms) — a 3× cut on the dominant term. The scale path is IVF: a
+  * Cost shape: per-vector norms are computed ONCE per row below the join
+  * and carried as attributes, so each candidate pair costs ONE dot fold
+  * plus a multiply-divide instead of three folds — a 3× cut on the
+  * dominant term. The scale path is IVF: a
   * coarse centroid quantizer prunes candidates to nProbe cells, turning
   * O(queries × corpus) into O(queries × corpus × nProbe/nCells) — all as
   * ordinary broadcast + shuffle joins, no driver-side loops over vectors.
@@ -41,13 +42,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Projection (id, vec) with vec L2-normalized in double — the once-
-    * per-row work that makes pair scoring a single fold.
+  /** Projection (id, vec-as-double, norm). The norm column crosses the
+    * downstream join as a plain attribute, so pair scoring is one dot
+    * fold + a divide. (Normalizing the array itself instead looks
+    * equivalent but is a trap: CollapseProject inlines the norm into the
+    * transform lambda and recomputes sqrt(dot(e,e)) PER ELEMENT.)
     */
-  private def normalizedRel(df: DataFrame, idCol: String, embCol: String, id: String, vec: String): DataFrame =
+  private def normalizedRel(df: DataFrame, idCol: String, embCol: String, id: String, vec: String): DataFrame = {
+    val nCol = vec + "_n"
     df.withColumn("__e", toDouble(col(embCol)))
-      .withColumn("__n", norm(col("__e")))
-      .select(col(idCol).as(id), transform(col("__e"), x => x / col("__n")).as(vec))
+      .select(col(idCol).as(id), col("__e").as(vec), norm(col("__e")).as(nCol))
+  }
 
   /** Brute-force top-k cosine neighbors for each query vector (excluding
     * self). Queries are broadcast; the corpus streams by once. rn is the
@@ -59,7 +64,8 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("cos"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (col("qe_n") * col("ce_n"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
   }
@@ -81,24 +87,27 @@ object Similarity {
     // broadcast centroid set)
     val wAssign = Window.partitionBy(col("cid")).orderBy(col("d").desc, col("cent_id").asc)
     val assigned = c.crossJoin(broadcast(cent))
-      .select(col("cid"), col("ce"), col("cent_id"), dot(col("ce"), col("cent_e")).as("d"))
+      .select(col("cid"), col("ce"), col("ce_n"), col("cent_id"),
+        (dot(col("ce"), col("cent_e")) / (col("ce_n") * col("cent_e_n"))).as("d"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("cid"), col("ce"), col("cent_id"))
+      .select(col("cid"), col("ce"), col("ce_n"), col("cent_id"))
     // probe: nProbe nearest cells per query
     val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cent_id").asc)
     val probes = q.crossJoin(broadcast(cent))
-      .select(col("qid"), col("qe"), col("cent_id"), dot(col("qe"), col("cent_e")).as("d"))
+      .select(col("qid"), col("qe"), col("qe_n"), col("cent_id"),
+        (dot(col("qe"), col("cent_e")) / (col("qe_n") * col("cent_e_n"))).as("d"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qe"), col("cent_id"))
+      .select(col("qid"), col("qe"), col("qe_n"), col("cent_id"))
     // search only the probed cells
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     probes
       .join(assigned, "cent_id")
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("cos"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (col("qe_n") * col("ce_n"))).as("cos"))
       .withColumn("rn", row_number().over(wTop).cast("bigint"))
       .filter(col("rn") <= k)
   }
@@ -109,15 +118,14 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String, blockCol: String, threshold: Double): DataFrame = {
     val v = df.withColumn("__e", toDouble(col(embCol)))
-      .withColumn("__n", norm(col("__e")))
       .select(
         col(idCol).as("id"), col(blockCol).as("blk"),
-        transform(col("__e"), x => x / col("__n")).as("e"))
+        col("__e").as("e"), norm(col("__e")).as("n"))
     v.as("a")
       .join(v.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(
         col("a.id").as("a_id"), col("b.id").as("b_id"),
-        dot(col("a.e"), col("b.e")).as("cos"))
+        (dot(col("a.e"), col("b.e")) / (col("a.n") * col("b.n"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

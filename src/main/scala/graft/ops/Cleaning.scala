@@ -85,4 +85,30 @@ object Cleaning {
   def dedupKeepFirstFileOrder(df: DataFrame, keys: Seq[String]): DataFrame =
     dedupKeepFirst(df.withColumn("__ord", monotonically_increasing_id()), keys, Seq(col("__ord")))
       .drop("__ord")
+
+  /** P9: drop rows with nulls in `cols` — the INTENDED semantics of v1's
+    * `df[c] = df[c].dropna()` (group_project_dag.py:129), which is a
+    * no-op in pandas due to index realignment; we implement the intent,
+    * not the bug (SURVEY.md §2.11).
+    */
+  def dropNullRows(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop(cols)
+
+  /** P10: month-conditional range gate — the INTENDED semantics of v2's
+    * dead seasonal-cleaning block (v2_group_project_dag.py:81-108, which
+    * crashes on a typo'd column + scalar-vs-Series comparison): summer
+    * months get one bound set, the rest another; out-of-range → NULL.
+    * Compose with [[medianImpute]] to reproduce the block's
+    * out-of-range→median intent.
+    */
+  def seasonalGateToNull(
+      df: DataFrame, dateCol: String, valueCol: String,
+      summerMonths: Seq[Int], summer: Bounds, winter: Bounds): DataFrame = {
+    val m = month(col(dateCol))
+    df.withColumn(
+      valueCol,
+      when(m.isin(summerMonths.map(_.asInstanceOf[Any]): _*),
+        gateToNull(col(valueCol), summer))
+        .otherwise(gateToNull(col(valueCol), winter)))
+  }
 }

@@ -15,12 +15,14 @@ import QueryDef.tbl
   */
 object EmbeddingQueries {
 
-  // DuckDB fragments mirroring Similarity's normalize-first math
+  // DuckDB fragments mirroring Similarity's math: per-vector norms from a
+  // CTE (ascending-index sum, like the engine's one-fold-per-row norm),
+  // pair cosine = raw dot / norm product
   private val normCte =
     """n AS (SELECT vec_id,
       |        sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
       |      FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY vec_id)""".stripMargin
-  private val pairDot = "sum((CAST(qe[i] AS DOUBLE) / qn) * (CAST(ce[i] AS DOUBLE) / cn))"
+  private val pairDot = "sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) / (qn * cn)"
 
   val all: Seq[QueryDef] = Seq(
     // Brute-force cosine top-5 for 10 query vectors: corpus streams once,
@@ -41,7 +43,7 @@ object EmbeddingQueries {
               |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
               |d AS (SELECT qid, cid, $pairDot AS cos
               |      FROM q CROSS JOIN c CROSS JOIN range(1, 65) t(i)
-              |      WHERE qid != cid GROUP BY qid, cid),
+              |      WHERE qid != cid GROUP BY qid, cid, qn, cn),
               |r AS (SELECT qid, cid, cos,
               |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
               |      FROM d)
@@ -78,7 +80,7 @@ object EmbeddingQueries {
               |      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
               |      JOIN n nb ON nb.vec_id = b.vec_id),
               |d AS (SELECT a_id, b_id, $pairDot AS cos
-              |      FROM p CROSS JOIN range(1, 65) t(i) GROUP BY a_id, b_id)
+              |      FROM p CROSS JOIN range(1, 65) t(i) GROUP BY a_id, b_id, qn, cn)
               |SELECT a_id, b_id, ${Num.roundSql("cos", 4)} AS cos_r
               |FROM d WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin)))
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests: the scale properties (pruning,
+  * pushdown, broadcast, codegen, top-k) are asserted, not assumed — a
+  * refactor that silently turns a broadcast join into a full shuffle or
+  * widens a parquet scan fails here.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf0001)
+
+  test("q01: parquet scan prunes to exactly the projected columns") {
+    val p = plan(q("q01_scan_project"))
+    assert(p.contains("ReadSchema: struct<r_regionkey:int,r_name:string>"))
+  }
+
+  test("q02: scan reads only the 5 needed of 11 lineitem columns") {
+    val p = plan(q("q02_project_arith"))
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double," +
+        "l_extendedprice:double,l_discount:double>")
+      || p.contains("l_extendedprice") && !p.contains("l_shipdate"))
+  }
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val df = Tables.load(spark, sf0001, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"))
+  }
+
+  test("q15: dimension joins broadcast (no shuffle of nation)") {
+    val p = plan(q("q15_join_inner"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q17/q18: semi and anti joins plan as semi/anti (not inner + distinct)") {
+    assert(plan(q("q17_join_semi")).contains("LeftSemi"))
+    assert(plan(q("q18_join_anti")).contains("LeftAnti"))
+  }
+
+  test("q13: sorted limit plans as TakeOrderedAndProject (no global sort materialization)") {
+    assert(plan(q("q13_sort_topk")).contains("TakeOrderedAndProject"))
+  }
+
+  test("q05: aggregation is partial-then-final hash agg inside codegen") {
+    val p = plan(q("q05_daily_agg"))
+    assert(p.contains("HashAggregate"))
+    // two HashAggregates around one Exchange = map-side partial agg
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+    // codegen stars only appear once AQE finalizes: execute THIS plan
+    // (count()/head() would build a separate execution), then inspect
+    val df = q("q05_daily_agg")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("pair-scoring projection with native vec_dot runs inside whole-stage codegen") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val df = graft.ext.Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    assert(df.collect().nonEmpty)
+    // the hot projection (vectordot over join output) must carry the
+    // codegen star; the per-row toDouble transforms below the join are
+    // allowed to be interpreted (HOFs are CodegenFallback)
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("vectordot") && l.contains("Project")))
+    // and the expression itself must not be a CodegenFallback
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.VectorDot]))
+  }
+
+  test("GraftExtensions registers vec_dot for SQL on extension-enabled sessions") {
+    // the shared test session lacks the extension; simulate registration
+    graft.functions.VectorExpressions.register(spark)
+    val out = spark.sql(
+      s"SELECT vec_dot(CAST(array(1.0,2.0) AS array<double>), CAST(array(3.0,4.0) AS array<double>)) AS d")
+      .head().getDouble(0)
+    assert(out == 11.0)
+  }
+}

@@ -35,6 +35,25 @@ class CleaningSpec extends SparkSuite {
     assert(Cleaning.medianImpute(df, Seq("x")).filter($"x".isNull).count() == 2)
   }
 
+  test("dropNullRows implements v1's INTENDED dropna (the original is a no-op bug)") {
+    val df = Seq((Some(1.0), "a"), (None, "b")).toDF("x", "s")
+    assert(Cleaning.dropNullRows(df, Seq("x")).collect().map(_.getString(1)).toSeq == Seq("a"))
+  }
+
+  test("seasonalGateToNull applies summer vs winter bounds by month (v2 intent)") {
+    val df = Seq(
+      ("2020-07-15", 30.0), // summer, in (5,50) → kept
+      ("2020-07-15", 2.0), // summer, below 5 → null
+      ("2020-12-15", 2.0), // winter, in (-50,20) → kept
+      ("2020-12-15", 30.0) // winter, above 20 → null
+    ).toDF("d", "t").withColumn("d", to_date($"d"))
+    val out = Cleaning.seasonalGateToNull(
+      df, "d", "t", 4 to 9,
+      Cleaning.Bounds.open(5, 50), Cleaning.Bounds.open(-50, 20))
+      .collect().map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(out.toSeq == Seq(Some(30.0), None, Some(2.0), None))
+  }
+
   test("dedupKeepFirst keeps the first row under the explicit order") {
     val df = Seq(("a", 2, "second"), ("a", 1, "first"), ("b", 5, "only"))
       .toDF("k", "ord", "tag")
