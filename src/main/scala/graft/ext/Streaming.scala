@@ -82,6 +82,32 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Arbitrary stateful processing via mapGroupsWithState — the escape
+    * hatch when windowed aggs can't express the state machine. Running
+    * per-user totals: state is one (count, sum) pair per key, updated
+    * per micro-batch, emitted in update mode. At scale state lives in
+    * the state store (RocksDB-backed on a real cluster), partitioned by
+    * the group key.
+    */
+  final case class UserRunning(user_id: Long, n_events: Long, value_sum: Double)
+
+  def runningUserAgg(events: DataFrame): org.apache.spark.sql.Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          UserRunning(user, n, s)
+      }
+  }
+
   /** Drain a (bounded) stream into an in-memory table and return the
     * result — the reference's @daily batch loop expressed as
     * Trigger.AvailableNow (process everything currently in the source,

@@ -29,7 +29,8 @@ object Weather {
 
   final case class Conf(
       dedupKeyFirst: Boolean = true, // v5 parity; false = v1 semantics
-      singleFileCsv: Boolean = false)
+      singleFileCsv: Boolean = false,
+      writeHistory: Boolean = false) // v2 also lands the full cleaned table
 
   val measureGates: Map[String, Cleaning.Bounds] = Map(
     "Temperature (C)" -> Cleaning.Bounds.open(-50, 50),
@@ -154,6 +155,8 @@ object Weather {
     val mOut = Sinks.renamed(m, monthlyRenames)
     Sinks.parquet(dOut, s"$outDir/daily_weather")
     Sinks.parquet(mOut, s"$outDir/monthly_weather")
+    // v2 parity (v2_group_project_dag.py:281-298,333): full-history table
+    if (conf.writeHistory) Sinks.parquet(cleaned, s"$outDir/weather_history")
     (dOut, mOut)
   }
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.AsOf
+import graft.ops.Num
+import QueryDef.tbl
+
+/** Extended target-spec operators: as-of (point-in-time) join and CUBE
+  * with dispersion statistics.
+  */
+object Extended {
+
+  val all: Seq[QueryDef] = Seq(
+    // As-of join: for each purchase event, the user's latest click value
+    // at-or-before the purchase. Composed union+window plan (see
+    // ext/AsOf.scala) — deterministic tie rules, so fully oracled.
+    QueryDef(
+      "q43_asof_join",
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        AsOf.asofJoin(purchases, clicks, "user_id", "ts", Seq("value"), "event_id")
+          .select(
+            col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+            Num.roundTo(col("asof_value"), 4).as("last_click_value"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT user_id, ts, event_id, value, 1 AS is_r, NULL AS p_event
+              |  FROM events WHERE event_type = 'click'
+              |  UNION ALL
+              |  SELECT user_id, ts, event_id, NULL, 0, event_id
+              |  FROM events WHERE event_type = 'purchase'),
+              |w AS (SELECT *, last_value(value IGNORE NULLS) OVER
+              |        (PARTITION BY user_id ORDER BY ts, is_r DESC, event_id
+              |         ROWS UNBOUNDED PRECEDING) AS lcv
+              |      FROM u)
+              |SELECT p_event AS event_id, user_id,
+              |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+              |  ${Num.roundSql("lcv", 4)} AS last_click_value
+              |FROM w WHERE is_r = 0 ORDER BY event_id""".stripMargin)),
+
+    // CUBE over two keys with dispersion stats (subtotals on every
+    // grouping-set combination).
+    QueryDef(
+      "q44_cube_stats",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            Num.roundTo(avg(col("l_quantity")), 4).as("avg_qty"),
+            Num.roundTo(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("n"), col("avg_qty"), col("sd_qty"))
+          .orderBy("returnflag", "linestatus"),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+              |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+              |  count(*) AS n,
+              |  ${Num.roundSql("avg(l_quantity)", 4)} AS avg_qty,
+              |  ${Num.roundSql("stddev_samp(l_quantity)", 4)} AS sd_qty
+              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              |ORDER BY returnflag, linestatus""".stripMargin)))
+}

@@ -64,6 +64,27 @@ class StreamingSpec extends SparkSuite {
     assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("mapGroupsWithState: running per-user totals accumulate across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val agg = Streaming.runningUserAgg(mem.toDF().toDF("user_id", "value"))
+    val q = agg.writeStream.format("memory").queryName("running_test")
+      .outputMode("update").start()
+    mem.addData((7L, 1.0), (7L, 2.0), (8L, 5.0))
+    q.processAllAvailable()
+    mem.addData((7L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    // update mode appends one row per key per batch; the LAST row per key
+    // carries the running total
+    val last = spark.table("running_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    assert(last(7L) == (7L, 3L, 7.0)) // 3 events, sum 1+2+4
+    assert(last(8L) == (8L, 1L, 5.0))
+  }
+
   test("session_window streaming agg matches gaps-and-islands session count") {
     val stream = Streaming.eventsFileStream(spark, eventsDir)
     val sess = Streaming.sessionAgg(stream, "30 minutes", "10 minutes")
