@@ -66,5 +66,25 @@ object Extended {
               |  ${Num.roundSql("avg(l_quantity)", 4)} AS avg_qty,
               |  ${Num.roundSql("stddev_samp(l_quantity)", 4)} AS sd_qty
               |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-              |ORDER BY returnflag, linestatus""".stripMargin)))
+              |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    // Pivot with an explicit value list (deterministic columns; implicit
+    // pivot would scan for values first). Oracle = conditional aggregation,
+    // which is exactly what Catalyst rewrites pivot into.
+    QueryDef(
+      "q45_pivot",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(count(lit(1)))
+          .select(
+            col("l_returnflag"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+             |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
 }
