@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew and co-location tools for the 100 TB path.
+  *
+  * AQE's skew-join handling (on by default) splits oversized post-shuffle
+  * partitions, which covers most skew. These helpers cover the cases AQE
+  * cannot: aggregation skew (one hot key overwhelms a single reducer even
+  * after splitting, because all its rows must still meet) and join skew
+  * where the small side can be replicated.
+  */
+object Scale {
+
+  /** Salted join for a skewed equi-join key: the large side gets a
+    * deterministic salt in [0, n) (hash of its row id — stable across
+    * retries, unlike rand()), the small side is replicated n× with every
+    * salt value, and the join key becomes (key, salt). Result is
+    * row-identical to the plain join; the hot key's rows now spread over
+    * n reducers at the cost of an n× blow-up of the (small) build side.
+    */
+  def saltedJoin(
+      large: DataFrame, small: DataFrame, key: String, n: Int,
+      joinType: String = "inner"): DataFrame = {
+    val salted = large.withColumn("__salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(n)))
+    val replicated = small.withColumn("__salt", explode(sequence(lit(0L), lit(n - 1L))))
+    salted
+      .join(replicated, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: partial-aggregate on
+    * (key, salt), then final-aggregate on key. Expressed for the
+    * decomposable aggregates the reference uses (count/sum/avg — avg is
+    * carried as sum+count). Spark already does map-side partial agg; the
+    * extra salted reduce phase bounds the per-reducer row count for hot
+    * keys at the cost of one more (much smaller) shuffle.
+    */
+  def saltedMeans(df: DataFrame, key: String, valueCol: String, n: Int): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(n)))
+    salted
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__s"), count(col(valueCol)).as("__c"))
+      .groupBy(col(key))
+      .agg((sum(col("__s")) / sum(col("__c"))).as(s"avg_$valueCol"))
+  }
+
+  /** Bucketed co-located sink: both sides of a recurring join written
+    * with the same bucketing spec join WITHOUT a shuffle (Exchange) —
+    * the scan satisfies the join's distribution requirement. This is the
+    * pre-partitioning answer for joins that repeat every pipeline run.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], nBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -65,4 +65,28 @@ object Validate {
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Zero-extra-pass variant via the Observation API: checks ride along
+    * with whatever action consumes the returned DataFrame (the write
+    * itself), instead of [[gate]]'s separate validation scan. Call the
+    * returned thunk AFTER the action to get failures — suited to
+    * validate-while-writing flows where a quarantine step handles
+    * failures post-hoc; use [[gate]] when nothing may be written on
+    * violation (the reference's all_success semantics).
+    */
+  def observed(df: DataFrame, checks: Seq[Check], name: String = "graft_checks"): (DataFrame, () => Seq[CheckResult]) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      sum(when(coalesce(c.passes, lit(false)), 0L).otherwise(1L)).as(s"c$i")
+    }
+    val out = df.observe(obs, aggs.head, aggs.tail: _*)
+    val fetch = () => {
+      val row = obs.get
+      checks.zipWithIndex.collect {
+        case (c, i) if row(s"c$i").asInstanceOf[Long] > 0 =>
+          CheckResult(c.name, row(s"c$i").asInstanceOf[Long])
+      }
+    }
+    (out, fetch)
+  }
 }

@@ -8,11 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep catalog artifacts (bucketed-table tests) out of the repo dir
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$wh/metastore;create=true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("saltedJoin is row-identical to the plain join") {
+    val large = graft.Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val small = graft.Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = large.join(small, "l_orderkey")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Scale.saltedJoin(large, small, "l_orderkey", 8)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedMeans matches plain grouped mean") {
+    val df = Seq(("hot", 1.0), ("hot", 3.0), ("hot", 5.0), ("cold", 10.0)).toDF("k", "v")
+    val out = Scale.saltedMeans(df, "k", "v", 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("hot" -> 3.0, "cold" -> 10.0))
+  }
+
+  test("bucketed tables join without a shuffle (Exchange only for non-bucketed plans)") {
+    val orders = graft.Tables.load(spark, sf0001, "orders")
+    val customer = graft.Tables.load(spark, sf0001, "customer")
+    Scale.writeBucketed(orders, "orders_b", Seq("o_custkey"), 4)
+    Scale.writeBucketed(customer.withColumnRenamed("c_custkey", "o_custkey"), "customer_b", Seq("o_custkey"), 4)
+    val joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"))
+    // the bucketed join must not reshuffle either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+  }
+
+  test("Observation-based checks ride the consuming action (no extra scan)") {
+    val df = Seq((1.0, "a"), (200.0, "b"), (3.0, "c")).toDF("x", "s")
+    val (out, fetch) = Validate.observed(df, Seq(Validate.inRange("x", 0, 100)))
+    out.collect() // the consuming action
+    val failures = fetch()
+    assert(failures.map(f => f.name -> f.violations) == Seq("range(x,0.0,100.0)" -> 1L))
+  }
+}
