@@ -59,10 +59,10 @@ object Dedup {
     * count the intersection, compare against set sizes.
     */
   private def verifiedJaccard(
-      cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
+      cand: DataFrame, shHashed: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     cand
-      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .join(shHashed.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(shHashed.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh_h") === col("sb.sh_h"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_inter"))
       .join(sizes.withColumnRenamed("n_sh", "n_a"), col("a_id") === col("doc_id")).drop("doc_id")
@@ -86,10 +86,14 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, k: Int, threshold: Double): DataFrame = {
+    // join/shuffle on the 64-bit shingle hash, not the ~25-byte string:
+    // ~2-3× less shuffle volume; collision risk over a corpus dictionary
+    // is (d²/2)/2⁶⁴ — immaterial (≈2e-11 at 27k distinct shingles)
     val sh = shingleRel(df, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.as("x")
-      .join(sh.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .join(sh.as("y"), col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_inter"))
       .join(sizes.withColumnRenamed("n_sh", "n_a"), col("a_id") === col("doc_id")).drop("doc_id")
@@ -146,6 +150,7 @@ object Dedup {
       .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"))
       .distinct()
     val sh = shingleRel(df, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     verifiedJaccard(cand, sh, sizes, threshold)
   }

@@ -82,6 +82,31 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Kafka source for the same event schema, parsed from JSON values —
+    * plugs into every transform below exactly like the file source
+    * (config-gated: the sandbox has no broker and no kafka connector
+    * jar, so this compiles but can only run where
+    * spark-sql-kafka-0-10 is on the classpath; the file stream
+    * exercises the identical downstream plans).
+    */
+  def kafkaEvents(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame = {
+    val eventJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), eventJson).as("e"))
+      .select("e.*")
+  }
+
   /** Arbitrary stateful processing via mapGroupsWithState — the escape
     * hatch when windowed aggs can't express the state machine. Running
     * per-user totals: state is one (count, sum) pair per key, updated

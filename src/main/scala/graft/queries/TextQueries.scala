@@ -182,5 +182,20 @@ object TextQueries {
         tbl(s, dir, "documents")
           .select(col("doc_id"), Text.rollingHash(Text.tokensNorm(col("text"))).as("rhash"))
           .orderBy("doc_id"),
-      None))
+      None),
+
+    // Corpus-level n-gram frequency: top-20 trigrams by document
+    // frequency (deterministic tiebreak on the shingle itself).
+    QueryDef(
+      "q46_ngram_freq",
+      (s, dir) =>
+        Dedup.shingleRel(tbl(s, dir, "documents"), "doc_id", "text", 3)
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("doc_freq"))
+          .orderBy(col("doc_freq").desc, col("shingle").asc)
+          .limit(20),
+      Some(s"""WITH $shingleCte
+              |SELECT shingle, count(*) AS doc_freq
+              |FROM sh GROUP BY shingle
+              |ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin)))
 }
