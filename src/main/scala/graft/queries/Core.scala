@@ -39,10 +39,13 @@ object Core {
             col("l_orderkey"), col("l_linenumber"),
             R(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 4)
               .as("charge"))
-          .orderBy("l_orderkey", "l_linenumber"),
+          // (l_orderkey, l_linenumber) is NOT unique in the fixture —
+          // every per-row ORDER BY must be total over ALL output columns
+          // or tied rows land in engine-dependent order
+          .orderBy("l_orderkey", "l_linenumber", "charge"),
       Some(s"""SELECT l_orderkey, l_linenumber,
               |  ${rs("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)} AS charge
-              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+              |FROM lineitem ORDER BY l_orderkey, l_linenumber, charge""".stripMargin)),
 
     // P6: range-gate to NULL, preserving open vs closed bounds
     // (v5_group_project_dag.py:79-84 uses both; we pin one of each).
@@ -55,11 +58,17 @@ object Core {
             Cleaning.gateToNull(col("l_quantity"), Cleaning.Bounds.open(5, 45)).as("quantity_gated"),
             Cleaning.gateToNull(col("l_extendedprice"), Cleaning.Bounds.closed(1000, 50000))
               .as("price_gated"))
-          .orderBy("l_orderkey", "l_linenumber"),
+          // total order incl. nullable outputs; Spark asc = NULLS FIRST,
+          // so the oracle must say NULLS FIRST explicitly (DuckDB
+          // defaults to NULLS LAST)
+          .orderBy(
+            col("l_orderkey"), col("l_linenumber"),
+            col("quantity_gated").asc_nulls_first, col("price_gated").asc_nulls_first),
       Some("""SELECT l_orderkey, l_linenumber,
              |  CASE WHEN l_quantity > 5 AND l_quantity < 45 THEN l_quantity END AS quantity_gated,
              |  CASE WHEN l_extendedprice BETWEEN 1000 AND 50000 THEN l_extendedprice END AS price_gated
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber,
+             |  quantity_gated ASC NULLS FIRST, price_gated ASC NULLS FIRST""".stripMargin)),
 
     // P8: first-match bucketization (classify_wind shape,
     // v5_group_project_dag.py:113-141) as a codegen'd when-chain, then a
@@ -134,12 +143,13 @@ object Core {
             "day_avg_qty",
             R(avg(col("l_quantity")).over(Window.partitionBy(col("ship_day"))), 4))
           .select("l_orderkey", "l_linenumber", "ship_day", "day_avg_qty")
-          .orderBy("l_orderkey", "l_linenumber"),
+          .orderBy("l_orderkey", "l_linenumber", "ship_day", "day_avg_qty"),
       Some(s"""SELECT l_orderkey, l_linenumber,
               |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
               |  ${rs("avg(l_quantity) OVER (PARTITION BY strftime(l_shipdate, '%Y-%m-%d'))", 4)}
               |    AS day_avg_qty
-              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+              |FROM lineitem
+              |ORDER BY l_orderkey, l_linenumber, ship_day, day_avg_qty""".stripMargin)),
 
     // A3: deterministic mode (ties → smallest value), pandas x.mode()[0]
     // semantics (v5_group_project_dag.py:176-177).
@@ -192,7 +202,7 @@ object Core {
           .select(
             col("l_orderkey"), col("l_linenumber"),
             R(coalesce(col("price_gated"), col("med")), 4).as("price_imputed"))
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "price_imputed")
       },
       Some(s"""WITH g AS (
               |  SELECT l_orderkey, l_linenumber,
@@ -202,7 +212,8 @@ object Core {
               |m AS (SELECT median(price_gated) AS med FROM g)
               |SELECT l_orderkey, l_linenumber,
               |  ${rs("coalesce(price_gated, med)", 4)} AS price_imputed
-              |FROM g CROSS JOIN m ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+              |FROM g CROSS JOIN m
+              |ORDER BY l_orderkey, l_linenumber, price_imputed""".stripMargin)),
 
     // D1: dedup keeping the FIRST row per key under an explicit order
     // (pandas keep='first', v5_group_project_dag.py:97) — first order per

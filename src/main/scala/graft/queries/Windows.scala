@@ -55,24 +55,34 @@ object Windows {
                  4)} AS spend_delta
               |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
-    // Rolling ROWS frame: 3-row moving average per supplier.
+    // Rolling ROWS frame: 3-row moving average per supplier. The fixture
+    // has duplicate (l_orderkey, l_linenumber) rows, so the frame is
+    // computed over the per-key SUM (unique keys ⇒ the window order is
+    // total ⇒ frame contents are engine-independent; integer-valued
+    // sums keep the math exact).
     QueryDef(
       "q24_window_rolling",
       (s, dir) => {
+        val base = tbl(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+          .agg(sum(col("l_quantity")).as("qty"))
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+          .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
           .rowsBetween(-2, 0)
-        tbl(s, dir, "lineitem")
+        base
           .select(
             col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-            Num.roundTo(avg(col("l_quantity")).over(w), 4).as("rolling_avg_qty"))
+            Num.roundTo(avg(col("qty")).over(w), 4).as("rolling_avg_qty"))
           .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
       },
-      Some(s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+      Some(s"""WITH base AS (
+              |  SELECT l_suppkey, l_orderkey, l_linenumber, sum(l_quantity) AS qty
+              |  FROM lineitem GROUP BY 1, 2, 3)
+              |SELECT l_suppkey, l_orderkey, l_linenumber,
               |  ${Num.roundSql(
-                 "avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+                 "avg(qty) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
                  4)} AS rolling_avg_qty
-              |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+              |FROM base ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
     // Exact distinct counts per group.
     QueryDef(

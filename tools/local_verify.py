@@ -20,7 +20,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+def norm(df: pd.DataFrame, ordered: bool = False) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # stringify everything for a robust total sort + exact compare
     def cell(v):
@@ -34,7 +34,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             return "[" + ",".join(cell(x) for x in v) + "]"
         return str(v)
     out = df.map(cell)
-    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    if not ordered:  # --ordered: keep file/result order (strict driver mode)
+        out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
     return out
 
 
@@ -70,7 +71,8 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        a, b = norm(spark_df), norm(duck_df)
+        ordered = "--ordered" in sys.argv
+        a, b = norm(spark_df, ordered), norm(duck_df, ordered)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
             n_fail += 1
