@@ -44,6 +44,17 @@ class ScaleSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS customer_b")
   }
 
+  test("partitioned sink + partition pruning: filter becomes a PartitionFilter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/li"
+    Sinks.parquet(
+      graft.Tables.load(spark, sf0001, "lineitem"), dir, partitionBy = Seq("l_returnflag"))
+    val df = spark.read.parquet(dir).filter(col("l_returnflag") === "A").select("l_quantity")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
+    assert(plan.contains("(l_returnflag#") || plan.contains("l_returnflag = A"), plan)
+  }
+
   test("Observation-based checks ride the consuming action (no extra scan)") {
     val df = Seq((1.0, "a"), (200.0, "b"), (3.0, "c")).toDF("x", "s")
     val (out, fetch) = Validate.observed(df, Seq(Validate.inRange("x", 0, 100)))
