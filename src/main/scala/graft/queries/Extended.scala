@@ -1,8 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.AsOf
-import graft.ops.Num
+import graft.ext.{AsOf, Multimodal}
+import graft.ops.{Aggregates, Num}
 import QueryDef.tbl
 
 /** Extended target-spec operators: as-of (point-in-time) join and CUBE
@@ -86,5 +86,63 @@ object Extended {
       Some("""SELECT l_returnflag,
              |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
              |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Exact interpolating percentiles (Spark percentile ≡ DuckDB
+    // quantile_cont — both linear-interpolate), the exact twin of the
+    // approx_percentile sketch path.
+    QueryDef(
+      "q47_percentiles",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            Num.roundTo(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            Num.roundTo(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+            Num.roundTo(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |  ${Num.roundSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+              |  ${Num.roundSql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90,
+              |  ${Num.roundSql("quantile_cont(l_extendedprice, 0.99)", 4)} AS p99
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Multimodal plumbing in the driver battery: text→binary assets,
+    // mapPartitions batch feature extraction (stub decode — see
+    // ext/Multimodal). Deterministic but not SQL-expressible → rows-only.
+    QueryDef(
+      "q48_multimodal_features",
+      (s, dir) =>
+        Multimodal
+          .extractFeatures(
+            Multimodal.withBinaryAsset(tbl(s, dir, "documents"), "doc_id", "text"))
+          .toDF()
+          .select(
+            col("asset_id"), col("n_bytes"),
+            Num.roundTo(col("byte_mean"), 4).as("byte_mean_r"),
+            col("frames_sampled"), col("decode_ok"))
+          .orderBy("asset_id"),
+      None),
+
+    // The registered UDAF surface (typed Aggregator via udaf()) run
+    // through spark.sql — same strict-mode semantics as q09's relational
+    // plan, same oracle.
+    QueryDef(
+      "q49_mode_udaf",
+      (s, dir) => {
+        Aggregates.registerUdafs(s)
+        tbl(s, dir, "lineitem")
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+          .createOrReplaceTempView("li_udaf")
+        s.sql("""SELECT ship_month, mode_strict(l_returnflag) AS mode_returnflag_strict
+                |FROM li_udaf GROUP BY ship_month ORDER BY ship_month""".stripMargin)
+      },
+      Some("""WITH counts AS (
+             |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag, count(*) AS cnt
+             |  FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1, 2),
+             |m AS (SELECT ship_month, l_returnflag, cnt,
+             |             max(cnt) OVER (PARTITION BY ship_month) AS maxc FROM counts)
+             |SELECT ship_month,
+             |  CASE WHEN count(*) = 1 THEN min(l_returnflag) END AS mode_returnflag_strict
+             |FROM m WHERE cnt = maxc GROUP BY ship_month ORDER BY ship_month""".stripMargin)))
 }
