@@ -82,6 +82,27 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click joins purchases by the same
+    * user within `horizon` AFTER the click. Watermarks on both sides +
+    * the time-range join condition are what let Spark bound the join
+    * state (rows older than watermark+horizon are evicted) — without
+    * them a stream-stream join buffers forever.
+    */
+  def clickToPurchase(
+      clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour", horizon: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val c = clicks
+      .selectExpr("user_id", "ts AS click_ts", "event_id AS click_id")
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .selectExpr("user_id AS p_user", "ts AS p_ts", "event_id AS p_id", "value AS p_value")
+      .withWatermark("p_ts", watermark)
+    c.join(
+      p,
+      expr(s"user_id = p_user AND p_ts >= click_ts AND p_ts <= click_ts + $horizon"))
+      .select(col("user_id"), col("click_id"), col("p_id"), col("click_ts"), col("p_ts"), col("p_value"))
+  }
+
   /** Kafka source for the same event schema, parsed from JSON values —
     * plugs into every transform below exactly like the file source
     * (config-gated: the sandbox has no broker and no kafka connector

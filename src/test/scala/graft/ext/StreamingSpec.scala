@@ -64,6 +64,28 @@ class StreamingSpec extends SparkSuite {
     assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join matches clicks to in-horizon purchases") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    clicks.addData(
+      (7L, ts("2024-01-01 10:00:00"), 1L),
+      (8L, ts("2024-01-01 10:00:00"), 2L))
+    purchases.addData(
+      (7L, ts("2024-01-01 10:30:00"), 100L, 9.99), // in horizon
+      (7L, ts("2024-01-01 12:30:00"), 101L, 5.00), // beyond 1h horizon
+      (9L, ts("2024-01-01 10:10:00"), 102L, 1.00)) // no matching click
+    val joined = Streaming.clickToPurchase(
+      clicks.toDF().toDF("user_id", "ts", "event_id")
+        .withColumn("value", lit(0.0)).withColumn("props", lit("{}")),
+      purchases.toDF().toDF("user_id", "ts", "event_id", "value")
+        .withColumn("props", lit("{}")))
+    val out = Streaming.runAvailableNow(joined, "ss_join_test")
+    val rows = out.collect().map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("p_id")))
+    assert(rows.toSet == Set((1L, 100L)))
+  }
+
   test("mapGroupsWithState: running per-user totals accumulate across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
