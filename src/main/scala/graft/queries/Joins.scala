@@ -142,5 +142,28 @@ object Joins {
       Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
              |INTERSECT
              |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-             |ORDER BY o_custkey""".stripMargin)))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // UNION ALL of tagged branches then re-aggregate (bag semantics —
+    // Dataset.union ≡ SQL UNION ALL; the distinct form is q20/q21's
+    // except/intersect family).
+    QueryDef(
+      "q50_union_all",
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        val hi = o.filter(col("o_totalprice") > 200000)
+          .select(col("o_custkey"), lit("hi").as("bucket"))
+        val lo = o.filter(col("o_totalprice") < 50000)
+          .select(col("o_custkey"), lit("lo").as("bucket"))
+        hi.union(lo)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy("bucket")
+      },
+      Some("""WITH u AS (
+             |  SELECT o_custkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 200000
+             |  UNION ALL
+             |  SELECT o_custkey, 'lo' FROM orders WHERE o_totalprice < 50000)
+             |SELECT bucket, count(*) AS n, count(DISTINCT o_custkey) AS n_cust
+             |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin)))
 }
