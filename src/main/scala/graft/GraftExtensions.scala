@@ -17,9 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(
-        classOf[VectorDot].getCanonicalName, null, "vec_dot",
-        "vec_dot(a, b) - ascending-index dot product of two array<double> columns", ""),
+      new ExpressionInfo(classOf[VectorDot].getCanonicalName, "vec_dot"),
       exprs => VectorDot(exprs.head, exprs(1))))
   }
 }
