@@ -34,13 +34,16 @@ object AsOf {
     val leftRow = struct(left.columns.map(col).toSeq: _*)
     val leftRowType = left.select(leftRow.as("l")).schema("l").dataType
 
+    // tiebreak keeps the id column's NATIVE type (a cast to bigint would
+    // null out string ids and silently break determinism)
+    val tieType = right.schema(rightIdCol).dataType
     val lPart = left.select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__is_r"),
-      lit(null).cast("bigint").as("__tie"),
+      lit(null).cast(tieType).as("__tie"),
       lit(null).cast(payloadType).as("__rv"), leftRow.as("__lrow"))
     val rPart = right.select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__is_r"),
-      col(rightIdCol).cast("bigint").as("__tie"),
+      col(rightIdCol).as("__tie"),
       payload.as("__rv"), lit(null).cast(leftRowType).as("__lrow"))
 
     // right rows sort before left at equal ts (as-of-or-equal); among

@@ -49,11 +49,14 @@ object Dedup {
     * multiple of the text size; at 100 TB you would checkpoint it to
     * parquet instead of memory, same shape.
     */
-  def shingleRel(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), Text.tokensNorm(col(textCol)).as("__ws"))
+  def shingleRel(df: DataFrame, idCol: String, textCol: String, k: Int, cache: Boolean = true): DataFrame = {
+    val rel = df.select(col(idCol).as("doc_id"), Text.tokensNorm(col(textCol)).as("__ws"))
       .select(col("doc_id"), explode(Text.shinglesFromTokens(col("__ws"), k)).as("shingle"))
       .filter(col("shingle") =!= "")
-      .cache()
+    // caching is a session-lifetime side effect (nothing unpersists it);
+    // long-lived services should pass cache=false and checkpoint instead
+    if (cache) rel.cache() else rel
+  }
 
   /** Exact Jaccard of candidate pairs: join each side's full shingle set,
     * count the intersection, compare against set sizes.

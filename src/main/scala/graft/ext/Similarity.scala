@@ -49,6 +49,9 @@ object Similarity {
     * transform lambda and recomputes sqrt(dot(e,e)) PER ELEMENT.)
     */
   private def normalizedRel(df: DataFrame, idCol: String, embCol: String, id: String, vec: String): DataFrame = {
+    // register on the frame's OWN session — SparkSession.active may be a
+    // different session in multi-session apps
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val nCol = vec + "_n"
     df.withColumn("__e", toDouble(col(embCol)))
       .select(col(idCol).as(id), col("__e").as(vec), norm(col("__e")).as(nCol))
@@ -117,6 +120,7 @@ object Similarity {
     * are scored.
     */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String, blockCol: String, threshold: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val v = df.withColumn("__e", toDouble(col(embCol)))
       .select(
         col(idCol).as("id"), col(blockCol).as("blk"),

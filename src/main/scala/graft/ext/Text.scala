@@ -70,13 +70,16 @@ object Text {
     * priority (zh by script, then en ≥ de ≥ fr ≥ es, 'und' when all
     * scores are zero). Heuristic by design — the point is a scalable,
     * deterministic n-gram-style classifier, not a model.
+    *
+    * `toks` should be a MATERIALIZED tokensNorm column: each vote is an
+    * independent expression tree, so an inline `tokensNorm(text)` would
+    * re-split per language list.
     */
-  def langId(c: Column): Column = {
-    val t = tokensNorm(c)
+  def langIdFromTokens(toks: Column, raw: Column): Column = {
     val (en, de, fr, es) = (
-      wordCount(t, stopwordsEn), wordCount(t, stopwordsDe),
-      wordCount(t, stopwordsFr), wordCount(t, stopwordsEs))
-    val zh = cjkCount(c)
+      wordCount(toks, stopwordsEn), wordCount(toks, stopwordsDe),
+      wordCount(toks, stopwordsFr), wordCount(toks, stopwordsEs))
+    val zh = cjkCount(raw)
     when(zh > 0, "zh")
       .when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
       .when(en >= de && en >= fr && en >= es, "en")
@@ -85,18 +88,22 @@ object Text {
       .otherwise("es")
   }
 
+  def langId(c: Column): Column = langIdFromTokens(tokensNorm(c), c)
+
   /** Composite quality score in [0,1]: stopword density + lexical
     * diversity (type/token ratio) + length saturation. All three terms are
-    * exact integer ratios → deterministic across engines.
+    * exact integer ratios → deterministic across engines. Same
+    * materialized-tokens contract as [[langIdFromTokens]].
     */
-  def qualityScore(c: Column): Column = {
-    val t = tokensNorm(c)
-    val n = size(t).cast("double")
-    val stop = wordCount(t, stopwordsEn).cast("double") / n
-    val ttr = size(array_distinct(t)).cast("double") / n
+  def qualityScoreFromTokens(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val stop = wordCount(toks, stopwordsEn).cast("double") / n
+    val ttr = size(array_distinct(toks)).cast("double") / n
     val lenSat = least(lit(1.0), n / lit(100.0))
     stop * 0.4 + ttr * 0.3 + lenSat * 0.3
   }
+
+  def qualityScore(c: Column): Column = qualityScoreFromTokens(tokensNorm(c))
 
   /** Polynomial rolling hash of the token stream (base-31 mod 1e9+7),
     * computed with the `aggregate` higher-order function — a pure-Spark

@@ -14,16 +14,22 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   /** Salted join for a skewed equi-join key: the large side gets a
-    * deterministic salt in [0, n) (hash of its row id — stable across
-    * retries, unlike rand()), the small side is replicated n× with every
-    * salt value, and the join key becomes (key, salt). Result is
-    * row-identical to the plain join; the hot key's rows now spread over
-    * n reducers at the cost of an n× blow-up of the (small) build side.
+    * CONTENT-derived salt in [0, n) (hash of the whole row — stable
+    * under task retries and shuffle recomputation, where position-based
+    * ids or rand() silently drop/duplicate rows), the small side is
+    * replicated n× with every salt value, and the join key becomes
+    * (key, salt). Result is row-identical to the plain join; the hot
+    * key's rows spread over n reducers at the cost of an n× blow-up of
+    * the (small) build side. Only inner/left are supported: for
+    * right/full, unmatched small-side replicas would surface n times.
     */
   def saltedJoin(
       large: DataFrame, small: DataFrame, key: String, n: Int,
       joinType: String = "inner"): DataFrame = {
-    val salted = large.withColumn("__salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(n)))
+    require(Set("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left only, got $joinType")
+    val salted = large.withColumn(
+      "__salt", pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(n)))
     val replicated = small.withColumn("__salt", explode(sequence(lit(0L), lit(n - 1L))))
     salted
       .join(replicated, Seq(key, "__salt"), joinType)
@@ -38,7 +44,7 @@ object Scale {
     * keys at the cost of one more (much smaller) shuffle.
     */
   def saltedMeans(df: DataFrame, key: String, valueCol: String, n: Int): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(n)))
+    val salted = df.withColumn("__salt", pmod(xxhash64(col(key), col(valueCol)), lit(n)))
     salted
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__s"), count(col(valueCol)).as("__c"))

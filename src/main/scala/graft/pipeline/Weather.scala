@@ -149,14 +149,20 @@ object Weather {
     * Sinks.jdbc takes the same renamed frames).
     */
   def run(spark: SparkSession, csvPath: String, outDir: String, conf: Conf = Conf()): (DataFrame, DataFrame) = {
-    val cleaned = clean(read(spark, csvPath), conf)
-    val (d, m) = validate(daily(cleaned), monthly(cleaned))
-    val dOut = Sinks.renamed(d, dailyRenames)
-    val mOut = Sinks.renamed(m, monthlyRenames)
-    Sinks.parquet(dOut, s"$outDir/daily_weather")
-    Sinks.parquet(mOut, s"$outDir/monthly_weather")
-    // v2 parity (v2_group_project_dag.py:281-298,333): full-history table
-    if (conf.writeHistory) Sinks.parquet(cleaned, s"$outDir/weather_history")
-    (dOut, mOut)
+    // cleaned feeds 4-5 actions (two validate aggregates + the sinks);
+    // persist it once instead of re-running scan+gate+impute+dedup per
+    // action — the lazy-plan story holds WITHIN each action, reuse
+    // ACROSS actions needs an explicit persist
+    val cleaned = clean(read(spark, csvPath), conf).persist()
+    try {
+      val (d, m) = validate(daily(cleaned), monthly(cleaned))
+      val dOut = Sinks.renamed(d, dailyRenames)
+      val mOut = Sinks.renamed(m, monthlyRenames)
+      Sinks.parquet(dOut, s"$outDir/daily_weather")
+      Sinks.parquet(mOut, s"$outDir/monthly_weather")
+      // v2 parity (v2_group_project_dag.py:281-298,333): full-history table
+      if (conf.writeHistory) Sinks.parquet(cleaned, s"$outDir/weather_history")
+      (dOut, mOut)
+    } finally cleaned.unpersist()
   }
 }

@@ -54,7 +54,11 @@ object Extended {
           .agg(
             count(lit(1)).as("n"),
             Num.roundTo(avg(col("l_quantity")), 4).as("avg_qty"),
-            Num.roundTo(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+            // single-row groups: Spark stddev_samp yields NaN, DuckDB
+            // NULL — normalize to NULL for oracle parity
+            Num.roundTo(
+              when(isnan(stddev_samp(col("l_quantity"))), lit(null))
+                .otherwise(stddev_samp(col("l_quantity"))), 4).as("sd_qty"))
           .select(
             coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
             coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -96,10 +100,14 @@ object Extended {
       (s, dir) =>
         tbl(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(
-            Num.roundTo(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-            Num.roundTo(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-            Num.roundTo(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+          // one percentile buffer for all three quantiles (3 separate
+          // aggs would sort/buffer the group three times)
+          .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+          .select(
+            col("l_returnflag"),
+            Num.roundTo(col("ps").getItem(0), 4).as("p50"),
+            Num.roundTo(col("ps").getItem(1), 4).as("p90"),
+            Num.roundTo(col("ps").getItem(2), 4).as("p99"))
           .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag,
               |  ${Num.roundSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,

@@ -33,18 +33,20 @@ object TextQueries {
     // Token/char statistics — pure higher-order functions, no explode.
     QueryDef(
       "q31_text_stats",
-      (s, dir) => {
-        val t = Text.tokensNorm(col("text"))
+      (s, dir) =>
         tbl(s, dir, "documents")
+          // tokens materialized once per row (inline use would re-split
+          // per consuming expression — Catalyst does not CSE across
+          // independent expression trees)
+          .withColumn("__t", Text.tokensNorm(col("text")))
           .select(
             col("doc_id"),
             length(col("text")).cast("bigint").as("n_chars_calc"),
-            size(t).cast("bigint").as("n_tokens"),
-            size(array_distinct(t)).cast("bigint").as("n_distinct"),
+            size(col("__t")).cast("bigint").as("n_tokens"),
+            size(array_distinct(col("__t"))).cast("bigint").as("n_distinct"),
             (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
               length(col("text")).cast("double")).as("alpha_ratio"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
               |  length(text) AS n_chars_calc,
               |  len($wsSql) AS n_tokens,
@@ -58,11 +60,12 @@ object TextQueries {
     QueryDef(
       "q32_quality_score",
       (s, dir) => {
-        val q = Text.qualityScore(col("text"))
+        val q = Text.qualityScoreFromTokens(col("__t"))
         tbl(s, dir, "documents")
+          .withColumn("__t", Text.tokensNorm(col("text")))
           .select(
             col("doc_id"),
-            size(Text.tokensNorm(col("text"))).cast("bigint").as("n_tokens"),
+            size(col("__t")).cast("bigint").as("n_tokens"),
             q.as("quality"),
             when(q >= 0.6, "high").when(q >= 0.45, "medium").otherwise("low").as("label"))
           .orderBy("doc_id")
@@ -84,19 +87,18 @@ object TextQueries {
     // Deterministic stopword-vote language ID (+ per-language scores).
     QueryDef(
       "q33_lang_id",
-      (s, dir) => {
-        val t = Text.tokensNorm(col("text"))
+      (s, dir) =>
         tbl(s, dir, "documents")
+          .withColumn("__t", Text.tokensNorm(col("text")))
           .select(
             col("doc_id"),
-            Text.wordCount(t, Text.stopwordsEn).as("s_en"),
-            Text.wordCount(t, Text.stopwordsDe).as("s_de"),
-            Text.wordCount(t, Text.stopwordsFr).as("s_fr"),
-            Text.wordCount(t, Text.stopwordsEs).as("s_es"),
+            Text.wordCount(col("__t"), Text.stopwordsEn).as("s_en"),
+            Text.wordCount(col("__t"), Text.stopwordsDe).as("s_de"),
+            Text.wordCount(col("__t"), Text.stopwordsFr).as("s_fr"),
+            Text.wordCount(col("__t"), Text.stopwordsEs).as("s_es"),
             Text.cjkCount(col("text")).as("s_zh"),
-            Text.langId(col("text")).as("lang_pred"))
-          .orderBy("doc_id")
-      },
+            Text.langIdFromTokens(col("__t"), col("text")).as("lang_pred"))
+          .orderBy("doc_id"),
       Some(s"""WITH sc AS (
               |  SELECT doc_id,
               |    ${scoreSql(Text.stopwordsEn)} AS s_en,

@@ -35,11 +35,10 @@ object Ingest {
     val in = new BufferedInputStream(conn.getInputStream)
     try {
       in.mark(2)
-      val head = new Array[Byte](2)
-      val n = in.read(head)
+      val head = in.readNBytes(2) // read() may legally short-read 1 byte
       in.reset()
       val isZip = contentType.contains("zip") ||
-        (n == 2 && head(0) == ZipMagic(0) && head(1) == ZipMagic(1))
+        (head.length == 2 && head(0) == ZipMagic(0) && head(1) == ZipMagic(1))
       if (isZip) unzipAll(in, dest)
       else {
         val target = dest.resolve(fileName)
