@@ -163,11 +163,16 @@ object Dedup {
     * aggregates (one shuffle), reassembled into a LongType sketch.
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // pre-aggregate to (doc, token-hash, weight): the 64 per-bit votes
+    // then run over distinct tokens (vote ±weight ≡ ±1 per occurrence,
+    // exactly) — with natural token repetition this shrinks the wide
+    // 64-agg stage input several-fold
     val tok = df.select(col(idCol).as("doc_id"), explode(Text.tokensNorm(col(textCol))).as("t"))
       .filter(col("t") =!= "")
-      .withColumn("h", xxhash64(col("t")))
+      .groupBy(col("doc_id"), xxhash64(col("t")).as("h"))
+      .agg(count(lit(1)).as("w"))
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"v$b")
     }
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val sim = (0 until 64)
