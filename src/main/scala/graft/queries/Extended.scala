@@ -132,6 +132,26 @@ object Extended {
           .orderBy("asset_id"),
       None),
 
+    // Explicit GROUPING SETS through the SQL surface (rollup/cube's
+    // general form): per-flag, per-status, and grand-total rows only.
+    QueryDef(
+      "q51_grouping_sets",
+      (s, dir) => {
+        tbl(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+        s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+                |       count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+                |FROM li_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY returnflag, linestatus""".stripMargin)
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+             |       count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
     // The registered UDAF surface (typed Aggregator via udaf()) run
     // through spark.sql — same strict-mode semantics as q09's relational
     // plan, same oracle.

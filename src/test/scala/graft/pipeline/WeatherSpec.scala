@@ -56,6 +56,28 @@ class WeatherSpec extends SparkSuite {
     assert(d1.getAs[Double]("daily_avg_temperature") == 10.0) // just the first row
   }
 
+  test("golden full-frame parity (v5 semantics, hand-derived)") {
+    // medians over gated values of ALL 7 source rows: temps in-range
+    // {10,20,0,5,6} → 6; winds {3,4,10,20,50,60} → 15 (interpolated)
+    val cleaned = Weather.clean(src)
+    val daily = Weather.daily(cleaned).collect().map(r =>
+      (r.getDate(0).toString, r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getString(7)))
+    // v5 dedup keeps the first hourly row per day; daily "averages" are
+    // that single row's (imputed) values
+    assert(daily.toSeq == Seq(
+      ("2020-01-01", 10.0, 9.0, 0.5, 10.0, 10.0, 1000.0, "Light Air"),
+      ("2020-01-02", 0.0, -1.0, 0.9, 3.0, 5.0, 995.0, "Calm"),
+      ("2020-02-01", 5.0, 4.0, 0.6, 50.0, 9.0, 1020.0, "Strong Breeze"), // 13.89 m/s > 13.8
+      ("2020-02-02", 6.0, 5.0, 0.65, 60.0, 9.5, 1021.0, "Strong Breeze")))
+    val monthly = Weather.monthly(cleaned).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), Option(r.getString(6))))
+    assert(monthly.toSeq == Seq(
+      ("2020-01", 5.0, 4.0, 0.7, 7.5, 997.5, Some("rain")),
+      ("2020-02", 5.5, 4.5, 0.625, 9.25, 1020.5, None))) // Feb tie → null
+  }
+
   test("validation gate blocks the sink on the Feb precip tie (all_success semantics)") {
     val out = java.nio.file.Files.createTempDirectory("weather_blocked").toString
     val e = intercept[Validate.ValidationException] {
