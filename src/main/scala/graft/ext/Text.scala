@@ -23,6 +23,19 @@ object Text {
 
   def tokensNorm(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  /** BPE-style pre-tokenization (GPT-2-family regex, minus the trailing
+    * lookahead that RE2 engines reject): contractions, space-prefixed
+    * letter/digit runs, punctuation runs, whitespace runs. This is the
+    * unit real tokenizers count before merges — the whitespace tokenizer
+    * above undercounts punctuation-heavy text.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def tokensBpe(c: Column): Column = regexp_extract_all(c, lit(bpePattern), lit(0))
+
+  def nTokensBpe(c: Column): Column = size(tokensBpe(c)).cast("bigint")
+
   /** Distinct word k-gram shingles (space-joined) from a MATERIALIZED
     * token-array column. Texts with fewer than k tokens yield an empty
     * array.

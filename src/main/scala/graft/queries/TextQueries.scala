@@ -186,6 +186,22 @@ object TextQueries {
           .orderBy("doc_id"),
       None),
 
+    // BPE-style pre-tokenizer counts vs whitespace counts (the regex is
+    // dialect-neutral: no lookaheads, so Java and RE2 agree).
+    QueryDef(
+      "q52_bpe_tokens",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            Text.nTokensBpe(col("text")).as("n_bpe"),
+            size(Text.tokensNorm(col("text"))).cast("bigint").as("n_ws"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  len(regexp_extract_all(text, '${Text.bpePattern.replace("'", "''")}')) AS n_bpe,
+              |  len(string_split_regex(trim(lower(text)), '\\s+')) AS n_ws
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Corpus-level n-gram frequency: top-20 trigrams by document
     // frequency (deterministic tiebreak on the shingle itself).
     QueryDef(
