@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked stdout through unprefixed: the driver parses graft.Bench's
+// single JSON line from stdout, and sbt's default LoggedOutput decorates
+// every line with "[info] ", which breaks json parsing (BENCH_r01 parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
