@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-relation operators for training-data curation: the exploded
+  * token relation and the document-level analyses built on it — TF-IDF
+  * term ranking, intra-document repetition scoring (boilerplate/spam
+  * filter), and benchmark-contamination rates (n-gram overlap against a
+  * held-out set).
+  *
+  * Scale design: everything is explode → hash-aggregate → (broadcast or
+  * shuffle) join on computed keys. No per-document collect, no
+  * driver-side loops; the token/shingle relations are a small multiple of
+  * the text size and partition freely. Rankings that feed row_number use
+  * integer keys with total tie-breaks (term frequency, then the token
+  * string) so results are deterministic across engines and partitionings
+  * — floats only ever appear in OUTPUT columns, never in ordering.
+  */
+object Corpus {
+
+  /** (doc_id, pos, tok) — whitespace tokens exploded with their 0-based
+    * position. The generator (UDTF-shaped) surface of the text stack.
+    */
+  def tokenRel(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        posexplode(Text.tokensNorm(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+
+  /** Per-(doc, token) term frequencies. */
+  def termFreq(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenRel(df, idCol, textCol)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k TF-IDF terms per document: (doc_id, rnk, tok, tf, score) with
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed; never negative). Ranking is on
+    * (tf DESC, tok ASC) — exact integers + strings, so the row_number is
+    * deterministic; the double-valued score is output-only.
+    *
+    * Document frequency comes from re-aggregating the tf relation (one
+    * row per doc×token already), and N rides along as a broadcast scalar
+    * — two small hash aggregates over the token relation, no self-join.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = termFreq(df, idCol, textCol)
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val ranked = tf
+      .withColumn(
+        "rnk",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("tok").asc)))
+      .filter(col("rnk") <= k)
+    ranked
+      .join(dfreq, "tok")
+      .crossJoin(nDocs)
+      .select(
+        col("doc_id"), col("rnk"), col("tok"), col("tf"),
+        (col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df_t") + 1).cast("double")) + 1))
+          .as("score"))
+  }
+
+  /** Intra-document repetition stats: (doc_id, n_tokens, top_tok_n,
+    * top_ratio) where top_ratio = occurrences of the most frequent token /
+    * total tokens — the cheap boilerplate/keyword-stuffing signal (real
+    * pipelines threshold it, e.g. ratio ≥ 0.12 → drop).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    termFreq(df, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(max(col("tf")).as("top_tok_n"), sum(col("tf")).cast("bigint").as("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("top_tok_n"),
+        (col("top_tok_n").cast("double") / col("n_tokens").cast("double")).as("top_ratio"))
+
+  /** Benchmark-contamination rates: for every document NOT in the
+    * benchmark set, the fraction of its distinct k-gram shingles that
+    * also occur in the benchmark set (`benchFilter` selects benchmark
+    * rows of `df`). Output: (doc_id, n_sh, n_contam, rate). Documents
+    * with fewer than k tokens have no shingles and are not scored.
+    *
+    * Shingles are compared by 64-bit hash (2⁻⁶⁴-scale collision odds on a
+    * corpus dictionary — immaterial), so the benchmark set that ships to
+    * the join is 8 bytes per distinct shingle: at 100 TB the benchmark
+    * side is typically small enough to broadcast, and the scan side
+    * streams once.
+    */
+  def contaminationRates(
+      df: DataFrame, idCol: String, textCol: String,
+      benchFilter: Column, k: Int): DataFrame = {
+    val rel = Dedup.shingleRel(df, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    val isBench = df.select(col(idCol).as("doc_id"), benchFilter.as("__is_bench"))
+    val tagged = rel.join(isBench, "doc_id")
+    val bench = tagged.filter(col("__is_bench")).select(col("sh_h")).distinct()
+      .withColumn("__hit", lit(1))
+    tagged.filter(!col("__is_bench"))
+      .join(bench, Seq("sh_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_contam"))
+      .select(
+        col("doc_id"), col("n_sh"), col("n_contam"),
+        (col("n_contam").cast("double") / col("n_sh").cast("double")).as("rate"))
+  }
+}

@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ext.Corpus
+import graft.ops.{Num, Scale}
+import QueryDef.tbl
+
+/** Round-2 widening of the operator surface: the remaining join types
+  * (full outer, cross, non-equi band join, salted skew join), generator /
+  * navigation-window / string / regexp batteries, and the curation ops a
+  * training-data pipeline runs at scale — digit-scrub (PII-shaped
+  * masking), intra-doc repetition scoring, benchmark contamination, and
+  * TF-IDF term ranking — plus per-vector embedding stats through the
+  * codegen'd vec_dot expression.
+  */
+object Extended2 {
+
+  private def R(c: org.apache.spark.sql.Column, n: Int) = Num.roundTo(c, n)
+  private def rs(e: String, n: Int) = Num.roundSql(e, n)
+
+  /** Order-independent, cross-engine-exact money sum (same recipe as
+    * Joins.moneySum — round to 4, accumulate in DECIMAL(18,4)).
+    */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(Num.roundTo(c, 4).cast(DecimalType(18, 4))).cast("double")
+  private def moneySumSql(e: String) =
+    s"CAST(SUM(CAST(${Num.roundSql(e, 4)} AS DECIMAL(18,4))) AS DOUBLE)"
+
+  // DuckDB token relation mirroring Corpus.tokenRel (1000-element range
+  // bound covers any fixture doc, same bound as TextQueries' shingle CTE)
+  private val tokenCte =
+    """w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |      FROM documents),
+      |t AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+      |      FROM w CROSS JOIN range(1, 1000) r(i)
+      |      WHERE i <= len(ws) AND ws[i] <> '')""".stripMargin
+
+  // DuckDB distinct-3-shingle relation mirroring Dedup.shingleRel
+  private val shingleCte =
+    """w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |      FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |       FROM w CROSS JOIN range(1, 1000) t(i) WHERE i <= len(ws) - 2)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    // Full outer join: per-nation customer counts vs supplier counts —
+    // either side may be missing a nation, both sides' nulls surface.
+    QueryDef(
+      "q53_join_full",
+      (s, dir) => {
+        val cn = tbl(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+        val sn = tbl(s, dir, "supplier")
+          .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+        cn.join(sn, col("nk_c") === col("nk_s"), "full")
+          .select(
+            coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+             |            FROM customer GROUP BY 1),
+             |     sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+             |            FROM supplier GROUP BY 1)
+             |SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+             |  COALESCE(n_cust, CAST(0 AS BIGINT)) AS n_cust,
+             |  COALESCE(n_supp, CAST(0 AS BIGINT)) AS n_supp
+             |FROM cn FULL JOIN sn ON cn.nk = sn.nk ORDER BY nationkey""".stripMargin)),
+
+    // Cross join (cartesian of two small dimensions — the one join shape
+    // that is only ever sane when at least one side is tiny/broadcast).
+    QueryDef(
+      "q54_join_cross",
+      (s, dir) =>
+        tbl(s, dir, "nation")
+          .crossJoin(tbl(s, dir, "region"))
+          .select(col("n_name"), col("r_name"))
+          .orderBy("n_name", "r_name"),
+      Some("""SELECT n_name, r_name FROM nation CROSS JOIN region
+             |ORDER BY n_name, r_name""".stripMargin)),
+
+    // Generator (UDTF) surface: posexplode of the token array — corpus
+    // top-20 tokens with document frequency and earliest position.
+    QueryDef(
+      "q55_explode_tokens",
+      (s, dir) =>
+        Corpus.tokenRel(tbl(s, dir, "documents"), "doc_id", "text")
+          .groupBy(col("tok"))
+          .agg(
+            count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("doc_freq"),
+            min(col("pos")).cast("bigint").as("min_pos"))
+          .orderBy(col("n_occ").desc, col("tok").asc)
+          .limit(20),
+      Some(s"""WITH $tokenCte
+              |SELECT tok, count(*) AS n_occ, count(DISTINCT doc_id) AS doc_freq,
+              |  CAST(min(pos) AS BIGINT) AS min_pos
+              |FROM t GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 20""".stripMargin)),
+
+    // String-function battery (all codegen'd built-ins; every function
+    // has identical 1-based/edge semantics in DuckDB).
+    QueryDef(
+      "q56_string_funcs",
+      (s, dir) =>
+        tbl(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
+            lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
+            substring(col("p_name"), 1, 5).as("name5"),
+            replace(col("p_name"), lit(" "), lit("_")).as("name_snake"),
+            reverse(col("p_brand")).as("brand_rev"),
+            instr(col("p_name"), "e").cast("bigint").as("first_e"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  concat_ws('|', p_brand, p_type) AS tag,
+             |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+             |  substring(p_name, 1, 5) AS name5,
+             |  replace(p_name, ' ', '_') AS name_snake,
+             |  reverse(p_brand) AS brand_rev,
+             |  CAST(instr(p_name, 'e') AS BIGINT) AS first_e
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Regexp extraction of a typed key from semi-structured text
+    // (capture-group → int), re-aggregated.
+    QueryDef(
+      "q57_regexp_extract",
+      (s, dir) =>
+        tbl(s, dir, "part")
+          .select(
+            regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).cast("bigint").as("brand_num"),
+            col("p_retailprice"))
+          .groupBy(col("brand_num"))
+          .agg(count(lit(1)).as("n"), R(avg(col("p_retailprice")), 4).as("avg_price"))
+          .orderBy("brand_num"),
+      Some(s"""SELECT CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num,
+              |  count(*) AS n, ${rs("avg(p_retailprice)", 4)} AS avg_price
+              |FROM part GROUP BY 1 ORDER BY brand_num""".stripMargin)),
+
+    // Navigation/distribution window battery: ntile, percent_rank,
+    // cume_dist, first/last/nth value. Window ordering is total
+    // (o_orderkey unique) so every function is deterministic; the
+    // rank-derived doubles are exact integer ratios — identical in both
+    // engines (rounded only as belt-and-braces).
+    QueryDef(
+      "q58_window_nav",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        tbl(s, dir, "orders")
+          .select(
+            col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).cast("bigint").as("tile"),
+            R(percent_rank().over(w), 8).as("pr"),
+            R(cume_dist().over(w), 8).as("cd"),
+            first(col("o_orderkey")).over(w).as("top_key"),
+            last(col("o_orderkey")).over(wFull).as("bottom_key"),
+            nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+          .orderBy(col("o_orderpriority"), col("pr"), col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey, o_orderpriority,
+              |  CAST(ntile(4) OVER w AS BIGINT) AS tile,
+              |  ${rs("percent_rank() OVER w", 8)} AS pr,
+              |  ${rs("cume_dist() OVER w", 8)} AS cd,
+              |  first_value(o_orderkey) OVER w AS top_key,
+              |  last_value(o_orderkey) OVER
+              |    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_key,
+              |  nth_value(o_orderkey, 2) OVER
+              |    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+              |FROM orders
+              |WINDOW w AS (PARTITION BY o_orderpriority
+              |             ORDER BY o_totalprice DESC, o_orderkey)
+              |ORDER BY o_orderpriority, pr, o_orderkey""".stripMargin)),
+
+    // Non-equi band (range) join against a tiny literal dimension —
+    // planned as a broadcast nested-loop, the right shape when one side
+    // is a handful of interval rows.
+    QueryDef(
+      "q59_band_join",
+      (s, dir) => {
+        import s.implicits._
+        // fixture p_retailprice spans [900, 1000) — bands chosen to split it
+        val bands = Seq(
+          ("B1_budget", 0.0, 925.0), ("B2_mid", 925.0, 950.0),
+          ("B3_premium", 950.0, 975.0), ("B4_luxury", 975.0, 1.0e12))
+          .toDF("band", "lo", "hi")
+        tbl(s, dir, "part")
+          .join(broadcast(bands),
+            col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), R(avg(col("p_retailprice")), 4).as("avg_price"))
+          .orderBy("band")
+      },
+      Some(s"""SELECT band, count(*) AS n, ${rs("avg(p_retailprice)", 4)} AS avg_price
+              |FROM part
+              |JOIN (VALUES ('B1_budget', 0.0, 925.0), ('B2_mid', 925.0, 950.0),
+              |             ('B3_premium', 950.0, 975.0), ('B4_luxury', 975.0, 1e12))
+              |  b(band, lo, hi)
+              |  ON p_retailprice >= lo AND p_retailprice < hi
+              |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // Digit-run scrub (the PII-masking shape: mask spans, count what was
+    // masked, key on the redacted form) over the events props strings.
+    QueryDef(
+      "q60_digit_scrub",
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .select(
+            col("event_type"),
+            regexp_replace(col("props"), "[0-9]+", "#").as("masked"),
+            size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))).as("n_runs"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("n_runs")).cast("bigint").as("digit_runs"),
+            countDistinct(col("masked")).as("n_masked_forms"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS digit_runs,
+             |  count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g')) AS n_masked_forms
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Intra-document repetition (boilerplate/keyword-stuffing filter):
+    // most-frequent-token share of each document.
+    QueryDef(
+      "q61_doc_repetition",
+      (s, dir) =>
+        Corpus.repetitionStats(tbl(s, dir, "documents"), "doc_id", "text")
+          .select(
+            col("doc_id"), col("n_tokens"), col("top_tok_n"),
+            R(col("top_ratio"), 6).as("top_ratio_r"),
+            (col("top_ratio") >= 0.12).as("is_repetitive"))
+          .orderBy("doc_id"),
+      Some(s"""WITH $tokenCte,
+              |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+              |a AS (SELECT doc_id, max(tf) AS top_tok_n, CAST(sum(tf) AS BIGINT) AS n_tokens
+              |      FROM tf GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, top_tok_n,
+              |  ${rs("CAST(top_tok_n AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS top_ratio_r,
+              |  CAST(top_tok_n AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.12 AS is_repetitive
+              |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark-contamination rates: fraction of each non-benchmark
+    // document's distinct 3-shingles that appear in the src0 "benchmark"
+    // slice. The decontamination primitive of eval-aware training
+    // pipelines.
+    QueryDef(
+      "q62_contamination",
+      (s, dir) =>
+        Corpus
+          .contaminationRates(
+            tbl(s, dir, "documents"), "doc_id", "text", col("source") === "src0", 3)
+          .select(col("doc_id"), col("n_sh"), col("n_contam"), R(col("rate"), 6).as("rate_r"))
+          .orderBy("doc_id"),
+      Some(s"""WITH $shingleCte,
+              |b AS (SELECT DISTINCT shingle FROM sh
+              |      JOIN documents d ON sh.doc_id = d.doc_id WHERE d.source = 'src0'),
+              |r AS (SELECT sh.doc_id, sh.shingle FROM sh
+              |      JOIN documents d ON sh.doc_id = d.doc_id WHERE d.source <> 'src0')
+              |SELECT r.doc_id, count(*) AS n_sh, count(b.shingle) AS n_contam,
+              |  ${rs("CAST(count(b.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS rate_r
+              |FROM r LEFT JOIN b ON r.shingle = b.shingle
+              |GROUP BY r.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Per-vector embedding stats: dim, L2 norm (through the codegen'd
+    // vec_dot expression), mean, min, max — float elements widened to
+    // double on both sides, ascending-index folds, so doubles match
+    // bit-for-bit (same recipe as q39's oracle).
+    QueryDef(
+      "q63_embed_stats",
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        tbl(s, dir, "embeddings")
+          .withColumn("ed", col("embedding").cast("array<double>"))
+          .select(
+            col("vec_id"),
+            size(col("ed")).cast("bigint").as("n_dim"),
+            R(sqrt(graft.functions.VectorExpressions.vecDot(col("ed"), col("ed"))), 4)
+              .as("norm_r"),
+            R(aggregate(col("ed"), lit(0.0), (acc, x) => acc + x) /
+              size(col("ed")).cast("double"), 6).as("mean_r"),
+            R(array_min(col("ed")), 4).as("vmin"),
+            R(array_max(col("ed")), 4).as("vmax"))
+          .orderBy("vec_id")
+      },
+      Some(s"""SELECT vec_id, count(*) AS n_dim,
+              |  ${rs("sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))", 4)}
+              |    AS norm_r,
+              |  ${rs("sum(CAST(embedding[i] AS DOUBLE)) / count(*)", 6)} AS mean_r,
+              |  ${rs("min(CAST(embedding[i] AS DOUBLE))", 4)} AS vmin,
+              |  ${rs("max(CAST(embedding[i] AS DOUBLE))", 4)} AS vmax
+              |FROM embeddings CROSS JOIN range(1, 65) t(i)
+              |GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // Salted skew join, driver-visible: content-derived salt on the fact
+    // side, 8× replicated dimension, join on (key, salt) — row-identical
+    // to the plain join (the oracle IS the plain join).
+    QueryDef(
+      "q64_salted_join",
+      (s, dir) => {
+        val cust = tbl(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        Scale.saltedJoin(tbl(s, dir, "orders"), cust, "o_custkey", 8)
+          .groupBy(col("c_nationkey"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("total_spent"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, count(*) AS n_orders,
+              |  ${moneySumSql("o_totalprice")} AS total_spent
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // TF-IDF top-3 terms per document — ranking on exact integers
+    // (tf DESC, token ASC), the smoothed-idf score output-only.
+    QueryDef(
+      "q65_tfidf",
+      (s, dir) =>
+        Corpus.tfidfTopK(tbl(s, dir, "documents"), "doc_id", "text", 3)
+          .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), R(col("score"), 4).as("score_r"))
+          .orderBy("doc_id", "rnk"),
+      Some(s"""WITH $tokenCte,
+              |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+              |dfreq AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY 1),
+              |n AS (SELECT count(*) AS n_docs FROM documents),
+              |r AS (SELECT doc_id, tok, tf,
+              |        row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, tok) AS rnk
+              |      FROM tf)
+              |SELECT doc_id, rnk, tok, tf,
+              |  ${rs("tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df_t + 1 AS DOUBLE)) + 1)", 4)}
+              |    AS score_r
+              |FROM r JOIN dfreq USING (tok) CROSS JOIN n
+              |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)))
+}

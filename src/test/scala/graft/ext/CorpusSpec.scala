@@ -1,0 +1,64 @@
+package graft.ext
+
+import graft.SparkSuite
+import graft.ops.Scale
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat", "bench"),
+    (2L, "the cat sat on the hat", "web"), // shares 3 of its 4 shingles with doc 1
+    (3L, "dogs bark loudly at night", "web"), // disjoint from the benchmark
+    (4L, "a a a a b", "web"), // repetitive
+    (5L, "xy", "web") // 1 token → no shingles
+  ).toDF("doc_id", "text", "source")
+
+  test("tokenRel explodes 0-based positions and drops empty tokens") {
+    val rows = Corpus.tokenRel(docs.filter($"doc_id" === 1L), "doc_id", "text")
+      .orderBy("pos").as[(Long, Int, String)].collect()
+    assert(rows.map(_._3).toSeq == Seq("the", "cat", "sat", "on", "the", "mat"))
+    assert(rows.map(_._2).toSeq == (0 until 6))
+  }
+
+  test("repetitionStats flags the stuffed doc and not normal prose") {
+    val m = Corpus.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("top_tok_n"), r.getAs[Long]("n_tokens"))).toMap
+    assert(m(4L) == (4L, 5L)) // "a" ×4 of 5
+    assert(m(1L) == (2L, 6L)) // "the" ×2 of 6
+  }
+
+  test("tfidf ranks by (tf desc, tok asc) and stop-like corpus terms score low") {
+    val top = Corpus.tfidfTopK(docs, "doc_id", "text", 2)
+      .filter($"doc_id" === 4L).orderBy("rnk")
+      .select("tok", "tf").as[(String, Long)].collect()
+    assert(top.toSeq == Seq(("a", 4L), ("b", 1L)))
+    // per-occurrence, the common 'the' (df=2) scores below the rare 'mat' (df=1)
+    val d1 = Corpus.tfidfTopK(docs, "doc_id", "text", 5)
+      .filter($"doc_id" === 1L)
+      .select("tok", "score").as[(String, Double)].collect().toMap
+    assert(d1("the") > 0 && d1("the") / 2 < d1("mat"))
+  }
+
+  test("contaminationRates scores only non-benchmark docs with shingles, exact overlap") {
+    val m = Corpus.contaminationRates(docs, "doc_id", "text", $"source" === "bench", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sh"), r.getAs[Long]("n_contam"))).toMap
+    assert(!m.contains(1L)) // benchmark doc not scored
+    assert(!m.contains(5L)) // too short for shingles
+    assert(m(2L) == (4L, 3L)) // "the cat sat","cat sat on","sat on the" hit; "on the hat" miss
+    assert(m(3L)._2 == 0L) // disjoint
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val orders = spark.range(0, 1000)
+      .select($"id".as("o_id"), pmod($"id", lit(7)).as("o_custkey"))
+    val cust = spark.range(0, 7).select($"id".as("o_custkey"), ($"id" * 10).as("score"))
+    val plain = orders.join(cust, "o_custkey")
+    val salted = Scale.saltedJoin(orders, cust, "o_custkey", 4)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
