@@ -337,5 +337,80 @@ object Extended2 {
               |  ${rs("tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df_t + 1 AS DOUBLE)) + 1)", 4)}
               |    AS score_r
               |FROM r JOIN dfreq USING (tok) CROSS JOIN n
-              |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)))
+              |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // Deterministic content-hash train/val split: md5 of the normalized
+    // text compared lexicographically against a hex threshold — engine-
+    // independent, reproducible, and stable under re-partitioning /
+    // re-ingestion (row ids or rand() are neither). 'e6'/'100' ≈ 89.8%.
+    QueryDef(
+      "q66_train_split",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(
+            col("lang"),
+            when(graft.ext.Text.fingerprintMd5(col("text")) < "e6", "train")
+              .otherwise("val").as("split"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "split"),
+      Some("""SELECT lang,
+             |  CASE WHEN md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) < 'e6'
+             |       THEN 'train' ELSE 'val' END AS split,
+             |  count(*) AS n_docs
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // Corpus token-count histogram (fixed-width buckets) — the length
+    // distribution every curation pipeline reports before/after filtering.
+    QueryDef(
+      "q67_token_hist",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select((floor(size(graft.ext.Text.tokensNorm(col("text"))) / 10) * 10)
+            .cast("bigint").as("bucket_lo"))
+          .groupBy(col("bucket_lo"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("bucket_lo"),
+      Some("""SELECT CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) / 10) * 10
+             |         AS BIGINT) AS bucket_lo,
+             |  count(*) AS n_docs
+             |FROM documents GROUP BY 1 ORDER BY bucket_lo""".stripMargin)),
+
+    // Cross-modal join (documents ⋈ embeddings on doc_id = vec_id):
+    // text-quality score aggregated per embedding cluster label.
+    QueryDef(
+      "q68_quality_by_cluster",
+      (s, dir) => {
+        val q = tbl(s, dir, "documents")
+          .withColumn("__t", graft.ext.Text.tokensNorm(col("text")))
+          .select(col("doc_id"),
+            graft.ext.Text.qualityScoreFromTokens(col("__t")).as("quality"))
+        tbl(s, dir, "embeddings")
+          .join(q, col("vec_id") === col("doc_id"))
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n"),
+            // decimal-accumulated mean (order-independent ⇒ oracle-exact),
+            // same recipe as the money sums
+            R(sum(R(col("quality"), 6).cast(DecimalType(18, 6))).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_quality"))
+          .orderBy("label")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |    len(string_split_regex(trim(lower(text)), '\\s+')) AS n,
+              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |        x -> x IN (${graft.ext.Text.stopwordsEn.map(w => s"'$w'").mkString(",")})))
+              |      AS n_stop,
+              |    len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS n_dist
+              |  FROM documents),
+              |q AS (SELECT doc_id,
+              |        (n_stop / n) * 0.4 + (n_dist / n) * 0.3 + least(1.0, n / 100.0) * 0.3
+              |          AS quality
+              |      FROM t)
+              |SELECT label, count(*) AS n,
+              |  ${rs(s"CAST(SUM(CAST(${Num.roundSql("quality", 6)} AS DECIMAL(18,6))) AS DOUBLE)" +
+                  " / CAST(count(*) AS DOUBLE)", 6)} AS avg_quality
+              |FROM embeddings JOIN q ON vec_id = doc_id
+              |GROUP BY label ORDER BY label""".stripMargin)))
 }
