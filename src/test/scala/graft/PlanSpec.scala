@@ -79,6 +79,33 @@ class PlanSpec extends SparkSuite {
       .isAssignableFrom(classOf[graft.functions.VectorDot]))
   }
 
+  test("q53/q54: full outer stays a join (no rewrite), cross join is an explicit cartesian") {
+    assert(plan(q("q53_join_full")).contains("FullOuter"))
+    val p54 = plan(q("q54_join_cross"))
+    assert(p54.contains("CartesianProduct") || p54.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q55: token explode plans as Generate feeding a partial hash agg (no pre-shuffle)") {
+    val p = plan(q("q55_explode_tokens"))
+    assert(p.contains("Generate"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+
+  test("q59: band join against the literal dim broadcasts (nested-loop, no shuffle of part)") {
+    assert(plan(q("q59_band_join")).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q64: salted join keys on (key, salt) — the skew-spreading distribution") {
+    // at sf0.001 the 8×-replicated dim still broadcasts (no Exchange);
+    // the invariant is that the join itself keys on key AND salt, so a
+    // hot o_custkey spreads over n partitions whenever it does shuffle
+    // formatted mode lists join keys in the details block: "Left keys [2]:
+    // [o_custkey#…, __salt#…]"
+    val p = plan(q("q64_salted_join"))
+    assert(p.linesIterator.exists(l =>
+      l.contains("keys") && l.contains("o_custkey") && l.contains("__salt")))
+  }
+
   test("GraftExtensions registers vec_dot for SQL on extension-enabled sessions") {
     // the shared test session lacks the extension; simulate registration
     graft.functions.VectorExpressions.register(spark)
