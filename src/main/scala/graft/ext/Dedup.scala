@@ -158,6 +158,48 @@ object Dedup {
     verifiedJaccard(cand, sh, sizes, threshold)
   }
 
+  /** Connected components over an undirected pair relation (a_id, b_id)
+    * — the clustering step that turns near-dup PAIRS into dedup GROUPS
+    * (keep min-id per component, drop the rest). Iterative min-label
+    * propagation: every node starts labeled with itself; each round
+    * takes the min label across neighbors; stop when no label changes.
+    *
+    * Scale: each round is one shuffle join + hash aggregate over the
+    * edge relation — fully partitioned, no driver-side graph. Rounds =
+    * O(component diameter), and near-dup components are shallow (dozens
+    * of rounds would mean a pathological duplicate chain). Lineage is
+    * truncated per round with localCheckpoint — without it the iterative
+    * plan re-executes from scratch each round and grows unboundedly.
+    * The convergence check (`count`) brings back one scalar per round.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neigh = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.as("l")
+        .join(neigh, col("l.node") === neigh("src"), "left")
+        .select(
+          col("l.node").as("node"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash over the token multiset: per bit, majority vote of
     * xxhash64(token) bits, weighted by occurrence. Computed as 64 sum
     * aggregates (one shuffle), reassembled into a LongType sketch.

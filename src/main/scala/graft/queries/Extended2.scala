@@ -412,5 +412,63 @@ object Extended2 {
               |  ${rs(s"CAST(SUM(CAST(${Num.roundSql("quality", 6)} AS DECIMAL(18,6))) AS DOUBLE)" +
                   " / CAST(count(*) AS DOUBLE)", 6)} AS avg_quality
               |FROM embeddings JOIN q ON vec_id = doc_id
-              |GROUP BY label ORDER BY label""".stripMargin)))
+              |GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Percentile-based length filter: drop docs outside [p05, p95] of the
+    // corpus token-count distribution — the length-outlier curation step.
+    // Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    // quantile_cont) ride along as a broadcast scalar.
+    QueryDef(
+      "q69_length_filter",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(graft.ext.Text.tokensNorm(col("text"))).cast("bigint").as("n_tokens"))
+        val p = d.agg(expr("percentile(n_tokens, array(0.05, 0.95))").as("ps"))
+        d.crossJoin(p)
+          .select(
+            col("doc_id"), col("n_tokens"),
+            (col("n_tokens") >= col("ps").getItem(0) &&
+              col("n_tokens") <= col("ps").getItem(1)).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |p AS (SELECT quantile_cont(n_tokens, 0.05) AS p05,
+             |             quantile_cont(n_tokens, 0.95) AS p95 FROM d)
+             |SELECT doc_id, n_tokens, n_tokens >= p05 AND n_tokens <= p95 AS keep
+             |FROM d CROSS JOIN p ORDER BY doc_id""".stripMargin)),
+
+    // Near-dup pairs → dedup GROUPS: connected components (iterative
+    // min-label propagation) over the exact-Jaccard pair relation, so a
+    // duplicate CHAIN (a~b~c without a~c) still collapses to one keeper.
+    // The oracle computes the same components via a recursive CTE.
+    QueryDef(
+      "q70_dedup_clusters",
+      (s, dir) =>
+        graft.ext.Dedup
+          .connectedComponents(
+            graft.ext.Dedup.ngramJaccardPairs(
+              tbl(s, dir, "documents"), "doc_id", "text", 3, 0.5))
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_inter
+              |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2),
+              |p AS (SELECT a_id, b_id FROM inter
+              |      JOIN sizes sa ON sa.doc_id = a_id
+              |      JOIN sizes sb ON sb.doc_id = b_id
+              |      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+              |e AS (SELECT a_id AS src, b_id AS dst FROM p
+              |      UNION SELECT b_id, a_id FROM p),
+              |r AS (SELECT src AS node, dst AS reach FROM e
+              |      UNION
+              |      SELECT r.node, e.dst AS reach FROM r JOIN e ON r.reach = e.src)
+              |SELECT node AS doc_id, least(node, min(reach)) AS cluster_id
+              |FROM r GROUP BY node ORDER BY doc_id""".stripMargin)))
 }

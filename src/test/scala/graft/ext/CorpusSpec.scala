@@ -52,6 +52,14 @@ class CorpusSpec extends SparkSuite {
     assert(m(3L)._2 == 0L) // disjoint
   }
 
+  test("connectedComponents collapses chains and keeps disjoint clusters apart") {
+    // chain 1-2-3-4 (no direct 1-4 edge) + island 7-9 + untouched 5 (absent)
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (9L, 7L)).toDF("a_id", "b_id")
+    val m = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("salted join is row-identical to the plain join") {
     val orders = spark.range(0, 1000)
       .select($"id".as("o_id"), pmod($"id", lit(7)).as("o_custkey"))
