@@ -22,12 +22,17 @@ object Corpus {
 
   /** (doc_id, pos, tok) — whitespace tokens exploded with their 0-based
     * position. The generator (UDTF-shaped) surface of the text stack.
+    * CACHED by default (identical plan ⇒ every consumer — top-token,
+    * repetition, TF-IDF — reuses one materialization, same policy as
+    * Dedup.shingleRel; at 100 TB checkpoint to parquet instead).
     */
-  def tokenRel(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+  def tokenRel(df: DataFrame, idCol: String, textCol: String, cache: Boolean = true): DataFrame = {
+    val rel = df.select(
         col(idCol).as("doc_id"),
         posexplode(Text.tokensNorm(col(textCol))).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
+    if (cache) rel.cache() else rel
+  }
 
   /** Per-(doc, token) term frequencies. */
   def termFreq(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -184,16 +184,18 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val neigh = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // carry the prior label through the propagation select so the
+      // convergence check is a filter+count on the already-checkpointed
+      // frame (one job per round, not a second join)
       val next = labels.as("l")
         .join(neigh, col("l.node") === neigh("src"), "left")
         .select(
           col("l.node").as("node"),
-          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"),
+          col("l.label").as("__old"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.select(col("node"), col("label"))
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
