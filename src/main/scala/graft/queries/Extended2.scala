@@ -470,5 +470,84 @@ object Extended2 {
               |      UNION
               |      SELECT r.node, e.dst AS reach FROM r JOIN e ON r.reach = e.src)
               |SELECT node AS doc_id, least(node, min(reach)) AS cluster_id
-              |FROM r GROUP BY node ORDER BY doc_id""".stripMargin)))
+              |FROM r GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // Schema-on-read JSON parsing (JsonToStructs, the typed twin of q30's
+    // path-expression extraction): declared struct schema, typed field
+    // access, re-aggregated.
+    QueryDef(
+      "q71_from_json",
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .select(
+            col("event_type"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+              .getField("k").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+             |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Array-function battery over the token arrays: slice, sort+distinct,
+    // membership, filtered-distinct cardinality — all higher-order /
+    // array built-ins, rendered to strings for engine-neutral compare.
+    QueryDef(
+      "q72_array_ops",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .withColumn("__t", graft.ext.Text.tokensNorm(col("text")))
+          .select(
+            col("doc_id"),
+            array_join(slice(col("__t"), 1, 5), ",").as("first5"),
+            array_join(slice(array_sort(array_distinct(col("__t"))), 1, 3), ",").as("abc3"),
+            array_contains(col("__t"), "the").as("has_the"),
+            size(array_distinct(filter(col("__t"),
+              t => t.isin(graft.ext.Text.stopwordsEn.map(_.asInstanceOf[Any]): _*))))
+              .cast("bigint").as("n_stop_kinds"))
+          .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+              |           FROM documents)
+              |SELECT doc_id,
+              |  array_to_string(ws[1:5], ',') AS first5,
+              |  array_to_string((list_sort(list_distinct(ws)))[1:3], ',') AS abc3,
+              |  list_contains(ws, 'the') AS has_the,
+              |  CAST(len(list_distinct(list_filter(ws,
+              |    x -> x IN (${graft.ext.Text.stopwordsEn.map(w => s"'$w'").mkString(",")}))))
+              |    AS BIGINT) AS n_stop_kinds
+              |FROM w ORDER BY doc_id""".stripMargin)),
+
+    // Date-function battery: trunc-to-month, day arithmetic, last_day,
+    // calendar extracts. Day-of-week normalized to Sunday=0 on both sides
+    // (Spark dayofweek is Sunday=1, DuckDB's is Sunday=0).
+    QueryDef(
+      "q73_date_funcs",
+      (s, dir) => {
+        val d = to_date(col("o_orderdate"))
+        tbl(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            date_format(d, "yyyy-MM-dd").as("order_day"),
+            date_format(date_trunc("month", d), "yyyy-MM-dd").as("month_start"),
+            date_format(date_add(d, 30), "yyyy-MM-dd").as("due_30d"),
+            date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+            year(d).cast("bigint").as("yr"),
+            month(d).cast("bigint").as("mo"),
+            (dayofweek(d) - 1).cast("bigint").as("dow_sun0"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_day,
+             |  strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             |    AS month_start,
+             |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_30d,
+             |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+             |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+             |  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow_sun0
+             |FROM orders ORDER BY o_orderkey""".stripMargin)))
 }
