@@ -52,6 +52,27 @@ object Scale {
       .agg((sum(col("__s")) / sum(col("__c"))).as(s"avg_$valueCol"))
   }
 
+  /** Bloom-prefiltered semi join: build a Bloom filter over the (small)
+    * key side, broadcast it, and discard non-matching large-side rows
+    * BEFORE the shuffle — the manual form of Spark's runtime row-level
+    * filtering, exposed as an operator so pipelines can persist/reuse the
+    * filter across runs. False positives survive the prefilter, so the
+    * exact semi join behind it keeps the result identical to a plain
+    * semi join (q74's oracle IS the plain join); the win at scale is the
+    * shuffle shrinking to ~selectivity × |large| + fpp stragglers.
+    */
+  def bloomSemiJoin(
+      large: DataFrame, keys: DataFrame, keyCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bc = large.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    large
+      .filter(mightContain(col(keyCol)))
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+  }
+
   /** Bucketed co-located sink: both sides of a recurring join written
     * with the same bucketing spec join WITHOUT a shuffle (Exchange) —
     * the scan satisfies the join's distribution requirement. This is the

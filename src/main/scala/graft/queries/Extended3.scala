@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Pack, Text}
+import graft.ops.{Num, Scale}
+import QueryDef.tbl
+
+/** Round-2 additions beyond the §2 inventory: the remaining large-scale
+  * training-pipeline operators — Bloom-prefiltered joins (runtime
+  * row-level filtering as a reusable operator), stratified deterministic
+  * sampling (language rebalancing), int8 embedding quantization, greedy
+  * sequence packing into context windows, per-source quality retention,
+  * CDC latest-record compaction, and HLL sketch algebra (pre-aggregated
+  * sketches unioned across partitions — the 100 TB answer to global
+  * count-distinct).
+  */
+object Extended3 {
+
+  private def R(c: Column, n: Int) = Num.roundTo(c, n)
+  private def rs(e: String, n: Int) = Num.roundSql(e, n)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Bloom-prefiltered semi join: Bloom filter of the urgent-order keys
+    // broadcast over the lineitem scan, exact semi join behind it. The
+    // result is row-identical to the plain semi join (false positives are
+    // removed by the exact join), so the oracle IS the plain join — same
+    // contract as q64's salted join.
+    QueryDef(
+      "q74_bloom_semijoin",
+      (s, dir) => {
+        val keys = tbl(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey"))
+        Scale
+          .bloomSemiJoin(tbl(s, dir, "lineitem"), keys, "l_orderkey",
+            expectedItems = 100000L, fpp = 0.01)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_orderpriority = '1-URGENT')
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Stratified deterministic sampling: per-language keep rates applied
+    // via an md5 threshold on the document id — the language-rebalancing
+    // step of corpus curation. Hash-keyed (not rand()) so the sample is
+    // stable under retries/recomputation and reproducible across engines;
+    // 'en' keeps md5 < '40' (≈ 25%), every other language keeps all ('g'
+    // compares above any hex digit).
+    QueryDef(
+      "q75_stratified_sample",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .filter(md5(col("doc_id").cast("string")) <
+            when(col("lang") === "en", "40").otherwise("g"))
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE md5(CAST(doc_id AS VARCHAR)) <
+             |      (CASE WHEN lang = 'en' THEN '40' ELSE 'g' END)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Symmetric int8 quantization per embedding: scale = max|v|/127,
+    // q_i = floor(v_i/scale + 0.5) (explicit half-up — floor is IEEE-exact
+    // in both engines, unlike round()). Folded in ONE pass with the scale
+    // computed in the aggregate's SEED, so CollapseProject cannot inline
+    // the array_max into the per-element lambda (which would recompute it
+    // per element — O(d^2) per row at scale).
+    QueryDef(
+      "q76_embed_quantize",
+      (s, dir) => {
+        val ed = col("embedding").cast("array<double>")
+        val maxabs = array_max(transform(ed, x => abs(x)))
+        val seed = struct(
+          when(maxabs === 0.0, 1.0).otherwise(maxabs / 127.0).as("s"),
+          lit(0L).as("qsum"), lit(Long.MaxValue).as("qmin"),
+          lit(Long.MinValue).as("qmax"))
+        val folded = aggregate(ed, seed, (acc, x) => {
+          val q = floor(x / acc("s") + lit(0.5)).cast("long")
+          struct(acc("s").as("s"), (acc("qsum") + q).as("qsum"),
+            least(acc("qmin"), q).as("qmin"), greatest(acc("qmax"), q).as("qmax"))
+        })
+        tbl(s, dir, "embeddings")
+          .select(col("vec_id"), folded.as("f"))
+          .select(
+            col("vec_id"),
+            R(col("f.s"), 6).as("q_scale"),
+            col("f.qsum").as("q_sum"),
+            col("f.qmin").as("q_min"),
+            col("f.qmax").as("q_max"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT vec_id,
+              |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+              |      AS ma
+              |  FROM embeddings),
+              |sc AS (SELECT vec_id, CASE WHEN ma = 0 THEN 1.0 ELSE ma / 127.0 END
+              |         AS s FROM m),
+              |q AS (
+              |  SELECT e.vec_id, sc.s,
+              |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) / sc.s + 0.5) AS BIGINT)
+              |      AS q
+              |  FROM embeddings e
+              |  JOIN sc ON sc.vec_id = e.vec_id
+              |  CROSS JOIN range(1, 65) t(i))
+              |SELECT vec_id, ${rs("s", 6)} AS q_scale,
+              |  CAST(sum(q) AS BIGINT) AS q_sum,
+              |  min(q) AS q_min, max(q) AS q_max
+              |FROM q GROUP BY vec_id, s ORDER BY vec_id""".stripMargin)),
+
+    // Greedy sequence packing into 256-token context windows, bucketed by
+    // doc_id % 8 (independent buckets = the parallelism knob; bin ids are
+    // bucket-scoped). The oracle replays the same greedy walk as a
+    // recursive CTE.
+    QueryDef(
+      "q77_pack_sequences",
+      (s, dir) =>
+        Pack
+          .packGreedy(
+            tbl(s, dir, "documents")
+              .select(
+                col("doc_id"),
+                pmod(col("doc_id"), lit(8)).as("bucket"),
+                size(Text.tokensNorm(col("text"))).cast("long").as("n_tokens")),
+            "doc_id", "n_tokens", "bucket", capacity = 256L)
+          .select(col("doc_id"), col("bucket"), col("bin_id"), col("n_tokens"))
+          .orderBy("doc_id"),
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id % 8 AS bucket, doc_id,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+             |      AS n_tokens,
+             |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |r AS (
+             |  SELECT bucket, rn, doc_id, n_tokens,
+             |    CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+             |  FROM d WHERE rn = 1
+             |  UNION ALL
+             |  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+             |    CASE WHEN r.fill + d.n_tokens <= 256 THEN r.bin_id
+             |         ELSE r.bin_id + 1 END,
+             |    CASE WHEN r.fill + d.n_tokens <= 256 THEN r.fill + d.n_tokens
+             |         ELSE d.n_tokens END
+             |  FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1)
+             |SELECT doc_id, bucket, bin_id, n_tokens FROM r
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Per-source top-3 by quality score (domain-balanced retention — keep
+    // the best k documents per source so no domain dominates the corpus).
+    // Rank ties break on doc_id; (source, rnk) is a total output order.
+    QueryDef(
+      "q78_source_topk",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        tbl(s, dir, "documents")
+          .withColumn("__t", Text.tokensNorm(col("text")))
+          .select(col("doc_id"), col("source"),
+            Text.qualityScoreFromTokens(col("__t")).as("quality"))
+          .withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= 3)
+          .select(col("source"), col("rnk"), col("doc_id"), col("quality"))
+          .orderBy("source", "rnk")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source, len(${TextQueries.wsSql}) AS n,
+              |    ${TextQueries.scoreSql(Text.stopwordsEn)} AS n_stop,
+              |    len(list_distinct(${TextQueries.wsSql})) AS n_dist
+              |  FROM documents),
+              |q AS (SELECT doc_id, source,
+              |        (n_stop / n) * 0.4 + (n_dist / n) * 0.3
+              |          + least(1.0, n / 100.0) * 0.3 AS quality
+              |      FROM t),
+              |r AS (SELECT source, doc_id, quality,
+              |        row_number() OVER (PARTITION BY source
+              |          ORDER BY quality DESC, doc_id) AS rnk
+              |      FROM q)
+              |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
+              |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin)),
+
+    // CDC / log-compaction: latest record per key (ts desc, id desc as the
+    // total tie-break). The oracle truncates its nanosecond timestamps to
+    // the same microseconds Spark sees (CAST ts_ns -> TIMESTAMP truncates,
+    // matching Tables.load's `ts div 1000`).
+    QueryDef(
+      "q79_latest_event",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        tbl(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+             |  SELECT user_id, event_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // HLL sketch algebra: per-month part sketches unioned into one global
+    // estimate — the scale pattern for distinct-count over 100 TB (each
+    // partition ships a fixed-size sketch, never its keys). DataSketches
+    // HLL is register-max based, so insertion/union order cannot change
+    // the result; no DuckDB oracle (estimate, not exact) -> rows-only.
+    QueryDef(
+      "q80_hll_union",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("n_parts_approx")),
+      None))
+}

@@ -15,10 +15,10 @@ import QueryDef.tbl
 object TextQueries {
 
   // shared DuckDB fragments (must mirror graft.ext.Text exactly)
-  private val wsSql = "string_split_regex(trim(lower(text)), '\\s+')"
+  private[queries] val wsSql = "string_split_regex(trim(lower(text)), '\\s+')"
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
-  private def scoreSql(words: Seq[String]) =
+  private[queries] def scoreSql(words: Seq[String]) =
     s"len(list_filter($wsSql, x -> x IN ${inList(words)}))"
 
   // shingle relation CTE (3-grams, distinct per doc); range bound 1000

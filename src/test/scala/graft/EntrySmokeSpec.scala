@@ -16,7 +16,8 @@ class EntrySmokeSpec extends SparkSuite {
     // xxhash/sketch/IVF-based ops are rows-only by design
     assert(noOracle == Set(
       "q26_approx_distinct", "q37_dedup_minhash", "q38_dedup_simhash",
-      "q40_embed_ivf", "q42_rolling_fingerprint", "q48_multimodal_features"))
+      "q40_embed_ivf", "q42_rolling_fingerprint", "q48_multimodal_features",
+      "q80_hll_union"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -53,4 +53,17 @@ class AggregatesSpec extends SparkSuite {
     val approx = li.agg(approx_count_distinct($"l_partkey", 0.02)).head().getLong(0).toDouble
     assert(math.abs(approx - exact) / exact < 0.05)
   }
+
+  test("HLL sketch union across groups lands within 5% of global exact") {
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+    val exact = li.agg(countDistinct($"l_partkey")).head().getLong(0).toDouble
+    // pre-aggregate per month, union the fixed-size sketches — the 100 TB
+    // distinct-count pattern (no key ever crosses the wire twice)
+    val approx = li
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("m"))
+      .agg(hll_sketch_agg($"l_partkey").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")))
+      .head().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
 }

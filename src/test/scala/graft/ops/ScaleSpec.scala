@@ -21,6 +21,20 @@ class ScaleSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("bloomSemiJoin is row-identical to the plain semi join") {
+    val large = graft.Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val keys = graft.Tables.load(spark, sf0001, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val plain = large.join(keys, Seq("l_orderkey"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val bloomed = Scale.bloomSemiJoin(large, keys, "l_orderkey", 10000L, 0.01)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(bloomed == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("saltedMeans matches plain grouped mean") {
     val df = Seq(("hot", 1.0), ("hot", 3.0), ("hot", 5.0), ("cold", 10.0)).toDF("k", "v")
     val out = Scale.saltedMeans(df, "k", "v", 4)
