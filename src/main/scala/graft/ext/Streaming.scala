@@ -154,6 +154,33 @@ object Streaming {
       }
   }
 
+  /** foreachBatch sink: idempotent micro-batch landing. Each batch writes
+    * under `batch_id=<id>/` with dynamic partition overwrite, so a
+    * RETRIED batch replaces its own partition instead of duplicating it —
+    * exactly-once files from at-least-once batch delivery, without a
+    * transactional table format. This is the production pattern for
+    * sinks Structured Streaming has no native connector for (JDBC
+    * upserts, external APIs): foreachBatch hands you the micro-batch as a
+    * plain DataFrame plus a monotonic batch id to key idempotence on.
+    */
+  def runForeachBatchParquet(df: DataFrame, path: String, queryName: String): Unit = {
+    val q: StreamingQuery = df.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch
+          .withColumn("batch_id", lit(id))
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a (bounded) stream into an in-memory table and return the
     * result — the reference's @daily batch loop expressed as
     * Trigger.AvailableNow (process everything currently in the source,

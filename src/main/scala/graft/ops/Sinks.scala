@@ -30,6 +30,18 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** JSON-lines sink (one object per line — the interchange format most
+    * curation pipelines exchange; schema travels in the data).
+    */
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC sink (columnar alternative where the downstream stack is
+    * Hive/Trino-flavored; same pushdown/pruning properties as parquet).
+    */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   def table(df: DataFrame, name: String, mode: SaveMode = SaveMode.Append): Unit =
     df.write.mode(mode).saveAsTable(name)
 

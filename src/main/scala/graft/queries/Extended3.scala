@@ -21,6 +21,15 @@ object Extended3 {
   private def R(c: Column, n: Int) = Num.roundTo(c, n)
   private def rs(e: String, n: Int) = Num.roundSql(e, n)
 
+  /** Order-independent, cross-engine-exact money sum (same recipe as
+    * Joins.moneySum — round to 4, accumulate in DECIMAL(18,4)).
+    */
+  private def moneySum(c: Column) =
+    sum(Num.roundTo(c, 4).cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      .cast("double")
+  private def moneySumSql(e: String) =
+    s"CAST(SUM(CAST(${Num.roundSql(e, 4)} AS DECIMAL(18,4))) AS DOUBLE)"
+
   val all: Seq[QueryDef] = Seq(
 
     // Bloom-prefiltered semi join: Bloom filter of the urgent-order keys
@@ -208,6 +217,98 @@ object Extended3 {
              |    row_number() OVER (PARTITION BY user_id
              |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
              |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // Unpivot/melt: wide measures to long form (the inverse of q45's
+    // pivot), re-aggregated per measure. Decimal-accumulated sums keep
+    // the result order-independent and engine-exact.
+    QueryDef(
+      "q81_unpivot",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"))
+          .unpivot(
+            Array(col("l_orderkey")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+            "measure", "val")
+          .groupBy(col("measure"))
+          .agg(count(lit(1)).as("n"), moneySum(col("val")).as("sum_val"))
+          .orderBy("measure"),
+      Some(s"""WITH m AS (
+              |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+              |  UNION ALL
+              |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              |  UNION ALL
+              |  SELECT 'l_discount', l_discount FROM lineitem)
+              |SELECT measure, count(*) AS n, ${moneySumSql("val")} AS sum_val
+              |FROM m GROUP BY measure ORDER BY measure""".stripMargin)),
+
+    // Time-series regularization: per-user hourly gap-fill (sequence +
+    // explode builds the dense timeline — bounded per key, partitions
+    // freely) with forward-fill via last(ignoreNulls) over an
+    // unbounded-preceding frame. The first timeline hour always has data
+    // (it is the user's min event hour), so v_fill is never null.
+    QueryDef(
+      "q82_gapfill",
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(R(avg(col("value")), 4).as("v"))
+        val timeline = ev.groupBy(col("user_id"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        timeline
+          .join(ev, Seq("user_id", "h"), "left")
+          .select(
+            col("user_id"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_fill"),
+            col("v").isNull.as("is_gap"))
+          .orderBy("user_id", "hour")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+              |    ${rs("avg(value)", 4)} AS v
+              |  FROM events GROUP BY 1, 2),
+              |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+              |         FROM ev GROUP BY 1),
+              |tl AS (SELECT user_id,
+              |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              |       FROM span),
+              |j AS (SELECT tl.user_id, tl.h, ev.v
+              |      FROM tl LEFT JOIN ev ON ev.user_id = tl.user_id
+              |                          AND ev.h = tl.h)
+              |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+              |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+              |  v IS NULL AS is_gap
+              |FROM j ORDER BY user_id, hour""".stripMargin)),
+
+    // Bivariate statistics battery: corr / covar_pop / var_pop /
+    // stddev_pop per group — identical closed-form definitions in both
+    // engines; rounding absorbs parallel-vs-sequential accumulation noise
+    // (covar's absolute magnitude ~1e8 gets 2 decimals, normalized corr
+    // gets 6).
+    QueryDef(
+      "q83_corr_stats",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            R(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+            R(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covp_qp"),
+            R(var_pop(col("l_discount")), 6).as("var_disc"),
+            R(stddev_pop(col("l_quantity")), 4).as("sd_qty"))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |  ${rs("corr(l_quantity, l_extendedprice)", 6)} AS corr_qp,
+              |  ${rs("covar_pop(l_quantity, l_extendedprice)", 2)} AS covp_qp,
+              |  ${rs("var_pop(l_discount)", 6)} AS var_disc,
+              |  ${rs("stddev_pop(l_quantity)", 4)} AS sd_qty
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // HLL sketch algebra: per-month part sketches unioned into one global
     // estimate — the scale pattern for distinct-count over 100 TB (each

@@ -86,6 +86,18 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSet == Set((1L, 100L)))
   }
 
+  test("foreachBatch sink lands every row exactly once, keyed by batch id") {
+    val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString + "/sink"
+    val stream = Streaming.eventsFileStream(spark, eventsDir)
+    Streaming.runForeachBatchParquet(stream, out, "febatch_test")
+    val landed = spark.read.parquet(out)
+    val src = graft.Tables.load(spark, sf0001, "events")
+    assert(landed.count() == src.count())
+    assert(landed.select("event_id").distinct().count() ==
+      src.select("event_id").distinct().count())
+    assert(landed.select("batch_id").distinct().count() >= 1)
+  }
+
   test("mapGroupsWithState: running per-user totals accumulate across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -28,6 +28,35 @@ class SinksSpec extends SparkSuite {
     assert(lines.head == "a,b" && lines.size == 3)
   }
 
+  test("json round-trip preserves rows and schema-on-read types") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString + "/out"
+    val df = graft.Tables.load(spark, sf0001, "nation")
+    Sinks.json(df, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == df.count())
+    assert(back.select("n_nationkey", "n_name").distinct().count() == df.count())
+  }
+
+  test("orc round-trip preserves rows and supports predicate pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/out"
+    val df = graft.Tables.load(spark, sf0001, "orders")
+    Sinks.orc(df, dir)
+    val back = spark.read.orc(dir).filter(org.apache.spark.sql.functions.col("o_orderstatus") === "O")
+    assert(back.count() ==
+      df.filter(org.apache.spark.sql.functions.col("o_orderstatus") === "O").count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("o_orderstatus"), plan)
+  }
+
+  test("parquet schema evolution: mergeSchema unions batch schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/out"
+    Seq((1, "a")).toDF("id", "v1").write.parquet(s"$dir/b=1")
+    Seq((2, 9.5)).toDF("id", "v2").write.parquet(s"$dir/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "b"))
+    assert(merged.count() == 2)
+  }
+
   test("renamed applies exact-case mappings only") {
     val df = Seq((1.0, "s")).toDF("daily_avg_temperature", "wind_strength")
     val out = Sinks.renamed(df, Map(
