@@ -310,6 +310,102 @@ object Extended3 {
               |  ${rs("stddev_pop(l_quantity)", 4)} AS sd_qty
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Column profiling: null counts, cardinalities, min/max per column in
+    // ONE scan (ops/Profile) — the analyze step before/after every
+    // transformation. The oracle unions per-column aggregate rows.
+    QueryDef(
+      "q84_profile",
+      (s, dir) =>
+        graft.ops.Profile
+          .profile(tbl(s, dir, "lineitem"),
+            Seq("l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate"))
+          .orderBy("col_name"),
+      Some("""SELECT 'l_orderkey' AS col_name, count(l_orderkey) AS n_nonnull,
+             |  count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_null,
+             |  count(DISTINCT l_orderkey) AS n_distinct,
+             |  CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+             |  CAST(max(l_orderkey) AS VARCHAR) AS max_s
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'l_returnflag', count(l_returnflag),
+             |  count(CASE WHEN l_returnflag IS NULL THEN 1 END),
+             |  count(DISTINCT l_returnflag),
+             |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'l_linestatus', count(l_linestatus),
+             |  count(CASE WHEN l_linestatus IS NULL THEN 1 END),
+             |  count(DISTINCT l_linestatus),
+             |  CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'l_shipdate', count(l_shipdate),
+             |  count(CASE WHEN l_shipdate IS NULL THEN 1 END),
+             |  count(DISTINCT l_shipdate),
+             |  CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+             |FROM lineitem
+             |ORDER BY col_name""".stripMargin)),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+    // MATCH each other instead of dropping — the semantic needed when
+    // joining on nullable natural keys. Key derived as nullif(status,'O')
+    // so the fixture actually exercises the null bucket.
+    QueryDef(
+      "q85_nullsafe_join",
+      (s, dir) => {
+        val l = tbl(s, dir, "orders")
+          .select(nullif(col("o_orderstatus"), lit("O")).as("k"))
+        val r = l.distinct().withColumnRenamed("k", "rk")
+        l.join(r, col("k") <=> col("rk"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      Some("""WITH l AS (SELECT nullif(o_orderstatus, 'O') AS k FROM orders),
+             |r AS (SELECT DISTINCT k AS rk FROM l)
+             |SELECT k, count(*) AS n FROM l JOIN r ON k IS NOT DISTINCT FROM rk
+             |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin)),
+
+    // Map-type surface: JSON props to MapType, exploded into (key, value)
+    // rows (the map generator), re-aggregated per key.
+    QueryDef(
+      "q86_map_explode",
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .select(col("event_id"),
+            explode(from_json(col("props"),
+              org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+              .as(Seq("k_name", "k_val")))
+          .groupBy(col("k_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k_val").cast("bigint")).cast("bigint").as("sum_val"))
+          .orderBy("k_name"),
+      Some("""WITH m AS (SELECT event_id, unnest(json_keys(props)) AS k_name, props
+             |           FROM events)
+             |SELECT k_name, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.' || k_name) AS BIGINT))
+             |    AS BIGINT) AS sum_val
+             |FROM m GROUP BY k_name ORDER BY k_name""".stripMargin)),
+
+    // Deterministic collect: collect_set sorted then joined — the only
+    // cross-engine-safe way to output a grouped collection (unsorted
+    // collect order is partitioning-dependent).
+    QueryDef(
+      "q87_collect_sorted",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+              .as("statuses"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+             |    AS statuses,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // HLL sketch algebra: per-month part sketches unioned into one global
     // estimate — the scale pattern for distinct-count over 100 TB (each
     // partition ships a fixed-size sketch, never its keys). DataSketches
