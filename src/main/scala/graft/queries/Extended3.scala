@@ -30,6 +30,48 @@ object Extended3 {
   private def moneySumSql(e: String) =
     s"CAST(SUM(CAST(${Num.roundSql(e, 4)} AS DECIMAL(18,4))) AS DOUBLE)"
 
+  private def registerViews(s: org.apache.spark.sql.SparkSession, dir: String,
+      tables: Seq[String]): Unit =
+    tables.foreach(t => tbl(s, dir, t).createOrReplaceTempView(t))
+
+  /** Order-independent revenue sum, valid verbatim in Spark SQL and
+    * DuckDB (same recipe as moneySum).
+    */
+  private val revSum = {
+    val rev = "l_extendedprice * (1 - l_discount)"
+    s"CAST(SUM(CAST(${Num.roundSql(rev, 4)} AS DECIMAL(18,4))) AS DOUBLE)"
+  }
+
+  private val sqlQ3 =
+    s"""SELECT l_orderkey,
+       |  $revSum AS revenue,
+       |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_date,
+       |  o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < DATE '1997-06-01'
+       |  AND l_shipdate > DATE '1997-06-01'
+       |GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING),
+       |         o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  private val sqlQ5 =
+    s"""SELECT n_name, $revSum AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= DATE '1996-01-01'
+       |  AND o_orderdate < DATE '1997-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Bloom-prefiltered semi join: Bloom filter of the urgent-order keys
@@ -405,6 +447,32 @@ object Extended3 {
              |    AS statuses,
              |  count(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // SQL-API surface: the classic TPC-H shapes run through spark.sql over
+    // registered views, with ONE SQL text that is valid in both engines
+    // (the oracle IS the same string) — every function in it (sign/floor/
+    // abs/DECIMAL/DATE literals) evaluates identically. Q3 shape:
+    // shipping-priority top-10 (3-way join, filtered both sides, grouped
+    // revenue, deterministic revenue-desc/key tie-break).
+    QueryDef(
+      "q88_sql_q3",
+      (s, dir) => {
+        registerViews(s, dir, Seq("customer", "orders", "lineitem"))
+        s.sql(sqlQ3)
+      },
+      Some(sqlQ3)),
+
+    // Q5 shape: local-supplier volume — 6-way join through the full star
+    // (customer/orders/lineitem/supplier/nation/region) with the
+    // c_nationkey = s_nationkey locality constraint.
+    QueryDef(
+      "q89_sql_q5",
+      (s, dir) => {
+        registerViews(s, dir,
+          Seq("customer", "orders", "lineitem", "supplier", "nation", "region"))
+        s.sql(sqlQ5)
+      },
+      Some(sqlQ5)),
 
     // HLL sketch algebra: per-month part sketches unioned into one global
     // estimate — the scale pattern for distinct-count over 100 TB (each
