@@ -474,6 +474,66 @@ object Extended3 {
       },
       Some(sqlQ5)),
 
+    // Time-interval RANGE frame (vs q24's row frames): per-user trailing
+    // 24-hour event count/sum, keyed on epoch seconds so the frame bound
+    // is a true time interval — rows land in the frame by VALUE distance,
+    // not row position (sparse activity gets small frames, bursts large
+    // ones). (user_id, ts, event_id) ordering is total.
+    QueryDef(
+      "q90_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").cast("long"))
+          .rangeBetween(-86400L, 0L)
+        tbl(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("n_24h", count(lit(1)).over(w))
+          .withColumn("sum_24h", R(sum(col("value")).over(w), 4))
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("event_id"), col("n_24h"), col("sum_24h"))
+          .orderBy("user_id", "ts_s", "event_id")
+      },
+      Some(s"""SELECT user_id,
+              |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+              |  event_id,
+              |  count(*) OVER w AS n_24h,
+              |  ${rs("sum(value) OVER w", 4)} AS sum_24h
+              |FROM events
+              |WINDOW w AS (PARTITION BY user_id
+              |  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+              |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+              |ORDER BY user_id, ts_s, event_id""".stripMargin)),
+
+    // Incremental (cross-batch) dedup: keep a NEW batch's documents only
+    // if their content fingerprint is unseen in the HISTORY partition —
+    // the anti-join-on-fingerprints shape every nightly ingest runs
+    // (history side is a pre-computed fingerprint store at scale).
+    QueryDef(
+      "q91_incremental_dedup",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .withColumn("fp", Text.fingerprintMd5(col("text")))
+        val history = docs
+          .filter(col("source").isin("src1", "src2", "src3", "src4", "src5"))
+          .select(col("fp"))
+        docs
+          .filter(!col("source").isin("src1", "src2", "src3", "src4", "src5"))
+          .join(history, Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |  FROM documents),
+             |h AS (SELECT fp FROM d
+             |      WHERE source IN ('src1','src2','src3','src4','src5'))
+             |SELECT doc_id, source FROM d
+             |WHERE source NOT IN ('src1','src2','src3','src4','src5')
+             |  AND fp NOT IN (SELECT fp FROM h)
+             |ORDER BY doc_id""".stripMargin)),
+
     // HLL sketch algebra: per-month part sketches unioned into one global
     // estimate — the scale pattern for distinct-count over 100 TB (each
     // partition ships a fixed-size sketch, never its keys). DataSketches
