@@ -534,6 +534,27 @@ object Extended3 {
              |  AND fp NOT IN (SELECT fp FROM h)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Outer generator: explode_outer keeps a parent row (null element)
+    // when its array is empty — the LEFT-JOIN-shaped explode. Filter to
+    // long tokens so the fixture actually produces empty arrays; the
+    // oracle reconstructs the same semantics as exploded ∪ empty-as-null.
+    QueryDef(
+      "q92_explode_outer",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            explode_outer(filter(Text.tokensNorm(col("text")),
+              t => length(t) > 7)).as("tok"))
+          .orderBy(col("doc_id"), col("tok").asc_nulls_first),
+      Some("""WITH w AS (SELECT doc_id,
+             |  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |              x -> len(x) > 7) AS fl
+             |  FROM documents)
+             |SELECT doc_id, unnest(fl) AS tok FROM w WHERE len(fl) > 0
+             |UNION ALL
+             |SELECT doc_id, NULL FROM w WHERE len(fl) = 0
+             |ORDER BY doc_id, tok NULLS FIRST""".stripMargin)),
+
     // HLL sketch algebra: per-month part sketches unioned into one global
     // estimate — the scale pattern for distinct-count over 100 TB (each
     // partition ships a fixed-size sketch, never its keys). DataSketches
@@ -547,5 +568,33 @@ object Extended3 {
           .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
           .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
             .as("n_parts_approx")),
+      None),
+
+    // Count-Min sketch heavy hitters: one fixed-size sketch over the fact
+    // table (counter merges are commutative — order-independent,
+    // deterministic for a fixed seed), probed for the top-5 exact heavy
+    // keys. Overestimates by at most eps·N with prob. ≥ confidence
+    // (asserted in AggregatesSpec); rows-only — the sketch is
+    // Spark-internal. At 100 TB the sketch replaces a full groupBy for
+    // frequency triage: each partition ships 1000×7 counters, not keys.
+    QueryDef(
+      "q93_countmin_probe",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val cms = li.agg(
+          expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"))
+        val top = li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("l_partkey").asc)
+          .limit(5)
+        val probe = udf((sk: Array[Byte], k: Long) =>
+          org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(sk))
+            .estimateCount(k))
+        top.crossJoin(broadcast(cms))
+          .select(col("l_partkey"), col("exact_n"),
+            probe(col("sk"), col("l_partkey")).as("est_n"))
+          .orderBy("l_partkey")
+      },
       None))
 }

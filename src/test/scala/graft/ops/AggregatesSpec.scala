@@ -66,4 +66,15 @@ class AggregatesSpec extends SparkSuite {
       .head().getLong(0).toDouble
     assert(math.abs(approx - exact) / exact < 0.05)
   }
+
+  test("count-min estimates bound exact counts: exact <= est <= exact + eps*N") {
+    val rows = graft.SparkEntry.queries("q93_countmin_probe")(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = graft.Tables.load(spark, sf0001, "lineitem").count()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, est) =>
+      assert(est >= exact && est <= exact + (0.001 * n).toLong + 1,
+        s"est $est outside [$exact, exact+eps*N]")
+    }
+  }
 }
