@@ -60,6 +60,33 @@ class CorpusSpec extends SparkSuite {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents matches union-find on random graphs (pinned seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val edges = Gen.listOfN(60,
+        Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 29L)))
+        .apply(Gen.Parameters.default, Seed(seed)).get
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("a_id", "b_id")
+      val got = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find with min-label normalization
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+        .map { case (n, r) => n -> parent.keys.filter(find(_) == find(n)).min }
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     val orders = spark.range(0, 1000)
       .select($"id".as("o_id"), pmod($"id", lit(7)).as("o_custkey"))

@@ -39,6 +39,28 @@ class PackSpec extends SparkSuite {
       (4L, 1L, 0L, 2L)))
   }
 
+  test("matches a sequential greedy replay on random inputs (pinned seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    for (seed <- Seq(11L, 12L)) {
+      val docs = Gen.listOfN(80, Gen.zip(Gen.choose(0L, 3L), Gen.choose(1L, 30L)))
+        .apply(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case ((bucket, n), i) => (i.toLong, bucket, n) }
+      val got = pack(docs, cap = 40L)
+      // sequential reference: per bucket in id order
+      val expected = docs.groupBy(_._2).toSeq.flatMap { case (bucket, ds) =>
+        var bin = 0L; var fill = 0L; var first = true
+        ds.sortBy(_._1).map { case (id, _, n) =>
+          if (first) { fill = n; first = false }
+          else if (fill + n <= 40L) fill += n
+          else { bin += 1; fill = n }
+          (id, bucket, bin, n)
+        }
+      }.sortBy(_._1)
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("no bin exceeds capacity unless it holds a single oversized doc") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
       .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("bucket"),
