@@ -487,11 +487,13 @@ object Extended3 {
           .rangeBetween(-86400L, 0L)
         tbl(s, dir, "events")
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-          .withColumn("n_24h", count(lit(1)).over(w))
-          .withColumn("sum_24h", R(sum(col("value")).over(w), 4))
+          // both frame aggregates in ONE projection — separate withColumn
+          // calls planned two Window operators with an extra sort between
           .select(col("user_id"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
-            col("event_id"), col("n_24h"), col("sum_24h"))
+            col("event_id"),
+            count(lit(1)).over(w).as("n_24h"),
+            R(sum(col("value")).over(w), 4).as("sum_24h"))
           .orderBy("user_id", "ts_s", "event_id")
       },
       Some(s"""SELECT user_id,

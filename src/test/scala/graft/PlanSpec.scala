@@ -119,6 +119,31 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join LeftSemi"), p)
   }
 
+  test("q89: SQL 6-way star join broadcasts every dimension (single fact shuffle path)") {
+    val p = plan(q("q89_sql_q5"))
+    // nation/region/supplier/customer are all far under the broadcast
+    // threshold — the fact table must never shuffle for them
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q90: interval range frame plans one window over one sort (no extra exchange)") {
+    val p = plan(q("q90_range_frame"))
+    // both frame aggregates (count, sum) share a single Window operator
+    // (tree node "+- Window (n)")
+    val nWindows = p.linesIterator.count(_.matches(""".*\+- Window \(\d+\)"""))
+    assert(p.contains("RangeFrame") || p.contains("RANGE BETWEEN"), p)
+    assert(nWindows == 1, s"expected exactly one Window node, got $nWindows:\n$p")
+  }
+
+  test("q75: deterministic sampling filter is computed scan-side (no shuffle at all)") {
+    val p = plan(q("q75_stratified_sample"))
+    // the only Exchange is the final ORDER BY's range partitioning
+    val nExchanges = p.linesIterator.count(_.matches(""".*\+- Exchange \(\d+\)"""))
+    assert(nExchanges == 1, s"expected only the final sort's Exchange:\n$p")
+    assert(p.contains("md5"), p)
+  }
+
   test("GraftExtensions registers vec_dot for SQL on extension-enabled sessions") {
     // the shared test session lacks the extension; simulate registration
     graft.functions.VectorExpressions.register(spark)
