@@ -293,9 +293,16 @@ object Extended3 {
     QueryDef(
       "q82_gapfill",
       (s, dir) => {
+        // shuffle once on user_id: the hourly agg is repartitioned to
+        // user_id (tiny — post-agg), the timeline inherits user_id
+        // partitioning from its span agg, so BOTH the (user_id, h) join
+        // and the window reuse that distribution (subset-key clustering
+        // satisfies the join; the window adds no Exchange). Sort on the
+        // timestamp, render the string after — same order, 8-byte keys.
         val ev = tbl(s, dir, "events")
           .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
           .agg(R(avg(col("value")), 4).as("v"))
+          .repartition(col("user_id"))
         val timeline = ev.groupBy(col("user_id"))
           .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
           .select(col("user_id"),
@@ -305,11 +312,14 @@ object Extended3 {
         timeline
           .join(ev, Seq("user_id", "h"), "left")
           .select(
-            col("user_id"),
-            date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("user_id"), col("h"),
             last(col("v"), ignoreNulls = true).over(w).as("v_fill"),
             col("v").isNull.as("is_gap"))
-          .orderBy("user_id", "hour")
+          .orderBy("user_id", "h")
+          .select(
+            col("user_id"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("v_fill"), col("is_gap"))
       },
       Some(s"""WITH ev AS (
               |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
