@@ -608,5 +608,24 @@ object Extended3 {
             probe(col("sk"), col("l_partkey")).as("est_n"))
           .orderBy("l_partkey")
       },
+      None),
+
+    // Approximate quantiles (Greenwald-Khanna summaries, mergeable
+    // partial state) — the 100 TB path beside q47's exact sort-based
+    // percentiles: each partition ships a bounded summary, never its
+    // values. Rank error ≤ 1/accuracy (asserted vs exact in
+    // AggregatesSpec); rows-only — summary merge is Spark-internal.
+    QueryDef(
+      "q94_approx_percentiles",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p"))
+          .select(col("l_returnflag"),
+            col("p").getItem(0).as("p50"),
+            col("p").getItem(1).as("p95"),
+            col("p").getItem(2).as("p99"))
+          .orderBy("l_returnflag"),
       None))
 }

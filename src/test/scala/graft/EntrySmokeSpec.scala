@@ -17,7 +17,7 @@ class EntrySmokeSpec extends SparkSuite {
     assert(noOracle == Set(
       "q26_approx_distinct", "q37_dedup_minhash", "q38_dedup_simhash",
       "q40_embed_ivf", "q42_rolling_fingerprint", "q48_multimodal_features",
-      "q80_hll_union", "q93_countmin_probe"))
+      "q80_hll_union", "q93_countmin_probe", "q94_approx_percentiles"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
