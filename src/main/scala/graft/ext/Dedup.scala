@@ -179,20 +179,28 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // one edge-propagation step: label'(n) = min(label(n), min over
+    // neighbors m of label(m)); passthrough columns ride along unchanged
+    def propagate(ls: DataFrame, passthrough: Seq[String]): DataFrame = {
+      val neigh = edges.join(ls, edges("dst") === ls("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      ls.as("l")
+        .join(neigh, col("l.node") === neigh("src"), "left")
+        .select(
+          col("l.node").as("node") +:
+            least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label") +:
+            passthrough.map(c => col(s"l.$c")): _*)
+    }
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val neigh = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      // carry the prior label through the propagation select so the
-      // convergence check is a filter+count on the already-checkpointed
-      // frame (one job per round, not a second join)
-      val next = labels.as("l")
-        .join(neigh, col("l.node") === neigh("src"), "left")
-        .select(
-          col("l.node").as("node"),
-          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"),
-          col("l.label").as("__old"))
+      // TWO hops per materialization round, with the prior label carried
+      // as __old: halves the checkpoint+count job overhead per converged
+      // distance (propagation is monotone, so extra steps never
+      // over-shoot; the convergence check stays exact — a filter+count
+      // on the checkpointed frame, not a join).
+      val withOld = labels.withColumn("__old", col("label"))
+      val next = propagate(propagate(withOld, Seq("__old")), Seq("__old"))
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.select(col("node"), col("label"))
