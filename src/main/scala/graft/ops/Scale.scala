@@ -64,13 +64,19 @@ object Scale {
   def bloomSemiJoin(
       large: DataFrame, keys: DataFrame, keyCol: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val bc = large.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
-    large
-      .filter(mightContain(col(keyCol)))
-      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+    // stat.bloomFilter NPEs when the key side is empty (its aggregate
+    // returns null bytes) — an empty key set means an empty semi join,
+    // which the exact join below produces; just skip the prefilter
+    val bf =
+      try keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+      catch { case _: NullPointerException => null }
+    val prefiltered = if (bf == null) large else {
+      val bc = large.sparkSession.sparkContext.broadcast(bf)
+      val mightContain = udf((k: java.lang.Long) =>
+        k != null && bc.value.mightContainLong(k))
+      large.filter(mightContain(col(keyCol)))
+    }
+    prefiltered.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
   }
 
   /** Bucketed co-located sink: both sides of a recurring join written
