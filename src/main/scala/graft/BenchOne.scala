@@ -20,10 +20,19 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[benchone] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      val qe = fn(spark, sfDir).queryExecution
+      println("[benchone] === optimized ===")
+      println(qe.optimizedPlan.toString)
+      println("[benchone] === formatted physical ===")
+      println(qe.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    } else {
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[benchone] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }
