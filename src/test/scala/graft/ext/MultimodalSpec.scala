@@ -25,6 +25,26 @@ class MultimodalSpec extends SparkSuite {
       again.map(f => (f.asset_id, f.byte_mean)).toSet)
   }
 
+  test("binaryFile source feeds the extraction pipeline (real file ingest)") {
+    // land some files, read them back as binary blobs — the ingest path
+    // a real image/audio corpus takes into the same extractFeatures
+    val dir = java.nio.file.Files.createTempDirectory("graft_blobs")
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(s"asset_$i.bin"),
+        Array.fill[Byte](100 * i)((i % 127).toByte))
+    }
+    val blobs = spark.read.format("binaryFile").load(dir.toString)
+      .select(
+        org.apache.spark.sql.functions.abs(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("path"))).as("asset_id"),
+        org.apache.spark.sql.functions.col("content").as("asset"))
+    val feats = Multimodal.extractFeatures(blobs).collect()
+    assert(feats.length == 3)
+    assert(feats.forall(_.decode_ok))
+    assert(feats.map(_.n_bytes).sorted.toSeq == Seq(100L, 200L, 300L))
+  }
+
   test("empty payload: decode_ok=false, zeroed features (no crash)") {
     val df = Seq((1L, "")).toDF("id", "payload")
     val f = Multimodal.extractFeatures(Multimodal.withBinaryAsset(df, "id", "payload")).head()
