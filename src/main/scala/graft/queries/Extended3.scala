@@ -610,6 +610,87 @@ object Extended3 {
       },
       None),
 
+    // Ordered funnel with conversion windows: view → click within 1 h →
+    // purchase within 1 h, staged as three keyed aggregates (each stage's
+    // min-ts joins the next — no window over the full event stream
+    // needed). Output is the funnel histogram.
+    QueryDef(
+      "q95_funnel",
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, "user_id")
+          .filter(col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("interval 1 hour"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id")
+          .filter(col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("interval 1 hour"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        t1.join(t2.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+          .join(t3.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+          .select(
+            when(col("s3").isNotNull, 3L)
+              .when(col("s2").isNotNull, 2L)
+              .otherwise(1L).as("stage_reached"))
+          .groupBy(col("stage_reached"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("stage_reached")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+             |           FROM events),
+             |t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+             |       WHERE event_type = 'view' GROUP BY 1),
+             |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+             |       JOIN t1 ON t1.user_id = e.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+             |         AND e.ts <= t1.t1 + INTERVAL 1 HOUR GROUP BY 1),
+             |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+             |       JOIN t2 ON t2.user_id = e.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+             |         AND e.ts <= t2.t2 + INTERVAL 1 HOUR GROUP BY 1)
+             |SELECT CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+             |            WHEN t2.user_id IS NOT NULL THEN 2
+             |            ELSE 1 END AS BIGINT) AS stage_reached,
+             |  count(*) AS n_users
+             |FROM t1
+             |LEFT JOIN t2 ON t2.user_id = t1.user_id
+             |LEFT JOIN t3 ON t3.user_id = t1.user_id
+             |GROUP BY 1 ORDER BY stage_reached""".stripMargin)),
+
+    // Cohort retention: users grouped by first-activity week, counted in
+    // each subsequent activity week (offset in whole weeks — both
+    // engines truncate weeks to ISO Monday, so the day diff is an exact
+    // multiple of 7).
+    QueryDef(
+      "q96_cohort",
+      (s, dir) => {
+        val wk = date_trunc("week", col("ts"))
+        val act = tbl(s, dir, "events")
+          .select(col("user_id"), wk.as("wk")).distinct()
+        val cohort = act.groupBy(col("user_id")).agg(min(col("wk")).as("c0"))
+        act.join(cohort, "user_id")
+          .select(
+            date_format(col("c0"), "yyyy-MM-dd").as("cohort_week"),
+            (datediff(col("wk"), col("c0")) / 7).cast("bigint").as("week_offset"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id,
+             |             date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+             |           FROM events),
+             |c AS (SELECT user_id, min(wk) AS c0 FROM a GROUP BY 1)
+             |SELECT strftime(c.c0, '%Y-%m-%d') AS cohort_week,
+             |  CAST(date_diff('day', c.c0, a.wk) / 7 AS BIGINT) AS week_offset,
+             |  count(*) AS n_users
+             |FROM a JOIN c ON c.user_id = a.user_id
+             |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
     // Approximate quantiles (Greenwald-Khanna summaries, mergeable
     // partial state) — the 100 TB path beside q47's exact sort-based
     // percentiles: each partition ships a bounded summary, never its
