@@ -7,14 +7,18 @@ import graft.ext.{Pack, Text}
 import graft.ops.{Num, Scale}
 import QueryDef.tbl
 
-/** Round-2 additions beyond the §2 inventory: the remaining large-scale
+/** Round-2 additions beyond the §2 inventory (q74-q96): large-scale
   * training-pipeline operators — Bloom-prefiltered joins (runtime
   * row-level filtering as a reusable operator), stratified deterministic
-  * sampling (language rebalancing), int8 embedding quantization, greedy
-  * sequence packing into context windows, per-source quality retention,
-  * CDC latest-record compaction, and HLL sketch algebra (pre-aggregated
-  * sketches unioned across partitions — the 100 TB answer to global
-  * count-distinct).
+  * sampling, int8 embedding quantization, greedy sequence packing,
+  * per-source quality retention, CDC compaction, incremental cross-batch
+  * dedup — plus sketch algebra (HLL union, Count-Min heavy hitters,
+  * approx quantiles: fixed-size state instead of keys crossing the wire
+  * at 100 TB), the SQL-API TPC-H Q3/Q5 shapes (one SQL text valid in
+  * both engines), the remaining relational surface (unpivot, null-safe
+  * join, map/outer generators, column profiling, corr/covar, interval
+  * RANGE frames, gap-fill + forward-fill), and event analytics
+  * (conversion funnel, cohort retention).
   */
 object Extended3 {
 
