@@ -86,6 +86,23 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSet == Set((1L, 100L)))
   }
 
+  test("stream-static join enriches the stream against a batch dimension") {
+    val stream = Streaming.eventsFileStream(spark, eventsDir)
+    // static dim: deterministic user tier from the batch side
+    val dim = graft.Tables.load(spark, sf0001, "events")
+      .select($"user_id").distinct()
+      .withColumn("tier", when(pmod($"user_id", lit(2)) === 0, "even").otherwise("odd"))
+    val enriched = stream.join(dim, "user_id")
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+    val result = Streaming.runAvailableNow(enriched, "stream_static_test", "complete")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = graft.Tables.load(spark, sf0001, "events")
+      .withColumn("tier", when(pmod($"user_id", lit(2)) === 0, "even").otherwise("odd"))
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(result == expected && result.nonEmpty)
+  }
+
   test("foreachBatch sink lands every row exactly once, keyed by batch id") {
     val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString + "/sink"
     val stream = Streaming.eventsFileStream(spark, eventsDir)

@@ -57,6 +57,34 @@ class SinksSpec extends SparkSuite {
     assert(merged.count() == 2)
   }
 
+  test("malformed CSV rows: PERMISSIVE captures them, DROPMALFORMED drops them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    val f = dir.resolve("data.csv")
+    java.nio.file.Files.writeString(f,
+      "id,x\n1,10\n2,not_a_number\n3,30\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id INT, x INT, _corrupt STRING")
+    val permissive = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema)
+      .csv(f.toString)
+      .cache() // corrupt-record column requires materialization before filter
+    assert(permissive.count() == 3)
+    assert(permissive.filter(org.apache.spark.sql.functions.col("_corrupt").isNotNull)
+      .count() == 1)
+    val dropped = spark.read
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("id INT, x INT"))
+      .csv(f.toString)
+    // count() alone prunes every column, so the malformed field is never
+    // parsed and nothing is dropped — materialize the full rows
+    assert(dropped.collect().length == 2)
+    permissive.unpersist()
+  }
+
   test("renamed applies exact-case mappings only") {
     val df = Seq((1.0, "s")).toDF("daily_avg_temperature", "wind_strength")
     val out = Sinks.renamed(df, Map(
