@@ -695,6 +695,36 @@ object Extended3 {
              |FROM a JOIN c ON c.user_id = a.user_id
              |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
 
+    // Fuzzy entity matching by edit distance: corrupted name variants
+    // (vowels stripped) matched back to the canonical dimension via
+    // levenshtein ≤ 4 — the record-linkage shape. Dims are broadcast-small
+    // here; at scale you block first (q36/q37's shingle/LSH machinery)
+    // and reserve edit distance for verification.
+    QueryDef(
+      "q97_fuzzy_match",
+      (s, dir) => {
+        val canon = tbl(s, dir, "nation").select(col("n_name"))
+        val variants = tbl(s, dir, "nation")
+          .select(col("n_nationkey"),
+            regexp_replace(lower(col("n_name")), "[aeiou]", "").as("variant"))
+        variants
+          .crossJoin(broadcast(canon))
+          .withColumn("dist", levenshtein(col("variant"), lower(col("n_name"))))
+          .filter(col("dist") <= 4)
+          .select(col("n_nationkey"), col("variant"), col("n_name"),
+            col("dist").cast("bigint").as("dist"))
+          .orderBy("n_nationkey", "n_name")
+      },
+      Some("""WITH v AS (SELECT n_nationkey,
+             |             regexp_replace(lower(n_name), '[aeiou]', '', 'g') AS variant
+             |           FROM nation),
+             |c AS (SELECT n_name FROM nation)
+             |SELECT n_nationkey, variant, n_name,
+             |  CAST(levenshtein(variant, lower(n_name)) AS BIGINT) AS dist
+             |FROM v CROSS JOIN c
+             |WHERE levenshtein(variant, lower(n_name)) <= 4
+             |ORDER BY n_nationkey, n_name""".stripMargin)),
+
     // Approximate quantiles (Greenwald-Khanna summaries, mergeable
     // partial state) — the 100 TB path beside q47's exact sort-based
     // percentiles: each partition ships a bounded summary, never its
