@@ -176,8 +176,13 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with the ONE-HOP minimum (min of self and direct neighbors)
+    // instead of self: a clique — the common near-dup cluster shape —
+    // then converges inside the first two-hop round, so the loop exits
+    // after one checkpoint instead of two
+    var labels = edges
+      .groupBy(col("src").as("node"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
       .localCheckpoint()
     // one edge-propagation step: label'(n) = min(label(n), min over
     // neighbors m of label(m)); passthrough columns ride along unchanged
