@@ -76,6 +76,40 @@ object Extended3 {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  private val sqlQ18 =
+    """SELECT c_name, o_orderkey,
+      |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      |GROUP BY c_name, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  private val sqlQ4 =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private val sqlQ17 =
+    s"""SELECT p_brand,
+       |  CAST(count(*) AS BIGINT) AS n_small,
+       |  ${Num.roundSql(s"${moneySumSql("l_extendedprice")} / 7.0", 2)} AS avg_weekly
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+       |                    WHERE l2.l_partkey = lineitem.l_partkey)
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Bloom-prefiltered semi join: Bloom filter of the urgent-order keys
@@ -694,6 +728,40 @@ object Extended3 {
              |  count(*) AS n_users
              |FROM a JOIN c ON c.user_id = a.user_id
              |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // SQL subquery surface, Q18 shape: HAVING over a grouped IN-subquery
+    // (large-volume orders). Quantities are integral doubles, so the sums
+    // in both HAVING and output are exact in any order.
+    QueryDef(
+      "q98_sql_q18",
+      (s, dir) => {
+        registerViews(s, dir, Seq("customer", "orders", "lineitem"))
+        s.sql(sqlQ18)
+      },
+      Some(sqlQ18)),
+
+    // Q4 shape: correlated EXISTS — orders with at least one late
+    // lineitem, counted per priority (the decorrelation-to-semi-join
+    // planner path).
+    QueryDef(
+      "q99_sql_q4",
+      (s, dir) => {
+        registerViews(s, dir, Seq("orders", "lineitem"))
+        s.sql(sqlQ4)
+      },
+      Some(sqlQ4)),
+
+    // Q17 shape: correlated SCALAR subquery — rows under half their
+    // part's mean quantity. The threshold is exact cross-engine: integral
+    // quantities sum exactly in double regardless of order, so avg and
+    // 0.5*avg are bit-identical.
+    QueryDef(
+      "q100_sql_q17",
+      (s, dir) => {
+        registerViews(s, dir, Seq("lineitem", "part"))
+        s.sql(sqlQ17)
+      },
+      Some(sqlQ17)),
 
     // Fuzzy entity matching by edit distance: corrupted name variants
     // (vowels stripped) matched back to the canonical dimension via
