@@ -144,6 +144,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("md5"), p)
   }
 
+  test("q99: correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
+    val p = plan(q("q99_sql_q4"))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q100: correlated scalar subquery decorrelates to aggregate + join") {
+    val p = plan(q("q100_sql_q17"))
+    // the per-part average is computed ONCE as a grouped aggregate and
+    // joined back — not re-evaluated per outer row
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.toLowerCase.contains("scalarsubquery"), p)
+  }
+
   test("GraftExtensions registers vec_dot for SQL on extension-enabled sessions") {
     // the shared test session lacks the extension; simulate registration
     graft.functions.VectorExpressions.register(spark)
