@@ -33,6 +33,34 @@ class AsOfSpec extends SparkSuite {
       4L -> None))
   }
 
+  test("matches a brute-force reference on random inputs (pinned seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    for (seed <- Seq(21L, 22L)) {
+      def gen(n: Int, s: Long) =
+        Gen.listOfN(n, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 1000L)))
+          .apply(Gen.Parameters.default, Seed(s)).get
+      val qs = gen(60, seed).zipWithIndex
+        .map { case ((k, t), i) => (k, new Timestamp(t * 1000), i.toLong, i * 1.5) }
+      val tr = gen(40, seed + 100).zipWithIndex
+        .map { case ((k, t), i) => (k, new Timestamp(t * 1000), i.toLong) }
+      val out = AsOf
+        .asofJoin(tr.toDF("k", "ts", "tid"), qs.toDF("k", "ts", "qid", "px"),
+          "k", "ts", Seq("px"), "qid", toleranceSec = Some(200L))
+        .collect()
+        .map(r => r.getAs[Long]("tid") -> Option(r.getAs[Any]("asof_px")))
+        .toMap
+      // brute force: latest at-or-before within tolerance; ties on ts
+      // break to the HIGHEST quote id
+      val expected = tr.map { case (k, t, tid) =>
+        val cands = qs.filter(q => q._1 == k && !q._2.after(t) &&
+          (t.getTime - q._2.getTime) / 1000 <= 200L)
+        tid -> cands.sortBy(q => (q._2.getTime, q._3)).lastOption.map(_._4)
+      }.toMap
+      assert(out == expected, s"seed $seed")
+    }
+  }
+
   test("tolerance nulls out stale matches") {
     val out = AsOf.asofJoin(trades, quotes, "k", "ts", Seq("px"), "qid", toleranceSec = Some(60))
       .collect().map(r => r.getAs[Long]("tid") -> Option(r.getAs[Any]("asof_px"))).toMap
