@@ -86,6 +86,36 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSet == Set((1L, 100L)))
   }
 
+  test("sessionize matches a sequential gap-walk on random inputs (pinned seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    for (seed <- Seq(31L, 32L)) {
+      val evs = Gen.listOfN(80, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 5000L)))
+        .apply(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex
+        .map { case ((u, sec), i) => (u, new Timestamp(sec * 1000), i.toLong) }
+      val got = Sessions
+        .assign(evs.toDF("user_id", "ts", "eid"), "user_id", "ts", 600L,
+          Seq(col("eid")))
+        .collect()
+        .map(r => r.getAs[Long]("eid") -> r.getAs[Long]("session_id"))
+        .toMap
+      // sequential reference: walk each user's events in (ts, eid) order,
+      // new session when the gap exceeds 600s
+      val expected = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._2.getTime, e._3))
+        var sid = -1L; var prev = Long.MinValue
+        sorted.map { case (_, t, eid) =>
+          val sec = t.getTime / 1000
+          if (prev == Long.MinValue || sec - prev > 600L) sid += 1
+          prev = sec
+          eid -> sid
+        }
+      }.toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("stream-static join enriches the stream against a batch dimension") {
     val stream = Streaming.eventsFileStream(spark, eventsDir)
     // static dim: deterministic user tier from the batch side

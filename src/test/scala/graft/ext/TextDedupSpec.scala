@@ -79,4 +79,21 @@ class TextDedupSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h(1L) == h(3L) && h(1L) != h(2L))
   }
+
+  test("LSH candidates are SOUND: every reported pair clears the exact threshold") {
+    // minhashLshPairs verifies candidates exactly, so false positives from
+    // band collisions must never surface (soundness; recall is asserted
+    // separately above)
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3,
+      numHashes = 64, rowsPerBand = 16, threshold = 0.5).collect()
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(exact.contains((r.getLong(0), r.getLong(1))),
+        s"unsound LSH pair: $r")
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
 }
