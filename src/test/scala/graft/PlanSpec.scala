@@ -157,6 +157,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("scalarsubquery"), p)
   }
 
+  test("Graft.registerAll wires the whole SQL function surface in one call") {
+    Graft.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+        |  vec_dot(CAST(array(1.0,2.0) AS array<double>),
+        |          CAST(array(3.0,4.0) AS array<double>)) AS d,
+        |  classify_wind(10.0) AS w,
+        |  (SELECT mode_det(v) FROM VALUES ('a'),('b'),('a') t(v)) AS m
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getString(1) == "Light Air")
+    assert(r.getString(2) == "a")
+  }
+
   test("GraftExtensions registers vec_dot for SQL on extension-enabled sessions") {
     // the shared test session lacks the extension; simulate registration
     graft.functions.VectorExpressions.register(spark)
