@@ -18,8 +18,7 @@ class TypedApiSpec extends SparkSuite {
       .filter(_.o_totalprice > 100000.0)
       .map(o => (o.o_orderstatus, o.o_totalprice))
       .groupByKey(_._1)
-      .agg(org.apache.spark.sql.expressions.scalalang.typed.count[(String, Double)](_._2)
-        .name("n"))
+      .agg(TypedApiSpec.typedCount.name("n"))
       .map { case (status, n) => StatusCount(status, n) }
       .collect().map(s => s.status -> s.n).toMap
     val untyped = raw.filter(col("o_totalprice") > 100000.0)
@@ -43,6 +42,19 @@ class TypedApiSpec extends SparkSuite {
 }
 
 object TypedApiSpec {
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  /** Typed count as an Aggregator — the non-deprecated typed-agg path. */
+  val typedCount: org.apache.spark.sql.TypedColumn[(String, Double), Long] =
+    new org.apache.spark.sql.expressions.Aggregator[(String, Double), Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: (String, Double)): Long = b + 1
+      def merge(a: Long, b: Long): Long = a + b
+      def finish(r: Long): Long = r
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }.toColumn
+
   final case class Order(
       o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
       o_totalprice: Double, o_orderdate: java.sql.Timestamp,
