@@ -22,11 +22,13 @@ object Corpus {
 
   /** (doc_id, pos, tok) — whitespace tokens exploded with their 0-based
     * position. The generator (UDTF-shaped) surface of the text stack.
-    * CACHED by default (identical plan ⇒ every consumer — top-token,
-    * repetition, TF-IDF — reuses one materialization, same policy as
-    * Dedup.shingleRel; at 100 TB checkpoint to parquet instead).
+    * NOT cached by default — same policy (and rationale) as
+    * Dedup.shingleRel: plan-build-time `.cache()` has no unpersist scope
+    * and leaks for the session; within one query ReuseExchange dedupes
+    * the identical subplans, and batch jobs that want cross-query reuse
+    * opt in with cache=true (or checkpoint to parquet at 100 TB).
     */
-  def tokenRel(df: DataFrame, idCol: String, textCol: String, cache: Boolean = true): DataFrame = {
+  def tokenRel(df: DataFrame, idCol: String, textCol: String, cache: Boolean = false): DataFrame = {
     val rel = df.select(
         col(idCol).as("doc_id"),
         posexplode(Text.tokensNorm(col(textCol))).as(Seq("pos", "tok")))

@@ -43,18 +43,20 @@ object Dedup {
 
   /** (doc_id, shingle) relation — distinct k-gram shingles exploded.
     * Tokens are projected to a concrete column first (see
-    * Text.shinglesFromTokens for why), and the result is CACHED: every
-    * consumer (sizes, frequency, self-join sides, verification) reuses it
-    * instead of re-tokenizing the corpus — the relation is a small
-    * multiple of the text size; at 100 TB you would checkpoint it to
-    * parquet instead of memory, same shape.
+    * Text.shinglesFromTokens for why).
+    *
+    * NOT cached by default: `.cache()` at plan-build time is a
+    * session-lifetime side effect (a lazily-built DataFrame has no scope
+    * to unpersist in), which leaks memory in long-lived services. Within
+    * a single query the identical scan+explode subplans are deduplicated
+    * by Spark's ReuseExchange instead; a multi-query batch job that wants
+    * cross-query reuse opts in with cache=true and owns the unpersist
+    * (or checkpoints the relation to parquet, the 100 TB shape).
     */
-  def shingleRel(df: DataFrame, idCol: String, textCol: String, k: Int, cache: Boolean = true): DataFrame = {
+  def shingleRel(df: DataFrame, idCol: String, textCol: String, k: Int, cache: Boolean = false): DataFrame = {
     val rel = df.select(col(idCol).as("doc_id"), Text.tokensNorm(col(textCol)).as("__ws"))
       .select(col("doc_id"), explode(Text.shinglesFromTokens(col("__ws"), k)).as("shingle"))
       .filter(col("shingle") =!= "")
-    // caching is a session-lifetime side effect (nothing unpersists it);
-    // long-lived services should pass cache=false and checkpoint instead
     if (cache) rel.cache() else rel
   }
 
@@ -88,24 +90,47 @@ object Dedup {
     * 1.1M direct pair groups).
     */
   def ngramJaccardPairs(
-      df: DataFrame, idCol: String, textCol: String, k: Int, threshold: Double): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, k: Int, threshold: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     // join/shuffle on the 64-bit shingle hash, not the ~25-byte string:
     // ~2-3× less shuffle volume; collision risk over a corpus dictionary
     // is (d²/2)/2⁶⁴ — immaterial (≈2e-11 at 27k distinct shingles)
     val sh = shingleRel(df, idCol, textCol, k)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    sh.as("x")
-      .join(sh.as("y"), col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("a_id") === col("doc_id")).drop("doc_id")
-      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("b_id") === col("doc_id")).drop("doc_id")
-      .withColumn(
-        "jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+    if (maxDf == Int.MaxValue) {
+      sh.as("x")
+        .join(sh.as("y"), col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.withColumnRenamed("n_sh", "n_a"), col("a_id") === col("doc_id")).drop("doc_id")
+        .join(sizes.withColumnRenamed("n_sh", "n_b"), col("b_id") === col("doc_id")).drop("doc_id")
+        .withColumn(
+          "jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    } else {
+      // Hot-shingle guard for the 100×-scale hazard: the self-join above
+      // produces O(df²) pair rows PER shingle, so one boilerplate shingle
+      // shared by 100k docs would blow up a single join key. Candidate
+      // GENERATION here only uses shingles with df ≤ maxDf; candidates
+      // are then verified with EXACT Jaccard over the FULL shingle sets
+      // (hot shingles still count toward intersections and sizes), so
+      // every emitted pair carries its true jaccard. The only loss is
+      // recall for pairs whose shared shingles are ALL hot — at threshold
+      // ≥ 0.5 such a pair shares ≥ n_sh/3 shingles, every one of them
+      // corpus-frequent, i.e. pure boilerplate; LSH (minhashLshPairs)
+      // recovers those without any df² term.
+      val dfreq = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("__df"))
+      val cold = sh.join(
+        dfreq.filter(col("__df") <= maxDf).select(col("sh_h")), "sh_h")
+      val cand = cold.as("x")
+        .join(cold.as("y"), col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      verifiedJaccard(cand, sh, sizes, threshold)
+    }
   }
 
   /** MinHash signatures: per doc, min over shingles of the i-th hash

@@ -9,26 +9,33 @@ import org.apache.spark.sql.functions._
   * PySpark mapInPandas batch UDF: one iterator per partition, amortized
   * per-batch setup, no per-row driver involvement).
   *
-  * The DECODE STEP IS A STUB: real codecs (JPEG/PNG/FLAC/mp4) are not in
-  * this container, so `fakeDecode` produces deterministic pseudo-features
-  * from the raw bytes. The Spark-side contract — schema, partitioning,
-  * batch iterator shape, feature struct — is real and tested; swapping
-  * `fakeDecode` for an actual codec is a local change inside one
-  * function.
+  * Image payloads are decoded FOR REAL with the JDK's `javax.imageio`
+  * (PNG/JPEG/GIF/BMP — no extra dependency): width/height, a
+  * deterministic scanline sample, and a luminance mean come out of the
+  * decoded pixels. Non-image bytes (audio/video codecs are not in the
+  * JDK) fall back to deterministic byte-level features with
+  * decode_ok=false — the plumbing (schema, partitioning, batch iterator
+  * shape) is identical either way, and swapping in an audio/video codec
+  * is a local change inside [[decode]].
   */
 object Multimodal {
 
-  /** Typed feature row produced per asset. */
+  /** Typed feature row produced per asset. Image-only fields are None
+    * when the payload did not decode as an image.
+    */
   final case class AssetFeatures(
       asset_id: Long,
       n_bytes: Long,
       byte_mean: Double,
       byte_hist: Array[Long], // 16-bucket histogram of byte values
       frames_sampled: Int,
-      decode_ok: Boolean)
+      decode_ok: Boolean,
+      width: Option[Int],
+      height: Option[Int],
+      pix_mean: Option[Double]) // mean luminance over the sampled rows
 
   /** Fixture adapter: manufacture a binary "asset" column from text (the
-    * container ships no real media; the engine only sees bytes either
+    * fixtures ship no real media; the engine only sees bytes either
     * way) plus a metadata struct of the kind a real ingest would carry.
     */
   def withBinaryAsset(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
@@ -41,19 +48,49 @@ object Multimodal {
         octet_length(encode(col(payloadCol), "UTF-8")).cast("long").as("n_bytes"))
         .as("meta"))
 
-  /** STUB decode — stands in for an image/audio codec. Deterministic in
-    * the bytes; returns (frames, ok). A real implementation would replace
-    * only this body (??? semantics, kept runnable for tests).
+  private[ext] final case class Decoded(
+      framesSampled: Int, ok: Boolean,
+      width: Option[Int], height: Option[Int], pixMean: Option[Double])
+
+  /** Decode one payload. Image bytes (anything `ImageIO` has a reader
+    * for) are fully decoded; `nFrames` evenly-spaced scanlines are
+    * sampled and their pixels averaged as luminance ((r+g+b)/3) — the
+    * "frame-sample then featurize" shape a video pipeline uses, applied
+    * to rows of a still. Non-image bytes take the deterministic
+    * byte-stride fallback (frames = byte slices, no pixel stats).
     */
-  private def fakeDecode(bytes: Array[Byte], nFrames: Int): (Array[Array[Byte]], Boolean) = {
-    if (bytes.isEmpty) (Array.empty, false)
-    else {
+  private[ext] def decode(bytes: Array[Byte], nFrames: Int): Decoded = {
+    if (bytes.isEmpty) return Decoded(0, ok = false, None, None, None)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val rows = math.min(nFrames, h)
+      val rowStride = math.max(1, h / rows)
+      var lumSum = 0.0
+      var nPix = 0L
+      var sampled = 0
+      var y = 0
+      while (y < h && sampled < rows) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          lumSum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          nPix += 1
+          x += 1
+        }
+        sampled += 1
+        y += rowStride
+      }
+      Decoded(sampled, ok = true, Some(w), Some(h),
+        Some(if (nPix == 0) 0.0 else lumSum / nPix))
+    } else {
+      // not an image: deterministic byte-stride pseudo-frames
       val stride = math.max(1, bytes.length / nFrames)
       val frames = (0 until math.min(nFrames, bytes.length))
-        .map(i => bytes.slice(i * stride, math.min(i * stride + stride, bytes.length)))
-        .filter(_.nonEmpty)
-        .toArray
-      (frames, true)
+        .count(i => i * stride < bytes.length)
+      Decoded(frames, ok = false, None, None, None)
     }
   }
 
@@ -69,9 +106,11 @@ object Multimodal {
       .select(col("asset_id"), col("asset"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition setup would open the codec once here
+        // per-partition setup: ImageIO plugin scan happens once per JVM;
+        // disable its disk cache so decode stays in-memory per task
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val (frames, ok) = fakeDecode(bytes, nFrames)
+          val d = decode(bytes, nFrames)
           val hist = new Array[Long](16)
           var sum = 0L
           var i = 0
@@ -86,8 +125,11 @@ object Multimodal {
             n_bytes = bytes.length.toLong,
             byte_mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
             byte_hist = hist,
-            frames_sampled = frames.length,
-            decode_ok = ok)
+            frames_sampled = d.framesSampled,
+            decode_ok = d.ok,
+            width = d.width,
+            height = d.height,
+            pix_mean = d.pixMean)
         }
       }
   }

@@ -116,8 +116,12 @@ object Extended {
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Multimodal plumbing in the driver battery: text→binary assets,
-    // mapPartitions batch feature extraction (stub decode — see
-    // ext/Multimodal). Deterministic but not SQL-expressible → rows-only.
+    // mapPartitions batch feature extraction (real javax.imageio decode
+    // for image bytes; the text fixtures are NOT images, so decode_ok is
+    // false and the deterministic byte-feature fallback applies — see
+    // ext/Multimodal). Oracled byte-for-byte: DuckDB recomputes n_bytes /
+    // byte mean / frame count from the hex of the UTF-8 payload, and
+    // pins decode_ok to FALSE.
     QueryDef(
       "q48_multimodal_features",
       (s, dir) =>
@@ -128,9 +132,25 @@ object Extended {
           .select(
             col("asset_id"), col("n_bytes"),
             Num.roundTo(col("byte_mean"), 4).as("byte_mean_r"),
-            col("frames_sampled"), col("decode_ok"))
+            col("frames_sampled").cast("bigint").as("frames_sampled"),
+            col("decode_ok"))
           .orderBy("asset_id"),
-      None),
+      Some(s"""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS asset_id,
+              |                  hex(encode(text)) AS hx,
+              |                  octet_length(encode(text)) AS n
+              |           FROM documents),
+              |s AS (SELECT asset_id, n,
+              |        sum((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+              |            + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS total
+              |      FROM b CROSS JOIN range(1, 4001) t(i) WHERE i <= n
+              |      GROUP BY asset_id, n),
+              |a AS (SELECT b.asset_id, b.n, COALESCE(s.total, 0) AS total
+              |      FROM b LEFT JOIN s ON s.asset_id = b.asset_id)
+              |SELECT asset_id, n AS n_bytes,
+              |  CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+              |       ELSE ${Num.roundSql("total / n", 4)} END AS byte_mean_r,
+              |  least(4, n) AS frames_sampled, FALSE AS decode_ok
+              |FROM a ORDER BY asset_id""".stripMargin)),
 
     // Explicit GROUPING SETS through the SQL surface (rollup/cube's
     // general form): per-flag, per-status, and grand-total rows only.

@@ -609,30 +609,43 @@ object Extended3 {
     // estimate — the scale pattern for distinct-count over 100 TB (each
     // partition ships a fixed-size sketch, never its keys). DataSketches
     // HLL is register-max based, so insertion/union order cannot change
-    // the result; no DuckDB oracle (estimate, not exact) -> rows-only.
+    // the result. The estimate is checked IN-ROW against the exact
+    // distinct count (lgK=12 ⇒ rse ≈ 1.6%; ±5% is > 3σ); the oracle
+    // recomputes the exact column and pins est_ok to TRUE.
     QueryDef(
       "q80_hll_union",
-      (s, dir) =>
-        tbl(s, dir, "lineitem")
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val est = li
           .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
           .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
-          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-            .as("n_parts_approx")),
-      None),
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__approx"))
+        li.agg(countDistinct(col("l_partkey")).as("n_parts_exact"))
+          .crossJoin(est)
+          .select(
+            col("n_parts_exact"),
+            (abs(col("__approx").cast("double") - col("n_parts_exact").cast("double")) /
+              col("n_parts_exact").cast("double") <= 0.05).as("est_ok"))
+      },
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts_exact, TRUE AS est_ok
+             |FROM lineitem""".stripMargin)),
 
     // Count-Min sketch heavy hitters: one fixed-size sketch over the fact
     // table (counter merges are commutative — order-independent,
     // deterministic for a fixed seed), probed for the top-5 exact heavy
-    // keys. Overestimates by at most eps·N with prob. ≥ confidence
-    // (asserted in AggregatesSpec); rows-only — the sketch is
-    // Spark-internal. At 100 TB the sketch replaces a full groupBy for
-    // frequency triage: each partition ships 1000×7 counters, not keys.
+    // keys. The CM guarantee is one-sided — exact_n ≤ est ≤ exact_n +
+    // eps·N (w.p. ≥ confidence) — and `est_ok` asserts exactly that
+    // IN-ROW; the oracle recomputes the exact columns and pins est_ok to
+    // TRUE, so a broken sketch/probe hash-fails. At 100 TB the sketch
+    // replaces a full groupBy for frequency triage: each partition ships
+    // 1000×7 counters, not keys.
     QueryDef(
       "q93_countmin_probe",
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
         val cms = li.agg(
-          expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"))
+          expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"),
+          count(lit(1)).as("__n"))
         val top = li.groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("exact_n"))
           .orderBy(col("exact_n").desc, col("l_partkey").asc)
@@ -642,11 +655,18 @@ object Extended3 {
             .readFrom(new java.io.ByteArrayInputStream(sk))
             .estimateCount(k))
         top.crossJoin(broadcast(cms))
+          .withColumn("__est", probe(col("sk"), col("l_partkey")))
           .select(col("l_partkey"), col("exact_n"),
-            probe(col("sk"), col("l_partkey")).as("est_n"))
+            (col("__est") >= col("exact_n") &&
+              col("__est").cast("double") <=
+                col("exact_n").cast("double") + lit(0.001) * col("__n").cast("double"))
+              .as("est_ok"))
           .orderBy("l_partkey")
       },
-      None),
+      Some("""WITH t AS (SELECT l_partkey, count(*) AS exact_n FROM lineitem
+             |           GROUP BY 1 ORDER BY exact_n DESC, l_partkey LIMIT 5)
+             |SELECT l_partkey, exact_n, TRUE AS est_ok FROM t
+             |ORDER BY l_partkey""".stripMargin)),
 
     // Ordered funnel with conversion windows: view → click within 1 h →
     // purchase within 1 h, staged as three keyed aggregates (each stage's
@@ -796,19 +816,50 @@ object Extended3 {
     // Approximate quantiles (Greenwald-Khanna summaries, mergeable
     // partial state) — the 100 TB path beside q47's exact sort-based
     // percentiles: each partition ships a bounded summary, never its
-    // values. Rank error ≤ 1/accuracy (asserted vs exact in
-    // AggregatesSpec); rows-only — summary merge is Spark-internal.
+    // values. The GK guarantee (returned element's rank within
+    // ±n/accuracy of the target) is asserted IN-ROW: the estimates'
+    // exact ranks are counted against the data and est_ok pins the rank
+    // error; output columns are the EXACT percentiles (DuckDB
+    // quantile_cont parity, q47's recipe) + est_ok, which the oracle
+    // pins to TRUE.
     QueryDef(
       "q94_approx_percentiles",
-      (s, dir) =>
-        tbl(s, dir, "lineitem")
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        val agg = li.groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_extendedprice"),
+              array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("ap"),
+            expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("ex"),
+            count(lit(1)).as("n"))
+        val rankAggs =
+          Seq(first(col("ap")).as("ap"), first(col("ex")).as("ex"),
+            first(col("n")).as("n")) ++
+            (0 until 3).flatMap(i => Seq(
+              count(when(col("l_extendedprice") < col("ap").getItem(i), 1)).as(s"lt$i"),
+              count(when(col("l_extendedprice") <= col("ap").getItem(i), 1)).as(s"le$i")))
+        val ranked = li.join(agg, "l_returnflag")
           .groupBy(col("l_returnflag"))
-          .agg(percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p"))
-          .select(col("l_returnflag"),
-            col("p").getItem(0).as("p50"),
-            col("p").getItem(1).as("p95"),
-            col("p").getItem(2).as("p99"))
-          .orderBy("l_returnflag"),
-      None))
+          .agg(rankAggs.head, rankAggs.tail: _*)
+        def ok(i: Int, qt: Double): Column = {
+          val slack = col("n").cast("double") / 10000.0 + 2.0
+          val target = lit(qt) * col("n").cast("double")
+          col(s"le$i").cast("double") >= target - slack &&
+            col(s"lt$i").cast("double") <= target + slack
+        }
+        ranked.select(
+          col("l_returnflag"),
+          R(col("ex").getItem(0), 4).as("p50_exact"),
+          R(col("ex").getItem(1), 4).as("p95_exact"),
+          R(col("ex").getItem(2), 4).as("p99_exact"),
+          (ok(0, 0.5) && ok(1, 0.95) && ok(2, 0.99)).as("est_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag,
+              |  ${rs("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50_exact,
+              |  ${rs("quantile_cont(l_extendedprice, 0.95)", 4)} AS p95_exact,
+              |  ${rs("quantile_cont(l_extendedprice, 0.99)", 4)} AS p99_exact,
+              |  TRUE AS est_ok
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
 }

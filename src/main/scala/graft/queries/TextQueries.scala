@@ -7,10 +7,11 @@ import QueryDef.tbl
 
 /** Text-analysis + dedup battery over the `documents` fixture: stats,
   * quality scoring, language ID, fingerprints, exact dedup, n-gram
-  * Jaccard near-dup (oracled), and MinHash-LSH / SimHash (rows-only —
-  * results depend on xxhash64, which has no DuckDB equivalent; their
-  * correctness is pinned in DedupSpec against the exact-Jaccard oracle
-  * query instead).
+  * Jaccard near-dup (oracled), MinHash-LSH (oracled via the exact-pair
+  * SQL — exact verification + recall-1.0 candidates make its output
+  * equal the exact pair set), and SimHash (rows-only — the pair set
+  * depends on xxhash64 bit patterns, which have no DuckDB equivalent;
+  * pinned in TextDedupSpec instead).
   */
 object TextQueries {
 
@@ -28,6 +29,26 @@ object TextQueries {
        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
        |       FROM w CROSS JOIN range(1, 1000) t(i) WHERE i <= len(ws) - 2),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
+
+  // Exact shingle-Jaccard pairs at ≥ 0.5 — the oracle for BOTH q36 (the
+  // direct exact plan) and q37 (MinHash-LSH): LSH candidates get exact
+  // Jaccard verification, so with candidate recall 1.0 (asserted against
+  // this very relation in TextDedupSpec, and implied by 16 bands × 4 rows
+  // at j ≥ 0.5 on this corpus) its output EQUALS the exact pair set —
+  // the approximate path is held to the hard hash-match bar.
+  private val exactJaccardSql =
+    s"""WITH $shingleCte,
+       |inter AS (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_inter
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     // Token/char statistics — pure higher-order functions, no explode.
@@ -145,28 +166,19 @@ object TextQueries {
       (s, dir) =>
         Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", 3, 0.5)
           .orderBy("a_id", "b_id"),
-      Some(s"""WITH $shingleCte,
-              |inter AS (
-              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_inter
-              |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-              |  GROUP BY 1, 2)
-              |SELECT a_id, b_id,
-              |  n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-              |FROM inter
-              |JOIN sizes sa ON sa.doc_id = a_id
-              |JOIN sizes sb ON sb.doc_id = b_id
-              |WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-              |ORDER BY a_id, b_id""".stripMargin)),
+      Some(exactJaccardSql)),
 
     // MinHash + LSH banding (64 hashes, 16 bands × 4) with exact
-    // verification of candidates. xxhash64-based → rows-only check;
-    // DedupSpec asserts recall == 1.0 vs q36's exact pairs at sf0.001.
+    // verification of candidates. Oracled with the SAME exact-pair SQL as
+    // q36: exact verification makes precision 1.0 by construction, and
+    // candidate recall 1.0 (TextDedupSpec pins it vs the exact pairs)
+    // makes the LSH output equal the exact pair set.
     QueryDef(
       "q37_dedup_minhash",
       (s, dir) =>
         Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text", 3, 64, 4, 0.5)
           .orderBy("a_id", "b_id"),
-      None),
+      Some(exactJaccardSql)),
 
     // SimHash near-dup sketch (64-bit, 4-chunk blocking, hamming ≤ 3).
     QueryDef(

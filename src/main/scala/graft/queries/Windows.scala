@@ -100,17 +100,27 @@ object Windows {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // HLL sketch — the 100 TB path for distinct counts (single pass, no
-    // per-key shuffle of distinct values). Result is algorithm-specific →
-    // no SQL oracle; driver records a rows-only check. Correctness vs the
-    // exact count is asserted in AggregatesSpec (±5% at sf0.001).
+    // per-key shuffle of distinct values). The estimate itself is
+    // algorithm-specific, so the query carries its own verification: the
+    // exact count rides along and `est_ok` asserts the estimate within
+    // ±5% (rsd 0.02 ⇒ 2.5σ) IN-ROW — the oracle recomputes the exact
+    // column and pins est_ok to TRUE, so a drifting sketch hash-fails.
     QueryDef(
       "q26_approx_distinct",
       (s, dir) =>
         tbl(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("__approx"),
+            countDistinct(col("l_partkey")).as("n_parts_exact"))
+          .select(
+            col("l_returnflag"), col("n_parts_exact"),
+            (abs(col("__approx") - col("n_parts_exact")).cast("double") /
+              col("n_parts_exact").cast("double") <= 0.05).as("est_ok"))
           .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts_exact,
+             |  TRUE AS est_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ROLLUP with subtotal rows surfaced via COALESCE (fixture columns are
     // never null, so 'ALL' marks the rollup levels unambiguously).
