@@ -73,28 +73,66 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** IVF (inverted-file) approximate top-k: centroids are a deterministic
-    * corpus sample (every strideth vector — stand-in for k-means, which
-    * would train the same structure); each corpus vector is assigned to
-    * its nearest centroid cell once; each query probes its nProbe nearest
-    * cells and brute-forces only those. Recall is tunable via
-    * nProbe/stride; SimilaritySpec asserts exhaustive-probe ≡ brute force.
+  /** Nearest-centroid assignment: rank-1 by cosine over the broadcast
+    * centroid set, deterministically tie-broken by cent_id.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-      k: Int, stride: Int, nProbe: Int): DataFrame = {
-    val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
-    val cent = normalizedRel(
-      corpus.filter(pmod(col(idCol), lit(stride)) === 0), idCol, embCol, "cent_id", "cent_e")
-    // assign: nearest centroid per corpus vector (rank-1 over the
-    // broadcast centroid set)
+  private def assignToCells(c: DataFrame, cent: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("cid")).orderBy(col("d").desc, col("cent_id").asc)
-    val assigned = c.crossJoin(broadcast(cent))
+    c.crossJoin(broadcast(cent))
       .select(col("cid"), col("ce"), col("ce_n"), col("cent_id"),
         (dot(col("ce"), col("cent_e")) / (col("ce_n") * col("cent_e_n"))).as("d"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("cid"), col("ce"), col("ce_n"), col("cent_id"))
+  }
+
+  /** Lloyd (k-means) refinement of a centroid set, entirely as DataFrame
+    * aggregates: assign every corpus vector to its nearest centroid, then
+    * recompute each cell's mean per dimension (posexplode → hash agg —
+    * one shuffle per iteration, no driver-side loops over vectors).
+    * Component means accumulate in DECIMAL(38,18) so the sum is
+    * order-independent — assignments (and therefore query results) stay
+    * deterministic under any partitioning/retry. Cells that lose all
+    * members drop out (standard Lloyd degeneracy handling). Spherical
+    * variant: ranking is cosine, means are taken on the raw vectors and
+    * re-normed via the carried norm column.
+    */
+  def trainCentroids(c: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    var cent = seed
+    for (_ <- 0 until iters) {
+      val comp = assignToCells(c, cent)
+        .select(col("cent_id"), posexplode(col("ce")).as(Seq("pos", "v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 18))) /
+          count(lit(1))).cast("double").as("v"))
+      cent = comp
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("cent_e"))
+        .withColumn("cent_e_n", norm(col("cent_e")))
+    }
+    cent
+  }
+
+  /** IVF (inverted-file) approximate top-k: centroids seed from a
+    * deterministic corpus sample (every strideth vector), optionally
+    * refined with `trainIters` Lloyd iterations; each corpus vector is
+    * assigned to its nearest centroid cell once; each query probes its
+    * nProbe nearest cells and brute-forces only those. Recall is tunable
+    * via nProbe/stride; SimilaritySpec asserts exhaustive-probe ≡ brute
+    * force and trained-centroid recall ≥ the raw-sample baseline. At
+    * 100 TB the centroid set is trained once and persisted — here it
+    * stays a lazy subplan for the oracle harness.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int, stride: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
+    val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
+    val seed = normalizedRel(
+      corpus.filter(pmod(col(idCol), lit(stride)) === 0), idCol, embCol, "cent_id", "cent_e")
+    val cent = if (trainIters > 0) trainCentroids(c, seed, trainIters) else seed
+    val assigned = assignToCells(c, cent)
     // probe: nProbe nearest cells per query
     val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cent_id").asc)

@@ -134,6 +134,11 @@ object Streaming {
     * per micro-batch, emitted in update mode. At scale state lives in
     * the state store (RocksDB-backed on a real cluster), partitioned by
     * the group key.
+    *
+    * NOTE: this variant uses NoTimeout — state grows with the key
+    * universe forever, which is only acceptable for bounded key domains
+    * (demo/replay). Unbounded key universes need
+    * [[runningUserAggBounded]], which expires idle state.
     */
   final case class UserRunning(user_id: Long, n_events: Long, value_sum: Double)
 
@@ -151,6 +156,50 @@ object Streaming {
           rows.foreach { r => n += 1; s += r._2 }
           state.update((n, s))
           UserRunning(user, n, s)
+      }
+  }
+
+  /** Production form of [[runningUserAgg]]: event-time TTL on the
+    * per-key state. Each update arms an EventTimeTimeout at (last seen
+    * event time + ttl); when the watermark passes it, the state fires
+    * one final tombstone row (expired=true) and is REMOVED from the
+    * store — state size tracks the ACTIVE key set, not the all-time key
+    * universe, which is the difference between bounded and unbounded
+    * memory on a 100 TB/day stream. A key seen again after expiry
+    * restarts from zero (StreamingSpec pins exactly that).
+    */
+  final case class UserRunningExpiry(
+      user_id: Long, n_events: Long, value_sum: Double, expired: Boolean)
+
+  def runningUserAggBounded(
+      events: DataFrame, watermark: String = "1 hour",
+      ttlMs: Long = 3600000L): org.apache.spark.sql.Dataset[UserRunningExpiry] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[(Long, Double, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, s, _) = state.get
+            state.remove()
+            UserRunningExpiry(user, n, s, expired = true)
+          } else {
+            var (n, s, maxTs) = state.getOption.getOrElse((0L, 0.0, 0L))
+            rows.foreach { r => n += 1; s += r._3; maxTs = math.max(maxTs, r._2.getTime) }
+            state.update((n, s, maxTs))
+            // timeout must sit at or after the current watermark, or the
+            // runtime rejects it (a straggler key whose ttl already
+            // elapsed expires at the next watermark tick instead)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            UserRunningExpiry(user, n, s, expired = false)
+          }
       }
   }
 

@@ -50,15 +50,18 @@ object EmbeddingQueries {
               |SELECT qid, cid, rn, ${Num.roundSql("cos", 4)} AS cos_r
               |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
-    // IVF approximate top-5 (deterministic centroid sample, 3-probe) —
-    // the 100 TB path: candidates shrink by ~nProbe/nCells. Rows-only.
+    // IVF approximate top-5 (deterministic centroid seed + 2 Lloyd
+    // iterations, 3-probe) — the 100 TB path: candidates shrink by
+    // ~nProbe/nCells. Rows-only: the probe set is centroid-dependent;
+    // SimilaritySpec pins exhaustive-probe ≡ brute force and trained
+    // recall ≥ the raw-seed baseline.
     QueryDef(
       "q40_embed_ivf",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
         Similarity
           .ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-            k = 5, stride = 50, nProbe = 3)
+            k = 5, stride = 50, nProbe = 3, trainIters = 2)
           .select(col("qid"), col("cid"), col("rn"), Num.roundTo(col("cos"), 4).as("cos_r"))
           .orderBy("qid", "rn")
       },

@@ -27,4 +27,15 @@ class EntrySmokeSpec extends SparkSuite {
       assert(df.count() >= 0) // forces full execution
     }
   }
+
+  test("no query leaves a session-lifetime cache behind") {
+    // shingleRel/tokenRel default to cache=false — running the heaviest
+    // consumers must leave the cache manager empty (a long-lived service
+    // embedding these plans must not leak memory per query built)
+    spark.sharedState.cacheManager.clearCache()
+    Seq("q36_dedup_ngram", "q37_dedup_minhash", "q38_dedup_simhash",
+      "q46_ngram_freq", "q55_explode_tokens", "q61_doc_repetition", "q65_tfidf")
+      .foreach(q => SparkEntry.queries(q)(spark, sf0001).count())
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }

@@ -166,6 +166,40 @@ class StreamingSpec extends SparkSuite {
     assert(last(8L) == (8L, 1L, 5.0))
   }
 
+  test("bounded stateful agg: idle state expires via event-time TTL and restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    // watermark delay 10 min, TTL 1 h
+    val agg = Streaming.runningUserAggBounded(
+      mem.toDF().toDF("user_id", "ts", "value"), "10 minutes", ttlMs = 3600000L)
+    val q = agg.writeStream.format("memory").queryName("bounded_test")
+      .outputMode("update").start()
+    // batch 1: users 7 and 8 at 10:00
+    mem.addData((7L, ts("2024-01-01 10:00:00"), 1.0), (8L, ts("2024-01-01 10:00:00"), 5.0))
+    q.processAllAvailable()
+    // batch 2: user 9 far in the future — advances the watermark past
+    // 10:00 + TTL after this batch commits
+    mem.addData((9L, ts("2024-01-01 20:00:00"), 2.0))
+    q.processAllAvailable()
+    // batch 3: another future event triggers the timeout sweep (timeouts
+    // fire on the batch AFTER the watermark advances)
+    mem.addData((9L, ts("2024-01-01 20:30:00"), 3.0))
+    q.processAllAvailable()
+    // batch 4: user 7 reappears — state must have been REMOVED, so the
+    // running count restarts from zero
+    mem.addData((7L, ts("2024-01-01 20:40:00"), 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("bounded_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // expiry tombstones carry the final totals for 7 and 8
+    assert(rows.contains((7L, 1L, 1.0, true)), s"no expiry tombstone for 7: ${rows.toSeq}")
+    assert(rows.contains((8L, 1L, 5.0, true)), s"no expiry tombstone for 8: ${rows.toSeq}")
+    // user 7's post-expiry row restarts at n=1/sum=9.0 (not 2/10.0)
+    assert(rows.contains((7L, 1L, 9.0, false)), s"state not reset for 7: ${rows.toSeq}")
+  }
+
   test("session_window streaming agg matches gaps-and-islands session count") {
     val stream = Streaming.eventsFileStream(spark, eventsDir)
     val sess = Streaming.sessionAgg(stream, "30 minutes", "10 minutes")

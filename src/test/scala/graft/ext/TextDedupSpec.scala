@@ -42,6 +42,57 @@ class TextDedupSpec extends SparkSuite {
     assert(j((1L, 2L)) == 1.0 && math.abs(j((1L, 3L)) - 0.75) < 1e-12)
   }
 
+  test("maxDf guard bounds the hot-shingle pair explosion (adversarial corpus)") {
+    // 500 docs sharing ONE boilerplate shingle, otherwise disjoint: the
+    // unguarded self-join would push C(500,2) = 124 750 pair rows
+    // through that single join key — the 100×-scale killer
+    val adversarial = (1 to 500)
+      .map(i => (i.toLong, s"common boiler plate unique$i token$i word$i"))
+      .toDF("doc_id", "text")
+    val hotDf = Dedup.shingleRel(adversarial, "doc_id", "text", 3)
+      .groupBy("shingle").count().agg(max("count")).head().getLong(0)
+    assert(hotDf == 500L) // the boilerplate shingle co-occurs everywhere
+    // guard at maxDf=10: candidate generation sees only the per-doc
+    // unique shingles → ZERO candidate pairs instead of 124 750
+    val guarded = Dedup.ngramJaccardPairs(adversarial, "doc_id", "text", 3, 0.5, maxDf = 10)
+      .collect()
+    assert(guarded.isEmpty)
+    // semantics preserved here: every true jaccard is 1/7 < 0.5, so the
+    // unguarded exact plan agrees (nothing was lost, just never generated)
+    val exact = Dedup.ngramJaccardPairs(adversarial, "doc_id", "text", 3, 0.5).collect()
+    assert(exact.isEmpty)
+  }
+
+  test("maxDf guard on natural corpus: exact precision, losses only via all-hot pairs") {
+    val d = graft.Tables.load(spark, sf0001, "documents")
+    val maxDf = 20
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val guarded = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(guarded.nonEmpty)
+    // guarded ⊆ exact, and surviving pairs carry the TRUE jaccard (the
+    // verify step uses FULL shingle sets, hot shingles included)
+    guarded.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"guard fabricated pair $pair")
+      assert(j == exact(pair), s"guard changed jaccard for $pair")
+    }
+    // any lost pair must have been connected ONLY through hot shingles
+    val lost = exact.keySet -- guarded.keySet
+    if (lost.nonEmpty) {
+      val sh = Dedup.shingleRel(d, "doc_id", "text", 3)
+      val dfreq = sh.groupBy("shingle").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val byDoc = sh.collect().groupBy(_.getLong(0))
+        .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+      lost.foreach { case (a, b) =>
+        val shared = byDoc(a) intersect byDoc(b)
+        assert(shared.forall(s => dfreq(s) > maxDf),
+          s"pair ($a,$b) lost despite a cold shared shingle")
+      }
+    }
+  }
+
   test("minhash LSH recall is 1.0 vs exact jaccard on sf0.001 documents") {
     val d = graft.Tables.load(spark, sf0001, "documents")
     val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
@@ -70,6 +121,38 @@ class TextDedupSpec extends SparkSuite {
       .select($"doc_id", Text.langId($"text").as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(preds == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh", 6L -> "und"))
+  }
+
+  test("rollingHash second witness: explode + power-table sum agrees on sf0.001") {
+    // independent formulation of the same polynomial: h = Σᵢ (xxh64(tokᵢ)
+    // mod M)·31^(n-1-i) mod M via posexplode + a precomputed modular
+    // power table + one hash aggregate — no HOF fold, different plan
+    // shape, same number. Anchors the rows-only q42 with a second
+    // independently-derived implementation.
+    val M = 1000000007L
+    val pows = {
+      val a = new Array[Long](1024)
+      a(0) = 1L
+      for (i <- 1 until 1024) a(i) = a(i - 1) * 31L % M
+      a.toSeq
+    }
+    val d = graft.Tables.load(spark, sf0001, "documents")
+    val maxN = d.select(max(size(Text.tokensNorm($"text")))).head().getInt(0)
+    assert(maxN <= 1024, s"power table too small for $maxN tokens")
+    val direct = d
+      .select($"doc_id", Text.rollingHash(Text.tokensNorm($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val witness = d
+      .select($"doc_id", Text.tokensNorm($"text").as("ws"))
+      .select($"doc_id", size($"ws").as("n"), posexplode($"ws").as(Seq("pos", "tok")))
+      .select($"doc_id",
+        pmod(
+          pmod(xxhash64($"tok"), lit(M)) *
+            element_at(typedLit(pows), ($"n" - $"pos").cast("int")),
+          lit(M)).as("c"))
+      .groupBy("doc_id").agg(pmod(sum($"c"), lit(M)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct.nonEmpty && witness == direct)
   }
 
   test("rollingHash is order-sensitive (unlike set-based fingerprints)") {

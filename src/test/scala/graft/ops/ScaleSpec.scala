@@ -21,6 +21,32 @@ class ScaleSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("saltedJoin spreads a manufactured hot key across reducers") {
+    // 20k rows on ONE key: unsalted, every row meets on a single join
+    // key (= one reducer's task); salted with n=8, the hot key's rows
+    // split over 8 (key, salt) reducer groups of ~2.5k each
+    val n = 8
+    val hot = spark.range(20000)
+      .select(lit(42L).as("k"), col("id").as("payload"))
+    val dim = Seq((42L, "dim42"), (7L, "dim7")).toDF("k", "attr")
+    val salted = hot.withColumn(
+      "__salt", pmod(xxhash64(hot.columns.map(col).toSeq: _*), lit(n)))
+    val spread = salted.groupBy("k", "__salt").count()
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // all n salt values materialize, and no (key,salt) group holds more
+    // than 2× its fair share — the reducer-level bound AQE cannot give
+    // an aggregation-style hot key
+    assert(spread.map(_._1).toSet == (0L until n).toSet)
+    assert(spread.map(_._2).max <= 2 * 20000 / n,
+      s"salt skewed: ${spread.toSeq.sorted}")
+    // and the salted join still returns exactly the plain join's rows
+    val plain = hot.join(dim, "k").agg(count(lit(1)), sum("payload"))
+      .head()
+    val viaSalt = Scale.saltedJoin(hot, dim, "k", n).agg(count(lit(1)), sum("payload"))
+      .head()
+    assert(viaSalt == plain)
+  }
+
   test("bloomSemiJoin is row-identical to the plain semi join") {
     val large = graft.Tables.load(spark, sf0001, "lineitem")
       .select("l_orderkey", "l_quantity")
