@@ -157,6 +157,36 @@ class PlanSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("scalarsubquery"), p)
   }
 
+  test("q37: LSH pipeline is all equi-joins on computed keys (no cartesian anywhere)") {
+    val p = plan(q("q37_dedup_minhash"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("maxDf-guarded Jaccard keeps the same no-cartesian shape") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val p = plan(graft.ext.Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5, maxDf = 20))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q94: the rank-check join broadcasts the 3-row percentile side (fact never reshuffles)") {
+    val df = q("q94_approx_percentiles")
+    df.collect() // let AQE finalize the join strategy
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("Lloyd-trained centroid assignment stays a broadcast of the centroid side") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val df = graft.ext.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3, 50, 2, trainIters = 1)
+    val p = plan(df)
+    // every corpus×centroid / query×centroid pairing goes through a
+    // broadcast nested loop over the TINY centroid set — never a
+    // shuffle of the corpus against itself
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(
