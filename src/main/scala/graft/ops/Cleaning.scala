@@ -55,6 +55,13 @@ object Cleaning {
     * pandas `Series.median`), then a single `na.fill` applies them.
     * Scale note: the aggregate is a normal distributed agg; only the final
     * per-column medians (scalars) reach the driver.
+    *
+    * EAGER at call time: the median aggregate executes when this method
+    * is CALLED (`.head()` of a 1-row agg), not when the returned frame
+    * is acted on — the fill values must be literals in the plan. Data
+    * volume reaching the driver is a scalar per column (fine at any
+    * scale), but don't call it inside a lazily-assembled pipeline stage
+    * that expects zero execution before the sink.
     */
   def medianImpute(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.map(c => median(col(c)).as(c))

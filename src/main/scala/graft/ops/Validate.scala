@@ -33,7 +33,13 @@ object Validate {
   def inRange(c: String, lo: Double, hi: Double): Check =
     Check(s"range($c,$lo,$hi)", col(c).isNotNull && col(c).between(lo, hi))
 
-  /** One aggregate pass over all checks; empty result = all green. */
+  /** One aggregate pass over all checks; empty result = all green.
+    * EAGER at call time (the whole point is a fail-fast answer before
+    * anything downstream runs): executes the aggregate when called and
+    * returns driver-side scalars — one Long per check. Callers that
+    * need lazy composition use [[violationCountsDf]] (a DataFrame) or
+    * [[observed]] (rides the consuming action's own pass).
+    */
   def violationCounts(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
     require(checks.nonEmpty, "no checks given")
     val aggs = checks.zipWithIndex.map { case (c, i) =>
