@@ -61,17 +61,20 @@ object Dedup {
   }
 
   /** Exact Jaccard of candidate pairs: join each side's full shingle set,
-    * count the intersection, compare against set sizes.
+    * count the intersection, compare against set sizes. The a/b sides may
+    * be the same relation (within-set dedup) or two different corpora
+    * (cross-set contamination).
     */
   private def verifiedJaccard(
-      cand: DataFrame, shHashed: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
+      cand: DataFrame, shA: DataFrame, shB: DataFrame,
+      sizesA: DataFrame, sizesB: DataFrame, threshold: Double): DataFrame =
     cand
-      .join(shHashed.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(shHashed.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh_h") === col("sb.sh_h"))
+      .join(shA.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(shB.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh_h") === col("sb.sh_h"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("a_id") === col("doc_id")).drop("doc_id")
-      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("b_id") === col("doc_id")).drop("doc_id")
+      .join(sizesA.withColumnRenamed("n_sh", "n_a"), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(sizesB.withColumnRenamed("n_sh", "n_b"), col("b_id") === col("doc_id")).drop("doc_id")
       .withColumn(
         "jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
@@ -129,7 +132,7 @@ object Dedup {
         .join(cold.as("y"), col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      verifiedJaccard(cand, sh, sizes, threshold)
+      verifiedJaccard(cand, sh, sh, sizes, sizes, threshold)
     }
   }
 
@@ -158,29 +161,64 @@ object Dedup {
     * p ≈ 0.9997 — tune bands/rows per corpus; the verify step keeps
     * precision exact either way.
     */
-  def minhashLshPairs(
-      df: DataFrame, idCol: String, textCol: String, k: Int,
-      numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
-    val numBands = numHashes / rowsPerBand
-    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
-    val bands = sig.select(
+  /** (doc_id, band, band-hash) relation from a signature relation. */
+  private def bandRel(sig: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(
       col("doc_id"),
       explode(transform(
         sequence(lit(0), lit(numBands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
         .as("x"))
       .select(col("doc_id"), col("x.band"), col("x.bh"))
+
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingleRel(df, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val bands = bandRel(
+      minhashSignatures(df, idCol, textCol, k, numHashes), numHashes / rowsPerBand, rowsPerBand)
     val cand = bands.as("p")
       .join(bands.as("q"),
         col("p.band") === col("q.band") && col("p.bh") === col("q.bh") &&
           col("p.doc_id") < col("q.doc_id"))
       .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"))
       .distinct()
-    val sh = shingleRel(df, idCol, textCol, k)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    val sh = hashedShingles(df, idCol, textCol, k)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    verifiedJaccard(cand, sh, sizes, threshold)
+    verifiedJaccard(cand, sh, sh, sizes, sizes, threshold)
+  }
+
+  /** Cross-set MinHash-LSH near-dup pairs: every LEFT document against
+    * every RIGHT document (e.g. training corpus vs held-out benchmark —
+    * FUZZY decontamination, where exact shingle overlap like
+    * Corpus.contaminationRates misses paraphrased leaks). Same LSH
+    * machinery as [[minhashLshPairs]], but candidates only form ACROSS
+    * the two sets (left bands join right bands), so the candidate volume
+    * is O(|left| + |right|) × bands with no within-set pairs at all —
+    * the right/benchmark side is typically tiny and its band relation
+    * broadcasts. Candidates get exact Jaccard verification over the two
+    * full shingle relations. Callers keep the id spaces disjoint.
+    */
+  def minhashLshPairsAcross(
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String, k: Int,
+      numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    val lb = bandRel(minhashSignatures(left, idCol, textCol, k, numHashes), numBands, rowsPerBand)
+    val rb = bandRel(minhashSignatures(right, idCol, textCol, k, numHashes), numBands, rowsPerBand)
+    val cand = lb.as("p")
+      .join(rb.as("q"), col("p.band") === col("q.band") && col("p.bh") === col("q.bh"))
+      .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"))
+      .distinct()
+    val shL = hashedShingles(left, idCol, textCol, k)
+    val shR = hashedShingles(right, idCol, textCol, k)
+    val sizesL = shL.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sizesR = shR.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    verifiedJaccard(cand, shL, shR, sizesL, sizesR, threshold)
   }
 
   /** Connected components over an undirected pair relation (a_id, b_id)

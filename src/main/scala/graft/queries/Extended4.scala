@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Text}
+import graft.ops.Num
+import QueryDef.tbl
+
+/** Round-3 additions (q101+): the curation operators a training-data
+  * pipeline runs between dedup and packing — PII redaction, quality-aware
+  * duplicate resolution (keep the BEST copy, not the first), and fuzzy
+  * cross-set benchmark decontamination (LSH across two corpora, where
+  * exact shingle overlap misses paraphrased leaks). All three are
+  * DuckDB-oracled.
+  */
+object Extended4 {
+
+  // dialect-neutral patterns (no lookarounds — Java regex and RE2 agree);
+  // phone key is zero-padded to 6 so no fixture custkey truncates
+  private val emailPat = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phonePat = "\\+1-555-[0-9]{6}"
+
+  val all: Seq[QueryDef] = Seq(
+    // PII redaction: scrub emails/phones from free text and count what
+    // was redacted (the audit trail). The fixture corpus carries no PII,
+    // so contact strings are manufactured deterministically from
+    // customer keys — BOTH engines build the identical input, then the
+    // redaction itself is what the hash-match verifies. Pure
+    // regexp_replace/extract_all: codegen'd, linear, partition-local.
+    QueryDef(
+      "q101_pii_scrub",
+      (s, dir) => {
+        val contact = concat(
+          col("c_name"), lit(" reach me at user"), col("c_custkey").cast("string"),
+          lit("@example.com or call +1-555-"),
+          lpad(col("c_custkey").cast("string"), 6, "0"), lit(" now"))
+        tbl(s, dir, "customer")
+          .select(col("c_custkey"), contact.as("contact"))
+          .select(
+            col("c_custkey"),
+            regexp_replace(
+              regexp_replace(col("contact"), emailPat, "<EMAIL>"),
+              phonePat, "<PHONE>").as("scrubbed"),
+            size(regexp_extract_all(col("contact"), lit(emailPat), lit(0)))
+              .cast("bigint").as("n_emails"),
+            size(regexp_extract_all(col("contact"), lit(phonePat), lit(0)))
+              .cast("bigint").as("n_phones"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""WITH b AS (SELECT c_custkey,
+              |  c_name || ' reach me at user' || CAST(c_custkey AS VARCHAR)
+              |    || '@example.com or call +1-555-'
+              |    || lpad(CAST(c_custkey AS VARCHAR), 6, '0') || ' now' AS contact
+              |  FROM customer)
+              |SELECT c_custkey,
+              |  regexp_replace(regexp_replace(contact,
+              |    '$emailPat', '<EMAIL>', 'g'), '$phonePat', '<PHONE>', 'g') AS scrubbed,
+              |  len(regexp_extract_all(contact, '$emailPat')) AS n_emails,
+              |  len(regexp_extract_all(contact, '$phonePat')) AS n_phones
+              |FROM b ORDER BY c_custkey""".stripMargin)),
+
+    // Quality-aware dedup: among exact duplicates (same normalized-text
+    // fingerprint), keep the HIGHEST-quality copy rather than the first
+    // — the resolution rule real pipelines use when duplicates differ in
+    // surrounding cleanliness. One window over (fp): rank by quality
+    // desc, doc_id asc (total order — quality is an exact integer-ratio
+    // score, identical cross-engine per q32's oracle).
+    QueryDef(
+      "q102_quality_dedup",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .withColumn("__t", Text.tokensNorm(col("text")))
+          .withColumn("__q", Text.qualityScoreFromTokens(col("__t")))
+          .withColumn("fp", Text.fingerprintMd5(col("text")))
+        val w = Window.partitionBy(col("fp")).orderBy(col("__q").desc, col("doc_id").asc)
+        d.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("fp"), Num.roundTo(col("__q"), 4).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+              |    len(${TextQueries.wsSql}) AS n,
+              |    ${TextQueries.scoreSql(Text.stopwordsEn)} AS n_stop,
+              |    len(list_distinct(${TextQueries.wsSql})) AS n_dist
+              |  FROM documents),
+              |q AS (SELECT doc_id, fp,
+              |        (n_stop / n) * 0.4 + (n_dist / n) * 0.3
+              |          + least(1.0, n / 100.0) * 0.3 AS quality
+              |      FROM t),
+              |r AS (SELECT doc_id, fp, quality,
+              |        row_number() OVER (PARTITION BY fp
+              |                           ORDER BY quality DESC, doc_id) AS rn
+              |      FROM q)
+              |SELECT doc_id, fp, ${Num.roundSql("quality", 4)} AS quality
+              |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Fuzzy benchmark decontamination: MinHash-LSH pairs ACROSS two
+    // corpora (training side vs the src15-src19 held-out slice) with
+    // exact Jaccard verification — catches near-verbatim leaks that
+    // q62's exact-shingle overlap understates. Oracled with the exact
+    // cross-set pair SQL (same recall-1.0 + exact-verification argument
+    // as q37; every fixture cross pair sits at jaccard ≥ 0.88, far above
+    // the 0.5 band threshold). Candidates only form across the sets:
+    // O(docs × bands) with a broadcastable benchmark band relation at
+    // 100 TB.
+    QueryDef(
+      "q103_fuzzy_contamination",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val benchSrc = Seq("src15", "src16", "src17", "src18", "src19")
+        Dedup.minhashLshPairsAcross(
+          docs.filter(!col("source").isin(benchSrc: _*)),
+          docs.filter(col("source").isin(benchSrc: _*)),
+          "doc_id", "text", 3, 64, 4, 0.5)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source, ${TextQueries.wsSql} AS ws FROM documents),
+              |sh AS (SELECT DISTINCT doc_id, source,
+              |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              |       FROM w CROSS JOIN range(1, 1000) t(i) WHERE i <= len(ws) - 2),
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_inter
+              |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+              |  WHERE x.source NOT IN ('src15','src16','src17','src18','src19')
+              |    AND y.source IN ('src15','src16','src17','src18','src19')
+              |  GROUP BY 1, 2)
+              |SELECT a_id, b_id,
+              |  n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON sa.doc_id = a_id
+              |JOIN sizes sb ON sb.doc_id = b_id
+              |WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+              |ORDER BY a_id, b_id""".stripMargin)))
+}

@@ -102,6 +102,26 @@ class TextDedupSpec extends SparkSuite {
     assert(exact.nonEmpty && lsh == exact) // verification step makes precision exact; recall observed 1.0
   }
 
+  test("cross-set LSH: equals exact cross-set jaccard pairs, no within-set pairs") {
+    val d = graft.Tables.load(spark, sf0001, "documents")
+    val benchSrc = Seq("src15", "src16", "src17", "src18", "src19")
+    val bench = d.filter($"source".isin(benchSrc: _*))
+    val corpus = d.filter(!$"source".isin(benchSrc: _*))
+    val got = Dedup.minhashLshPairsAcross(corpus, bench, "doc_id", "text", 3, 64, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact reference: all ≥0.5 pairs, reoriented to (corpus, bench)
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactCross = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (benchIds(b) && !benchIds(a)) Some((a, b))
+        else if (benchIds(a) && !benchIds(b)) Some((b, a))
+        else None
+      }.toSet
+    assert(got.nonEmpty && got == exactCross)
+    assert(got.forall { case (a, b) => !benchIds(a) && benchIds(b) })
+  }
+
   test("simhash: identical docs hamming 0; near-dups close; distinct docs far") {
     val sims = Dedup.simhash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
