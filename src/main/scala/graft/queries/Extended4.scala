@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Text}
-import graft.ops.Num
+import graft.ops.{Layout, Num}
 import QueryDef.tbl
 
 /** Round-3 additions (q101+): the curation operators a training-data
@@ -133,5 +133,46 @@ object Extended4 {
               |JOIN sizes sa ON sa.doc_id = a_id
               |JOIN sizes sb ON sb.doc_id = b_id
               |WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-              |ORDER BY a_id, b_id""".stripMargin)))
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Z-order (Morton) locality: interleave min-max-normalized
+    // (l_partkey, l_suppkey) bits, bucket by the top 4 z-bits, and show
+    // each bucket's bounding box in BOTH dimensions — the multi-dim
+    // file-pruning layout (ops/Layout.writeZOrdered writes it; this
+    // query oracle-checks the arithmetic: the interleave SQL is
+    // generated from the same Scala loop as the Column expression, so
+    // the engines agree by construction).
+    QueryDef(
+      "q104_zorder_locality",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        val mm = li.agg(
+          min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+          min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+        li.crossJoin(broadcast(mm))
+          .withColumn("__z", Layout.zValue(
+            col("l_partkey"), col("pmin"), col("pmax"),
+            col("l_suppkey"), col("smin"), col("smax"), 16))
+          .withColumn("bucket", shiftright(col("__z"), 28))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("l_partkey")).as("p_lo"), max(col("l_partkey")).as("p_hi"),
+            min(col("l_suppkey")).as("s_lo"), max(col("l_suppkey")).as("s_hi"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH mm AS (SELECT min(l_partkey) pmin, max(l_partkey) pmax,
+              |                  min(l_suppkey) smin, max(l_suppkey) smax
+              |           FROM lineitem),
+              |nrm AS (SELECT l_partkey, l_suppkey,
+              |         CAST(floor((l_partkey - pmin) * 65535.0 / (pmax - pmin)) AS BIGINT) AS an,
+              |         CAST(floor((l_suppkey - smin) * 65535.0 / (smax - smin)) AS BIGINT) AS bn
+              |       FROM lineitem CROSS JOIN mm),
+              |zr AS (SELECT l_partkey, l_suppkey,
+              |         ${Layout.interleaveSql("an", "bn", 16)} AS zv
+              |       FROM nrm)
+              |SELECT zv >> 28 AS bucket, count(*) AS n,
+              |  min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
+              |  min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi
+              |FROM zr GROUP BY 1 ORDER BY bucket""".stripMargin)))
 }
