@@ -259,22 +259,25 @@ object Dedup {
             least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label") +:
             passthrough.map(c => col(s"l.$c")): _*)
     }
-    var changed = 1L
+    var changed = true
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (changed && i < maxIter) {
       // TWO hops per materialization round, with the prior label carried
       // as __old: halves the checkpoint+count job overhead per converged
       // distance (propagation is monotone, so extra steps never
-      // over-shoot; the convergence check stays exact — a filter+count
-      // on the checkpointed frame, not a join).
+      // over-shoot; the convergence check stays exact — a filter over
+      // the checkpointed frame, not a join). isEmpty (take-1) instead of
+      // count(): non-final rounds short-circuit on the first changed
+      // label instead of scanning every partition; only the converged
+      // final round pays a full scan.
       val withOld = labels.withColumn("__old", col("label"))
       val next = propagate(propagate(withOld, Seq("__old")), Seq("__old"))
         .localCheckpoint()
-      changed = next.filter(col("label") =!= col("__old")).count()
+      changed = !next.filter(col("label") =!= col("__old")).isEmpty
       labels = next.select(col("node"), col("label"))
       i += 1
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    require(!changed, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
