@@ -45,6 +45,26 @@ object Sinks {
   def table(df: DataFrame, name: String, mode: SaveMode = SaveMode.Append): Unit =
     df.write.mode(mode).saveAsTable(name)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetMb`-sized files. The streaming/micro-batch sinks above land
+    * one file per task per trigger; at 100 TB that decays scan
+    * performance (footer-per-file overhead, tiny row groups) until a
+    * compaction pass rewrites history. File count = ceil(input bytes /
+    * target); `coalesce` keeps the rewrite narrow (no shuffle — each
+    * output task concatenates a set of input files). Returns the file
+    * count written.
+    */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession, inPath: String, outPath: String,
+      targetMb: Int = 256): Int = {
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes + (targetMb.toLong << 20) - 1) / (targetMb.toLong << 20))
+      .max(1).min(10000).toInt
+    df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(outPath)
+    n
+  }
+
   def jdbc(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
 }

@@ -174,5 +174,39 @@ object Extended4 {
               |SELECT zv >> 28 AS bucket, count(*) AS n,
               |  min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
               |  min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi
-              |FROM zr GROUP BY 1 ORDER BY bucket""".stripMargin)))
+              |FROM zr GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // SCD type-2 history build: turn a change stream into validity
+    // intervals — eff_from = the change's timestamp, eff_to = the NEXT
+    // change for the same key (NULL ⇒ current row). One window with a
+    // total per-key order (ts, then the globally-unique event_id), no
+    // self-join — the warehouse-dimension twin of q79's latest-only CDC
+    // compaction.
+    QueryDef(
+      "q105_scd2",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("next_ts", lead(col("ts"), 1).over(w))
+          .select(
+            col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("eff_from"),
+            date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss").as("eff_to"),
+            col("next_ts").isNull.as("is_current"),
+            Num.roundTo(col("value"), 4).as("value_r"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+              |           FROM events),
+              |v AS (SELECT user_id, event_id, ts, value,
+              |        lead(ts) OVER (PARTITION BY user_id
+              |                       ORDER BY ts, event_id) AS next_ts
+              |      FROM e)
+              |SELECT user_id, event_id,
+              |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS eff_from,
+              |  strftime(next_ts, '%Y-%m-%d %H:%M:%S') AS eff_to,
+              |  (next_ts IS NULL) AS is_current,
+              |  ${Num.roundSql("value", 4)} AS value_r
+              |FROM v ORDER BY user_id, event_id""".stripMargin)))
 }

@@ -85,6 +85,22 @@ class SinksSpec extends SparkSuite {
     permissive.unpersist()
   }
 
+  test("compactParquet rewrites many small files into few, row-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+    // land deliberately fragmented: one file per shuffle partition
+    li.repartition(40).write.parquet(s"$dir/small")
+    def partFiles(p: String) = new java.io.File(p)
+      .listFiles().count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles(s"$dir/small") == 40)
+    val n = Sinks.compactParquet(spark, s"$dir/small", s"$dir/compacted", targetMb = 64)
+    assert(partFiles(s"$dir/compacted") == n && n < 40)
+    // row-identical after the rewrite
+    val a = spark.read.parquet(s"$dir/small").count()
+    val b = spark.read.parquet(s"$dir/compacted").count()
+    assert(a == b && b == li.count())
+  }
+
   test("renamed applies exact-case mappings only") {
     val df = Seq((1.0, "s")).toDF("daily_avg_temperature", "wind_strength")
     val out = Sinks.renamed(df, Map(
