@@ -203,6 +203,65 @@ object Streaming {
       }
   }
 
+  /** Spark 4 `transformWithState` form of the running per-user totals —
+    * the successor API to mapGroupsWithState: typed state handles
+    * (ValueState/ListState/MapState) with DECLARATIVE per-state TTL
+    * (the store evicts expired entries itself — no hand-rolled timeout
+    * bookkeeping), timers, and a RocksDB-backed store. This is the shape
+    * new stateful operators should take on Spark 4+; the
+    * mapGroupsWithState variants above remain as the portable baseline.
+    */
+  private class RunningTotalsProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserRunning] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble),
+        ttl)
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; s += r._2 }
+      totals.update((n, s))
+      Iterator.single(UserRunning(user, n, s))
+    }
+  }
+
+  /** transformWithState requires the RocksDB state store provider; TTL
+    * requires processing-time semantics (TimeMode.ProcessingTime). Pass
+    * ttl=None for unbounded state (TimeMode.None) — only for bounded
+    * key domains, same caveat as [[runningUserAgg]].
+    *
+    * NOTE: under TimeMode.ProcessingTime the engine keeps scheduling
+    * micro-batches to advance processing time (TTL sweeps), so
+    * `processAllAvailable` on a continuous trigger never settles —
+    * drive bounded runs with Trigger.AvailableNow (which also exercises
+    * checkpoint-restart state durability; StreamingSpec does exactly
+    * that).
+    */
+  def runningUserAggTws(
+      events: DataFrame,
+      ttl: Option[java.time.Duration] = Some(java.time.Duration.ofHours(1)))
+      : org.apache.spark.sql.Dataset[UserRunning] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    val spark = events.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor(ttlConf), timeMode, OutputMode.Update())
+  }
+
   /** foreachBatch sink: idempotent micro-batch landing. Each batch writes
     * under `batch_id=<id>/` with dynamic partition overwrite, so a
     * RETRIED batch replaces its own partition instead of duplicating it —

@@ -200,6 +200,57 @@ class StreamingSpec extends SparkSuite {
     assert(rows.contains((7L, 1L, 9.0, false)), s"state not reset for 7: ${rows.toSeq}")
   }
 
+  test("transformWithState (Spark 4 API): RocksDB state survives a checkpointed restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    // runningUserAggTws flips the session to the RocksDB provider —
+    // restore the prior provider afterwards so sibling tests keep the
+    // default store
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    try {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    val mem = MemoryStream[(Long, Double)]
+    val agg = Streaming.runningUserAggTws(
+      mem.toDF().toDF("user_id", "value"), Some(java.time.Duration.ofHours(1)))
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    def runOnce(): Unit = {
+      // Trigger.Once: exactly one micro-batch per start, then STOP.
+      // Under TimeMode.ProcessingTime the operator reports "needs
+      // another batch" after EVERY batch (TTL sweeps), so both a
+      // continuous trigger and AvailableNow's MultiBatchExecutor loop
+      // forever — Once is the bounded driver for processing-time state.
+      // Sink is foreachBatch (memory sink refuses checkpoint recovery).
+      val q = agg.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[Streaming.UserRunning], _: Long) =>
+            collected.synchronized {
+              collected ++= batch.collect().map(u => (u.user_id, u.n_events, u.value_sum))
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    mem.addData((7L, 1.0), (7L, 2.0), (8L, 5.0))
+    runOnce()
+    // second RUN (not just a second batch): state reloads from the
+    // RocksDB checkpoint, so user 7 continues from (2, 3.0)
+    mem.addData((7L, 4.0))
+    runOnce()
+    val last = collected.groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    assert(last(7L) == (7L, 3L, 7.0), s"state lost across restart: ${collected.toSeq}")
+    assert(last(8L) == (8L, 1L, 5.0))
+    } finally {
+      priorProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("session_window streaming agg matches gaps-and-islands session count") {
     val stream = Streaming.eventsFileStream(spark, eventsDir)
     val sess = Streaming.sessionAgg(stream, "30 minutes", "10 minutes")
