@@ -208,5 +208,34 @@ object Extended4 {
               |  strftime(next_ts, '%Y-%m-%d %H:%M:%S') AS eff_to,
               |  (next_ts IS NULL) AS is_current,
               |  ${Num.roundSql("value", 4)} AS value_r
-              |FROM v ORDER BY user_id, event_id""".stripMargin)))
+              |FROM v ORDER BY user_id, event_id""".stripMargin)),
+
+    // Spark 4 VARIANT: parse the semi-structured props payload into the
+    // binary variant type (schema-on-read WITHOUT a declared schema —
+    // the open-content twin of q30/q71's typed from_json) and extract a
+    // typed field plus the inferred per-row schema, aggregated. At
+    // 100 TB variant shreds/filters without materializing a global
+    // schema, which is the point for heterogeneous event payloads.
+    QueryDef(
+      "q106_variant",
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .select(col("event_id"), parse_json(col("props")).as("v"))
+          .select(
+            col("event_id"),
+            variant_get(col("v"), "$.k", "bigint").as("k_val"),
+            schema_of_variant(col("v")).as("v_schema"))
+          .groupBy(col("v_schema"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k_val")).as("k_sum"),
+            min(col("k_val")).as("k_min"),
+            max(col("k_val")).as("k_max"))
+          .orderBy("v_schema"),
+      Some("""WITH x AS (SELECT event_id,
+             |  CAST(props->>'$.k' AS BIGINT) AS k_val FROM events)
+             |SELECT 'OBJECT<k: BIGINT>' AS v_schema, count(*) AS n,
+             |  CAST(sum(k_val) AS BIGINT) AS k_sum,
+             |  min(k_val) AS k_min, max(k_val) AS k_max
+             |FROM x ORDER BY v_schema""".stripMargin)))
 }
