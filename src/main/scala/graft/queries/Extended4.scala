@@ -237,5 +237,51 @@ object Extended4 {
              |SELECT 'OBJECT<k: BIGINT>' AS v_schema, count(*) AS n,
              |  CAST(sum(k_val) AS BIGINT) AS k_sum,
              |  min(k_val) AS k_min, max(k_val) AS k_max
-             |FROM x ORDER BY v_schema""".stripMargin)))
+             |FROM x ORDER BY v_schema""".stripMargin)),
+
+    // Deterministic quality-WEIGHTED sampling — the data-mixing
+    // primitive (keep each document with probability ∝ its quality
+    // score, reproducibly): u = first 8 md5 hex digits of the text as a
+    // uniform [0,1) draw, keep iff u < quality. Content-derived draws
+    // are retry/partition-stable (rand() is neither) and md5 is
+    // engine-independent, so the SAMPLE ITSELF is oracle-verified —
+    // both engines keep exactly the same rows. Embarrassingly parallel:
+    // one filter, no shuffle.
+    QueryDef(
+      "q107_weighted_sample",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .withColumn("__t", Text.tokensNorm(col("text")))
+          .withColumn("__q", Text.qualityScoreFromTokens(col("__t")))
+        val u = conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast("long").cast("double") / lit(4294967296.0)
+        d.withColumn("__u", u)
+          .filter(col("__u") < col("__q"))
+          .select(col("doc_id"),
+            Num.roundTo(col("__q"), 4).as("quality"),
+            Num.roundTo(col("__u"), 6).as("u"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, md5(text) AS h,
+              |    len(${TextQueries.wsSql}) AS n,
+              |    ${TextQueries.scoreSql(Text.stopwordsEn)} AS n_stop,
+              |    len(list_distinct(${TextQueries.wsSql})) AS n_dist
+              |  FROM documents),
+              |q AS (SELECT doc_id,
+              |        (n_stop / n) * 0.4 + (n_dist / n) * 0.3
+              |          + least(1.0, n / 100.0) * 0.3 AS quality,
+              |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0
+              |          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216.0
+              |          + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576.0
+              |          + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536.0
+              |          + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096.0
+              |          + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256.0
+              |          + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16.0
+              |          + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) AS uv
+              |      FROM t)
+              |SELECT doc_id, ${Num.roundSql("quality", 4)} AS quality,
+              |  ${Num.roundSql("uv / 4294967296.0", 6)} AS u
+              |FROM q WHERE uv / 4294967296.0 < quality
+              |ORDER BY doc_id""".stripMargin)))
 }
