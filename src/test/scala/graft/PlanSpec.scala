@@ -187,6 +187,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("q103: cross-set LSH is equi-joins only; q107: sampling filter runs scan-side (no shuffle)") {
+    val p103 = plan(q("q103_fuzzy_contamination"))
+    assert(!p103.contains("CartesianProduct") && !p103.contains("BroadcastNestedLoopJoin"), p103)
+    val p107 = plan(q("q107_weighted_sample"))
+    // one scan + filter + sort for the ordered output; no Exchange
+    // before the filter (the draw is computed per-row at the scan)
+    val beforeSort = p107.split("Sort").head
+    assert(!beforeSort.contains("Exchange hashpartitioning"), p107)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(
