@@ -283,5 +283,79 @@ object Extended4 {
               |SELECT doc_id, ${Num.roundSql("quality", 4)} AS quality,
               |  ${Num.roundSql("uv / 4294967296.0", 6)} AS u
               |FROM q WHERE uv / 4294967296.0 < quality
-              |ORDER BY doc_id""".stripMargin)))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Character-entropy quality signal (CCNet/Gopher-style gibberish
+    // filter): Shannon entropy in bits over each document's character
+    // distribution. Per-term values are rounded to 12 places and summed
+    // in DECIMAL so the per-doc sum is order-independent — the standard
+    // trick here for oracle-exact floating aggregation (ln itself
+    // matches bit-for-bit across engines, as q65's tf-idf established).
+    QueryDef(
+      "q108_char_entropy",
+      (s, dir) => {
+        val counts = tbl(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).as("n"),
+            explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "")
+          .groupBy(col("doc_id"), col("n"), col("ch"))
+          .agg(count(lit(1)).as("c"))
+        val p = col("c").cast("double") / col("n").cast("double")
+        val term = (p * log(p) / log(lit(2.0))) * lit(-1.0)
+        counts
+          .groupBy(col("doc_id"), col("n"))
+          .agg(sum(Num.roundTo(term, 12)
+            .cast(org.apache.spark.sql.types.DecimalType(24, 12))).cast("double").as("h"))
+          .select(col("doc_id"), col("n").cast("bigint").as("n_chars"),
+            Num.roundTo(col("h"), 4).as("entropy_bits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ch AS (SELECT doc_id, length(text) AS n, substr(text, i, 1) AS c1
+              |            FROM documents CROSS JOIN range(1, 4001) t(i)
+              |            WHERE i <= length(text)),
+              |g AS (SELECT doc_id, n, c1, count(*) AS c FROM ch GROUP BY 1, 2, 3),
+              |e AS (SELECT doc_id, n,
+              |        sum(CAST(${Num.roundSql("((c / n) * ln(c / n) / ln(2)) * -1.0", 12)}
+              |                 AS DECIMAL(24,12))) AS h
+              |      FROM g GROUP BY 1, 2)
+              |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+              |  ${Num.roundSql("CAST(h AS DOUBLE)", 4)} AS entropy_bits
+              |FROM e ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-based source mixing (the multilingual-LM sampling
+    // rule, alpha = 0.5): per-source weight ∝ n^alpha, renormalized;
+    // per-source sampling rate to hit the target mix in expectation.
+    // The Σ n^alpha normalizer accumulates rounded DECIMAL terms so the
+    // cross-source sum is order-independent and oracle-exact.
+    QueryDef(
+      "q109_mix_rates",
+      (s, dir) => {
+        val perSrc = tbl(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val wRaw = Num.roundTo(sqrt(col("n_docs").cast("double")), 8)
+        val totals = perSrc.agg(
+          sum(col("n_docs")).as("n_total"),
+          sum(wRaw.cast(org.apache.spark.sql.types.DecimalType(24, 8)))
+            .cast("double").as("w_sum"))
+        perSrc.crossJoin(broadcast(totals))
+          .select(
+            col("source"), col("n_docs"),
+            Num.roundTo(wRaw / col("w_sum"), 6).as("weight"),
+            Num.roundTo(
+              least(lit(1.0),
+                (wRaw / col("w_sum")) * col("n_total").cast("double") /
+                  col("n_docs").cast("double")), 6).as("sample_rate"))
+          .orderBy("source")
+      },
+      Some(s"""WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+              |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+              |        CAST(sum(CAST(${Num.roundSql("sqrt(CAST(n_docs AS DOUBLE))", 8)}
+              |                      AS DECIMAL(24,8))) AS DOUBLE) AS w_sum
+              |      FROM s)
+              |SELECT source, n_docs,
+              |  ${Num.roundSql(s"${Num.roundSql("sqrt(CAST(n_docs AS DOUBLE))", 8)} / w_sum", 6)} AS weight,
+              |  ${Num.roundSql(
+                s"least(1.0, (${Num.roundSql("sqrt(CAST(n_docs AS DOUBLE))", 8)} / w_sum) * n_total / n_docs)",
+                6)} AS sample_rate
+              |FROM s CROSS JOIN t ORDER BY source""".stripMargin)))
 }
