@@ -357,5 +357,66 @@ object Extended4 {
               |  ${Num.roundSql(
                 s"least(1.0, (${Num.roundSql("sqrt(CAST(n_docs AS DOUBLE))", 8)} / w_sum) * n_total / n_docs)",
                 6)} AS sample_rate
-              |FROM s CROSS JOIN t ORDER BY source""".stripMargin)))
+              |FROM s CROSS JOIN t ORDER BY source""".stripMargin)),
+
+    // End-to-end fuzzy-dedup RESOLUTION — the capstone that composes the
+    // dedup stack: exact near-dup pairs (q36) → connected components
+    // (q70) → keep the best-QUALITY representative per cluster (q102's
+    // rule, upgraded from exact-dup groups to fuzzy clusters); singleton
+    // docs are their own cluster. Output is the full decision table a
+    // pipeline applies (doc_id, cluster, kept). Oracle: the recursive-CTE
+    // component labeling (q70's) joined with the quality CTE and the
+    // same keep-window.
+    QueryDef(
+      "q110_dedup_resolve",
+      (s, dir) => {
+        val raw = tbl(s, dir, "documents")
+        val d = raw
+          .withColumn("__t", Text.tokensNorm(col("text")))
+          .select(col("doc_id"), Text.qualityScoreFromTokens(col("__t")).as("__q"))
+        val clusters = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(raw, "doc_id", "text", 3, 0.5))
+        val w = Window.partitionBy(col("cluster_id")).orderBy(col("__q").desc, col("doc_id").asc)
+        d.join(clusters, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("rn", row_number().over(w))
+          .select(col("doc_id"), col("cluster_id"),
+            (col("rn") === 1).as("kept"),
+            Num.roundTo(col("__q"), 4).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${TextQueries.shingleCte},
+              |inter AS (
+              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_inter
+              |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2),
+              |p AS (SELECT a_id, b_id FROM inter
+              |      JOIN sizes sa ON sa.doc_id = a_id
+              |      JOIN sizes sb ON sb.doc_id = b_id
+              |      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+              |e AS (SELECT a_id AS src, b_id AS dst FROM p
+              |      UNION SELECT b_id, a_id FROM p),
+              |r AS (SELECT src AS node, dst AS reach FROM e
+              |      UNION
+              |      SELECT r.node, e.dst AS reach FROM r JOIN e ON r.reach = e.src),
+              |cl AS (SELECT node AS doc_id, least(node, min(reach)) AS cluster_id
+              |       FROM r GROUP BY node),
+              |tq AS (SELECT doc_id, len(${TextQueries.wsSql}) AS n,
+              |         ${TextQueries.scoreSql(Text.stopwordsEn)} AS n_stop,
+              |         len(list_distinct(${TextQueries.wsSql})) AS n_dist
+              |       FROM documents),
+              |qy AS (SELECT doc_id,
+              |         (n_stop / n) * 0.4 + (n_dist / n) * 0.3
+              |           + least(1.0, n / 100.0) * 0.3 AS quality
+              |       FROM tq),
+              |j AS (SELECT qy.doc_id, COALESCE(cl.cluster_id, qy.doc_id) AS cluster_id,
+              |        qy.quality
+              |      FROM qy LEFT JOIN cl ON cl.doc_id = qy.doc_id),
+              |rk AS (SELECT doc_id, cluster_id, quality,
+              |         row_number() OVER (PARTITION BY cluster_id
+              |                            ORDER BY quality DESC, doc_id) AS rn
+              |       FROM j)
+              |SELECT doc_id, cluster_id, rn = 1 AS kept,
+              |  ${Num.roundSql("quality", 4)} AS quality
+              |FROM rk ORDER BY doc_id""".stripMargin)))
 }

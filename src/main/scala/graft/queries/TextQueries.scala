@@ -24,7 +24,7 @@ object TextQueries {
 
   // shingle relation CTE (3-grams, distinct per doc); range bound 1000
   // covers any fixture doc (≤ ~120 tokens)
-  private val shingleCte =
+  private[queries] val shingleCte =
     s"""w AS (SELECT doc_id, $wsSql AS ws FROM documents),
        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
        |       FROM w CROSS JOIN range(1, 1000) t(i) WHERE i <= len(ws) - 2),
