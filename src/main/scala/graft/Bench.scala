@@ -32,7 +32,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Output ordering is deliberate: the driver captures the TAIL of
+    // stdout, and the combined line alone is ~4 KB — with the headline
+    // number at its head, truncation used to eat it (BENCH_r02/r03 both
+    // recorded parsed:null). Emit the combined line first (the full
+    // record when nothing truncates), then one short line per query, then
+    // a compact total line LAST so the headline always survives.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    results.foreach { case (k, v) => println(s"""{"query":"$k","sec":$v}""") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -445,6 +445,8 @@ object Extended2 {
     // Near-dup pairs → dedup GROUPS: connected components (iterative
     // min-label propagation) over the exact-Jaccard pair relation, so a
     // duplicate CHAIN (a~b~c without a~c) still collapses to one keeper.
+    // Pair generation runs behind the maxDf hot-shingle guard (≥ any
+    // fixture df → identical output, O(maxDf²)-bounded plan; see q36).
     // The oracle computes the same components via a recursive CTE.
     QueryDef(
       "q70_dedup_clusters",
@@ -452,7 +454,7 @@ object Extended2 {
         graft.ext.Dedup
           .connectedComponents(
             graft.ext.Dedup.ngramJaccardPairs(
-              tbl(s, dir, "documents"), "doc_id", "text", 3, 0.5))
+              tbl(s, dir, "documents"), "doc_id", "text", 3, 0.5, maxDf = 1000))
           .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $shingleCte,
               |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

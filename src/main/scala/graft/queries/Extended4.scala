@@ -360,7 +360,10 @@ object Extended4 {
               |FROM s CROSS JOIN t ORDER BY source""".stripMargin)),
 
     // End-to-end fuzzy-dedup RESOLUTION — the capstone that composes the
-    // dedup stack: exact near-dup pairs (q36) → connected components
+    // ACTUAL 100 TB dedup stack: MinHash-LSH near-dup pairs (q37 — exact
+    // verification makes precision 1.0, and candidate recall 1.0 on this
+    // corpus is pinned in TextDedupSpec, so the pair set EQUALS the exact
+    // q36 relation with no df² term anywhere) → connected components
     // (q70) → keep the best-QUALITY representative per cluster (q102's
     // rule, upgraded from exact-dup groups to fuzzy clusters); singleton
     // docs are their own cluster. Output is the full decision table a
@@ -375,7 +378,7 @@ object Extended4 {
           .withColumn("__t", Text.tokensNorm(col("text")))
           .select(col("doc_id"), Text.qualityScoreFromTokens(col("__t")).as("__q"))
         val clusters = Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(raw, "doc_id", "text", 3, 0.5))
+          Dedup.minhashLshPairs(raw, "doc_id", "text", 3, 64, 4, 0.5))
         val w = Window.partitionBy(col("cluster_id")).orderBy(col("__q").desc, col("doc_id").asc)
         d.join(clusters, Seq("doc_id"), "left")
           .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))

@@ -160,11 +160,17 @@ object TextQueries {
               |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
 
     // Exact 3-gram-shingle Jaccard near-dup pairs at ≥ 0.5 — pairs only
-    // materialize through the shared-shingle join.
+    // materialize through the shared-shingle join, and candidate
+    // generation runs behind the maxDf hot-shingle guard (df ≤ 1000 —
+    // far above any fixture df, max 25 at sf0.1, so output is identical;
+    // what changes is the PLAN: a boilerplate shingle shared by 100k docs
+    // caps at maxDf² candidate rows instead of df²). Verification uses
+    // the FULL shingle sets, so every emitted jaccard is exact.
     QueryDef(
       "q36_dedup_ngram",
       (s, dir) =>
-        Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+        Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", 3, 0.5,
+            maxDf = 1000)
           .orderBy("a_id", "b_id"),
       Some(exactJaccardSql)),
 
