@@ -37,8 +37,11 @@ object Bench {
     // number at its head, truncation used to eat it (BENCH_r02/r03 both
     // recorded parsed:null). Emit the combined line first (the full
     // record when nothing truncates), then one short line per query, then
-    // a compact total line LAST so the headline always survives.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a compact total line LAST so the headline always survives. Only the
+    // LAST line carries "metric":"total" — the combined line is
+    // "total_detail" so grep-all consumers never double-count and
+    // first-match/last-match parsers agree on the schema.
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     results.foreach { case (k, v) => println(s"""{"query":"$k","sec":$v}""") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()

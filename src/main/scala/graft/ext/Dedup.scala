@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hot-shingle guard value used by the pinned battery queries (q36,
+    * q70). One shared constant — the guard only leaves query output
+    * identical to the unguarded exact plan while every shingle df stays
+    * ≤ this bound, so the fixture's max df (25 at sf0.1) is asserted to
+    * sit well under it in TextDedupSpec ("fixture df headroom").
+    */
+  val BatteryMaxDf = 1000
+
   /** Exact-duplicate groups by md5 of normalized text: (fp, keep_id =
     * smallest doc id, n_docs). Group-then-min keeps one deterministic
     * representative.
@@ -116,23 +124,48 @@ object Dedup {
     } else {
       // Hot-shingle guard for the 100×-scale hazard: the self-join above
       // produces O(df²) pair rows PER shingle, so one boilerplate shingle
-      // shared by 100k docs would blow up a single join key. Candidate
-      // GENERATION here only uses shingles with df ≤ maxDf; candidates
-      // are then verified with EXACT Jaccard over the FULL shingle sets
-      // (hot shingles still count toward intersections and sizes), so
-      // every emitted pair carries its true jaccard. The only loss is
+      // shared by 100k docs would blow up a single join key. Split the
+      // shingle relation at df = maxDf and compute the intersection in
+      // two parts:
+      //   n_inter = n_cold (direct pair-group join over cold shingles,
+      //             the same cheap plan as the unguarded branch, now
+      //             O(maxDf²)-bounded per key)
+      //           + n_hot  (candidate pairs rejoined against the HOT-ONLY
+      //             occurrence relation — empty on a healthy corpus, and
+      //             O(candidates × hot-shingles-per-doc) on a boilerplate
+      //             one; never df²)
+      // so every emitted pair still carries its true jaccard (hot
+      // shingles count toward intersections and sizes). The only loss is
       // recall for pairs whose shared shingles are ALL hot — at threshold
       // ≥ 0.5 such a pair shares ≥ n_sh/3 shingles, every one of them
       // corpus-frequent, i.e. pure boilerplate; LSH (minhashLshPairs)
-      // recovers those without any df² term.
+      // recovers those without any df² term. (An earlier version rejoined
+      // candidates against the FULL shingle sets — semantically identical
+      // but ~6× slower at sf0.1, where the rejoin touched 20M rows that
+      // the direct pair-group join already counts for free.)
       val dfreq = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("__df"))
-      val cold = sh.join(
-        dfreq.filter(col("__df") <= maxDf).select(col("sh_h")), "sh_h")
-      val cand = cold.as("x")
+      val hotKeys = dfreq.filter(col("__df") > maxDf).select(col("sh_h"))
+      val cold = sh.join(hotKeys, Seq("sh_h"), "left_anti")
+      val hot = sh.join(hotKeys, Seq("sh_h"))
+      val coldPairs = cold.as("x")
         .join(cold.as("y"), col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      verifiedJaccard(cand, sh, sh, sizes, sizes, threshold)
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_cold"))
+      val hotInter = coldPairs.select(col("a_id"), col("b_id"))
+        .join(hot.as("ha"), col("a_id") === col("ha.doc_id"))
+        .join(hot.as("hb"), col("b_id") === col("hb.doc_id") && col("ha.sh_h") === col("hb.sh_h"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_hot"))
+      coldPairs
+        .join(hotInter, Seq("a_id", "b_id"), "left")
+        .withColumn("n_inter", col("n_cold") + coalesce(col("n_hot"), lit(0L)))
+        .join(sizes.withColumnRenamed("n_sh", "n_a"), col("a_id") === col("doc_id")).drop("doc_id")
+        .join(sizes.withColumnRenamed("n_sh", "n_b"), col("b_id") === col("doc_id")).drop("doc_id")
+        .withColumn(
+          "jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
     }
   }
 
@@ -236,8 +269,13 @@ object Dedup {
     * The convergence check (`count`) brings back one scalar per round.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // materialize the (possibly expensive) pair plan ONCE, then build the
+    // symmetric edge relation from the checkpointed copy — a union of the
+    // raw plan with its own swap would execute pair generation twice
+    val base = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .localCheckpoint()
+    val edges = base
+      .union(base.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     // seed with the ONE-HOP minimum (min of self and direct neighbors)
     // instead of self: a clique — the common near-dup cluster shape —

@@ -454,7 +454,7 @@ object Extended2 {
         graft.ext.Dedup
           .connectedComponents(
             graft.ext.Dedup.ngramJaccardPairs(
-              tbl(s, dir, "documents"), "doc_id", "text", 3, 0.5, maxDf = 1000))
+              tbl(s, dir, "documents"), "doc_id", "text", 3, 0.5, maxDf = graft.ext.Dedup.BatteryMaxDf))
           .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $shingleCte,
               |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

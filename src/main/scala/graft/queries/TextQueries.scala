@@ -170,7 +170,7 @@ object TextQueries {
       "q36_dedup_ngram",
       (s, dir) =>
         Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", 3, 0.5,
-            maxDf = 1000)
+            maxDf = Dedup.BatteryMaxDf)
           .orderBy("a_id", "b_id"),
       Some(exactJaccardSql)),
 

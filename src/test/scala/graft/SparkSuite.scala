@@ -25,6 +25,8 @@ trait SparkSuite extends AnyFunSuite {
 
   def sf0001 = "/root/testdata/sf0.001"
 
+  def sf01 = "/root/testdata/sf0.1"
+
   def resource(name: String): String =
     getClass.getResource(s"/$name").getPath
 }

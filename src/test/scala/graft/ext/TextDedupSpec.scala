@@ -122,6 +122,29 @@ class TextDedupSpec extends SparkSuite {
     assert(got.forall { case (a, b) => !benchIds(a) && benchIds(b) })
   }
 
+  test("sf0.1 (correctness/bench scale): df headroom, guarded == exact == LSH pair sets") {
+    // The battery's q36/q70 run the BatteryMaxDf-guarded plan and q37/q110
+    // run the LSH plan, while the DuckDB oracle computes the UNGUARDED
+    // exact relation — so hash-green correctness depends on (a) every
+    // shingle df staying far under the guard and (b) LSH candidate recall
+    // being 1.0 AT THIS SCALE, not just on the sf0.001 fixture. Pin both
+    // here so a fixture regeneration or new sf fails with a diagnosis
+    // instead of a generic hash mismatch.
+    val d = graft.Tables.load(spark, sf01, "documents")
+    val maxDfObserved = Dedup.shingleRel(d, "doc_id", "text", 3)
+      .groupBy("shingle").count().agg(max("count")).head().getLong(0)
+    assert(maxDfObserved * 10 <= Dedup.BatteryMaxDf,
+      s"fixture max shingle df $maxDfObserved erodes the 10x headroom under BatteryMaxDf=${Dedup.BatteryMaxDf}")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = toMap(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5))
+    val guarded = toMap(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5, maxDf = Dedup.BatteryMaxDf))
+    val lsh = toMap(Dedup.minhashLshPairs(d, "doc_id", "text", 3, 64, 4, 0.5))
+    assert(exact.nonEmpty)
+    assert(guarded == exact, s"guarded plan diverged: ${(guarded.keySet diff exact.keySet) ++ (exact.keySet diff guarded.keySet)}")
+    assert(lsh == exact, s"LSH recall < 1.0 at sf0.1: missing ${exact.keySet diff lsh.keySet}")
+  }
+
   test("simhash: identical docs hamming 0; near-dups close; distinct docs far") {
     val sims = Dedup.simhash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
