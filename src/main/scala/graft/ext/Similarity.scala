@@ -100,11 +100,17 @@ object Similarity {
   def trainCentroids(c: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
     var cent = seed
     for (_ <- 0 until iters) {
+      // mean = double(sum-as-decimal) / double(count): the DECIMAL
+      // accumulation keeps the sum order-independent (retry-determinism),
+      // and the final division is ONE IEEE double op — a shape DuckDB
+      // reproduces bit-exactly, which is what lets q40's oracle recompute
+      // the whole Lloyd loop (Spark's decimal/decimal division tower has
+      // engine-specific precision/scale rules and does not mirror)
       val comp = assignToCells(c, cent)
         .select(col("cent_id"), posexplode(col("ce")).as(Seq("pos", "v")))
         .groupBy(col("cent_id"), col("pos"))
-        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 18))) /
-          count(lit(1))).cast("double").as("v"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double") /
+          count(lit(1)).cast("double")).as("v"))
       cent = comp
         .groupBy(col("cent_id"))
         .agg(transform(

@@ -24,6 +24,33 @@ object EmbeddingQueries {
       |      FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY vec_id)""".stripMargin
   private val pairDot = "sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) / (qn * cn)"
 
+  /** One Lloyd iteration as CTE text, mirroring Similarity.trainCentroids
+    * exactly: assign every corpus vector to its nearest centroid (cosine
+    * rank, cent_id tie-break), then per-cell per-dimension mean as
+    * double(sum-as-DECIMAL(38,18)) / double(count) — the same
+    * order-independent accumulation and single IEEE division the engine
+    * performs, so the trained centroids match bit-for-bit.
+    */
+  private def lloydIter(prev: String, a: String, m: String, next: String): String =
+    s"""d_$a AS (SELECT cid, cent_id,
+       |         sum(CAST(ce[i] AS DOUBLE) * cent_e[i]) / (cn * cent_n) AS d
+       |       FROM c CROSS JOIN $prev CROSS JOIN range(1, 65) t(i)
+       |       GROUP BY cid, cent_id, cn, cent_n),
+       |$a AS (SELECT cid, cent_id FROM (
+       |         SELECT cid, cent_id,
+       |           row_number() OVER (PARTITION BY cid ORDER BY d DESC, cent_id) rnk
+       |         FROM d_$a) WHERE rnk = 1),
+       |$m AS (SELECT $a.cent_id, i AS pos,
+       |         CAST(sum(CAST(CAST(ce[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) /
+       |           CAST(count(*) AS DOUBLE) AS v
+       |       FROM $a JOIN c USING (cid) CROSS JOIN range(1, 65) t(i)
+       |       GROUP BY $a.cent_id, i),
+       |${next}_e AS (SELECT cent_id, list(v ORDER BY pos) AS cent_e FROM $m GROUP BY cent_id),
+       |$next AS (SELECT cent_id, cent_e,
+       |            sqrt(sum(cent_e[i] * cent_e[i])) AS cent_n
+       |          FROM ${next}_e CROSS JOIN range(1, 65) t(i)
+       |          GROUP BY cent_id, cent_e)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     // Brute-force cosine top-5 for 10 query vectors: corpus streams once,
     // queries broadcast, per-query heap via row_number.
@@ -52,9 +79,16 @@ object EmbeddingQueries {
 
     // IVF approximate top-5 (deterministic centroid seed + 2 Lloyd
     // iterations, 3-probe) — the 100 TB path: candidates shrink by
-    // ~nProbe/nCells. Rows-only: the probe set is centroid-dependent;
-    // SimilaritySpec pins exhaustive-probe ≡ brute force and trained
-    // recall ≥ the raw-seed baseline.
+    // ~nProbe/nCells. FULLY hash-oracled: every stage of the engine's IVF
+    // is deterministic (modular seed, cosine assignment with id
+    // tie-breaks, DECIMAL-accumulated cell means, probe ranking), so the
+    // oracle unrolls the SAME computation in SQL — seed → two Lloyd
+    // iterations → cell assignment → 3-probe → in-cell top-5 — and the
+    // doubles match bit-for-bit (same ascending-index dot/norm shape the
+    // q39/q41 oracles already pin). A divergence ANYWHERE in the IVF
+    // pipeline is a hash mismatch, a far stronger check than the old
+    // rows-only status. SimilaritySpec additionally pins exhaustive-probe
+    // ≡ brute force and trained recall ≥ the raw-seed baseline.
     QueryDef(
       "q40_embed_ivf",
       (s, dir) => {
@@ -65,7 +99,43 @@ object EmbeddingQueries {
           .select(col("qid"), col("cid"), col("rn"), Num.roundTo(col("cos"), 4).as("cos_r"))
           .orderBy("qid", "rn")
       },
-      None),
+      Some(s"""WITH $normCte,
+              |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
+              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
+              |cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
+              |          FROM c WHERE cid % 50 = 0),
+              |${lloydIter("cent0", "a1", "m1", "cent1")},
+              |${lloydIter("cent1", "a2", "m2", "cent2")},
+              |d3 AS (SELECT cid, cent_id,
+              |         sum(CAST(ce[i] AS DOUBLE) * cent_e[i]) / (cn * cent_n) AS d
+              |       FROM c CROSS JOIN cent2 CROSS JOIN range(1, 65) t(i)
+              |       GROUP BY cid, cent_id, cn, cent_n),
+              |a3 AS (SELECT cid, cent_id FROM (
+              |         SELECT cid, cent_id,
+              |           row_number() OVER (PARTITION BY cid ORDER BY d DESC, cent_id) rnk
+              |         FROM d3) WHERE rnk = 1),
+              |q AS (SELECT e.vec_id qid, e.embedding qe, n.nrm qn
+              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id WHERE e.vec_id < 10),
+              |dp AS (SELECT qid, cent_id,
+              |         sum(CAST(qe[i] AS DOUBLE) * cent_e[i]) / (qn * cent_n) AS d
+              |       FROM q CROSS JOIN cent2 CROSS JOIN range(1, 65) t(i)
+              |       GROUP BY qid, cent_id, qn, cent_n),
+              |probe AS (SELECT qid, cent_id FROM (
+              |            SELECT qid, cent_id,
+              |              row_number() OVER (PARTITION BY qid ORDER BY d DESC, cent_id) rnk
+              |            FROM dp) WHERE rnk <= 3),
+              |srch AS (SELECT qid, cid, $pairDot AS cos
+              |         FROM probe
+              |         JOIN a3 USING (cent_id)
+              |         JOIN q USING (qid)
+              |         JOIN c USING (cid)
+              |         CROSS JOIN range(1, 65) t(i)
+              |         WHERE cid != qid GROUP BY qid, cid, qn, cn),
+              |r AS (SELECT qid, cid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+              |      FROM srch)
+              |SELECT qid, cid, rn, ${Num.roundSql("cos", 4)} AS cos_r
+              |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
     // Embedding near-dup pairs blocked by label, cosine ≥ 0.4.
     QueryDef(

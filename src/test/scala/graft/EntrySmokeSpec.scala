@@ -14,10 +14,10 @@ class EntrySmokeSpec extends SparkSuite {
   test("every query key has either an oracle or a documented rows-only check") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // xxhash-bit-pattern ops are rows-only by design (q38 simhash pair
-    // set, q40 IVF probe set, q42 rolling hash); everything else carries
-    // a DuckDB oracle — sketch estimates via in-row exact+bound columns
+    // set, q42 rolling hash); everything else carries a DuckDB oracle —
+    // approximate results (sketches, IVF) via in-row exact+bound columns
     assert(noOracle == Set(
-      "q38_dedup_simhash", "q40_embed_ivf", "q42_rolling_fingerprint"))
+      "q38_dedup_simhash", "q42_rolling_fingerprint"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
