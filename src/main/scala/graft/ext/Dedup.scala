@@ -264,27 +264,36 @@ object Dedup {
     * edge relation — fully partitioned, no driver-side graph. Rounds =
     * O(component diameter), and near-dup components are shallow (dozens
     * of rounds would mean a pathological duplicate chain). Lineage is
-    * truncated per round with localCheckpoint — without it the iterative
-    * plan re-executes from scratch each round and grows unboundedly.
-    * The convergence check (`count`) brings back one scalar per round.
+    * truncated per round — without it the iterative plan re-executes
+    * from scratch each round and grows unboundedly. The convergence
+    * check (`isEmpty`) brings back one scalar per round.
+    *
+    * Durability: the default localCheckpoint stores blocks on executor
+    * local dirs — fast, but an executor loss mid-iteration kills the
+    * lineage AND the job. A production run on a real cluster passes
+    * `checkpointDir` (e.g. an HDFS/S3 path): iteration state then goes
+    * through reliable `checkpoint()` storage and survives executor loss.
+    * Same plan either way, only the storage tier changes.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // materialize the (possibly expensive) pair plan ONCE, then build the
     // symmetric edge relation from the checkpointed copy — a union of the
     // raw plan with its own swap would execute pair generation twice
-    val base = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .localCheckpoint()
-    val edges = base
-      .union(base.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    val base = ckpt(pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val edges = ckpt(
+      base.union(base.select(col("dst").as("src"), col("src").as("dst"))))
     // seed with the ONE-HOP minimum (min of self and direct neighbors)
     // instead of self: a clique — the common near-dup cluster shape —
     // then converges inside the first two-hop round, so the loop exits
     // after one checkpoint instead of two
-    var labels = edges
+    var labels = ckpt(edges
       .groupBy(col("src").as("node"))
-      .agg(least(min(col("dst")), col("src")).as("label"))
-      .localCheckpoint()
+      .agg(least(min(col("dst")), col("src")).as("label")))
     // one edge-propagation step: label'(n) = min(label(n), min over
     // neighbors m of label(m)); passthrough columns ride along unchanged
     def propagate(ls: DataFrame, passthrough: Seq[String]): DataFrame = {
@@ -309,8 +318,7 @@ object Dedup {
       // label instead of scanning every partition; only the converged
       // final round pays a full scan.
       val withOld = labels.withColumn("__old", col("label"))
-      val next = propagate(propagate(withOld, Seq("__old")), Seq("__old"))
-        .localCheckpoint()
+      val next = ckpt(propagate(propagate(withOld, Seq("__old")), Seq("__old")))
       changed = !next.filter(col("label") =!= col("__old")).isEmpty
       labels = next.select(col("node"), col("label"))
       i += 1

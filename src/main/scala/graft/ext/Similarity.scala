@@ -60,8 +60,21 @@ object Similarity {
   /** Brute-force top-k cosine neighbors for each query vector (excluding
     * self). Queries are broadcast; the corpus streams by once. rn is the
     * neighbor rank (1 = closest), deterministically tie-broken by id.
+    *
+    * This is the EXACT ANCHOR, not the scale path (that's [[ivfTopK]]):
+    * the query side is broadcast whole, so its size is a hard driver/
+    * executor memory bound. `maxQueries` turns the silent OOM a caller
+    * would otherwise hit into a typed error up front — the check is one
+    * eager count of the (small by contract) query side at plan-build
+    * time, deliberate like the other documented eager sites.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String, k: Int,
+      maxQueries: Int = 100000): DataFrame = {
+    val nQ = queries.count()
+    require(nQ <= maxQueries,
+      s"bruteForceTopK broadcasts the query side whole: $nQ query vectors exceeds " +
+        s"maxQueries=$maxQueries; chunk the query set or use ivfTopK for large-batch search")
     val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
     val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)

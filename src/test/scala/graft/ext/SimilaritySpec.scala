@@ -75,4 +75,12 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L))) // 0-3 colinear-negative is cross-label, 0-2 below threshold
   }
+
+  test("bruteForceTopK rejects an oversized query side with a typed error (no silent OOM)") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 2, maxQueries = 3)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+    assert(e.getMessage.contains("ivfTopK")) // error points at the scale path
+  }
 }

@@ -152,6 +152,64 @@ class TextDedupSpec extends SparkSuite {
     assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) < java.lang.Long.bitCount(sims(1L) ^ sims(4L)))
   }
 
+  test("simhash pairs CONTAIN every near-identical pair (recall vs ground truth)") {
+    // The q38 sketch's recall pinned against exact WEIGHTED (multiset)
+    // token jaccard — Σ min(wa,wb) / Σ max(wa,wb) — the similarity
+    // simhash actually approximates (its votes are occurrence-weighted;
+    // a token-SET jaccard would call two docs over the same small vocab
+    // "identical" while their count profiles, and therefore their
+    // sketches, differ wildly). Two pins:
+    //  (1) DETERMINISTIC containment where the math guarantees it: every
+    //      ground-truth pair whose sketches are within hamming ≤ 3 MUST
+    //      be emitted — the 4×16-bit-chunk blocking is exact there
+    //      (pigeonhole), so a miss is an implementation bug.
+    //  (2) EMPIRICAL recall floor on the full ≥ 0.95 population: these
+    //      fixture docs are ~30 tokens, so per-bit majority votes are
+    //      noisy (a j=0.98 pair can land at hamming 7) — sketch recall
+    //      at maxDist=3 is inherently partial on short docs, observed
+    //      0.84 here; pin ≥ 0.75 so a regression is caught without
+    //      pretending the sketch is exact.
+    val d = graft.Tables.load(spark, sf0001, "documents")
+    val toks = d.select($"doc_id", Text.tokensNorm($"text").as("ts"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).filter(_.nonEmpty).groupBy(identity).map { case (t, o) => t -> o.size })
+      .toMap
+    val ids = toks.keys.toSeq.sorted
+    val groundTruth = (for {
+      (a, i) <- ids.zipWithIndex; b <- ids.drop(i + 1)
+      keys = toks(a).keySet ++ toks(b).keySet
+      inter = keys.toSeq.map(k => math.min(toks(a).getOrElse(k, 0), toks(b).getOrElse(k, 0))).sum
+      union = keys.toSeq.map(k => math.max(toks(a).getOrElse(k, 0), toks(b).getOrElse(k, 0))).sum
+      j = inter.toDouble / union
+      if j >= 0.95
+    } yield (a, b)).toSet
+    assert(groundTruth.nonEmpty, "fixture lost its near-identical pairs")
+    val sketch = Dedup.simhash64(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.simhashPairs(d, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val close = groundTruth.filter { case (a, b) =>
+      java.lang.Long.bitCount(sketch(a) ^ sketch(b)) <= 3 }
+    assert(close.nonEmpty && close.subsetOf(got),
+      s"blocking missed in-distance pairs (pigeonhole broken): ${close diff got}")
+    val recall = groundTruth.count(got).toDouble / groundTruth.size
+    assert(recall >= 0.75, f"simhash recall vs weighted-jaccard>=0.95 fell to $recall%.2f")
+  }
+
+  test("connectedComponents durable-checkpoint path yields identical clusters") {
+    val d = graft.Tables.load(spark, sf0001, "documents")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    val durable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(local.nonEmpty && durable == local)
+    // reliable checkpoint actually wrote state to the durable dir
+    val wrote = java.nio.file.Files.walk(dir).anyMatch(p => p.toFile.isFile)
+    assert(wrote, "no files under the reliable checkpoint dir")
+  }
+
   test("langId votes deterministically with fixed priority") {
     val preds = Seq(
       (1L, "the cat is on the mat and it is warm"),
