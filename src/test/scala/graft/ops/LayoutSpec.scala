@@ -57,6 +57,47 @@ class LayoutSpec extends SparkSuite {
     assert(avgSingleS > avgS, s"z-order ($avgS) should beat single-dim ($avgSingleS) on the second key")
   }
 
+  test("z-order layout SKIPS row groups at scan time (metric-proven, not just min/max)") {
+    // The pruning claim executed, not inferred: read back the z-ordered
+    // files with a predicate on the SECOND dimension only — the case
+    // single-dim layout cannot help with — and assert via the parquet
+    // scan's own numOutputRows metric that whole row groups were
+    // skipped. Each written file is one row group here, so the scan
+    // metric counts rows of non-skipped files.
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val total = li.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_zskip").toString
+    Layout.writeZOrdered(li, s"$dir/z", "l_partkey", "l_suppkey", numFiles = 8)
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/single")
+
+    val bounds = li.agg(min("l_suppkey"), max("l_suppkey")).head()
+    val (sLo, sHi) = (bounds.getLong(0), bounds.getLong(1))
+    val cut = sLo + (sHi - sLo) / 10 // bottom decile of the suppkey domain
+
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("l_suppkey") <= cut)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "no parquet scan in executed plan")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val zRows = scanRows(s"$dir/z")
+    val singleRows = scanRows(s"$dir/single")
+    // z-order: files whose suppkey box misses the decile are skipped by
+    // their row-group stats; partkey-sorted files all span the full
+    // suppkey domain, so NOTHING skips there
+    assert(zRows < total, s"z-ordered scan read all $total rows — no row group skipped")
+    assert(singleRows == total,
+      s"single-dim layout unexpectedly skipped ($singleRows of $total) — contrast broken")
+    assert(zRows.toDouble / total <= 0.65,
+      s"z-order skipped too little: $zRows of $total rows surfaced from the scan")
+  }
+
   test("q104 buckets: every bucket's box is a fraction of the full 2-D domain") {
     val rows = graft.SparkEntry.queries("q104_zorder_locality")(spark, sf0001)
       .collect()
