@@ -172,6 +172,69 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Coarse-quantizer cell assignment: every corpus vector labeled with
+    * its nearest centroid (modular seed, optional Lloyd refinement) —
+    * the reusable building block behind [[ivfTopK]]'s inverted file and
+    * [[semanticDedup]]'s clustering stage. Returns (id, ce, ce_n,
+    * cent_id) so downstream pair scoring reuses the carried norms.
+    */
+  def assignCells(
+      corpus: DataFrame, idCol: String, embCol: String,
+      stride: Int, trainIters: Int): DataFrame = {
+    val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
+    val seed = normalizedRel(
+      corpus.filter(pmod(col(idCol), lit(stride)) === 0), idCol, embCol, "cent_id", "cent_e")
+    val cent = if (trainIters > 0) trainCentroids(c, seed, trainIters) else seed
+    assignToCells(c, cent)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse k-means cells bound the pair search, then
+    * within-cell cosine ≥ threshold pairs are clustered (connected
+    * components) and each cluster keeps its min-id representative.
+    * Returns the full decision table (id, cluster_id, keep) — callers
+    * filter keep to drop semantic duplicates.
+    *
+    * Scale: the all-pairs term only exists INSIDE a cell (O(Σ cell²)),
+    * cells shrink as centroids grow, and everything else is the
+    * pair-relation CC machinery — no corpus-wide quadratic term. At
+    * 100 TB: persist trained centroids, assign in one broadcast pass,
+    * and feed the pair relation straight into [[Dedup.connectedComponents]]
+    * with a durable checkpointDir.
+    */
+  /** The pair stage of [[semanticDedup]], exposed so its plan shape can
+    * be pinned (the CC stage checkpoints eagerly, hiding this subplan
+    * from the composed query's explain): within-cell cosine ≥ threshold
+    * pairs, where the cell equi-join is the ONLY place two corpus rows
+    * ever meet.
+    */
+  def semanticPairs(
+      corpus: DataFrame, idCol: String, embCol: String,
+      stride: Int, trainIters: Int, threshold: Double): DataFrame = {
+    val assigned = assignCells(corpus, idCol, embCol, stride, trainIters)
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cent_id") === col("b.cent_id") && col("a.cid") < col("b.cid"))
+      .select(
+        col("a.cid").as("a_id"), col("b.cid").as("b_id"),
+        (dot(col("a.ce"), col("b.ce")) / (col("a.ce_n") * col("b.ce_n"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, embCol: String,
+      stride: Int, trainIters: Int, threshold: Double): DataFrame = {
+    val pairs = semanticPairs(corpus, idCol, embCol, stride, trainIters, threshold)
+    val clusters = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    corpus.select(col(idCol).as("id"))
+      .join(clusters, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .withColumn("keep", col("id") === col("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `blockCol` (e.g. a
     * label, an LSH bucket, or an IVF cell id) so only same-block pairs
     * are scored.

@@ -137,6 +137,57 @@ object EmbeddingQueries {
               |SELECT qid, cid, rn, ${Num.roundSql("cos", 4)} AS cos_r
               |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // SemDeDup-style SEMANTIC deduplication (arXiv:2303.09540) — the
+    // embedding-space capstone: learned coarse cells (modular seed + one
+    // Lloyd iteration) bound the pair search, within-cell cosine ≥ 0.4
+    // pairs cluster via connected components, min-id keeper per cluster.
+    // FULLY hash-oracled end to end: the SQL reuses q40's bit-exact
+    // Lloyd/assignment CTEs and q70's recursive-CTE components — every
+    // stage of cluster → pair → resolve is deterministic, so the entire
+    // semantic-dedup DECISION TABLE (id, cluster_id, keep) matches
+    // exactly. The scale shape is the point: the only all-pairs term
+    // lives inside a cell, and cells shrink as centroids grow.
+    QueryDef(
+      "q111_semantic_dedup",
+      (s, dir) =>
+        Similarity
+          .semanticDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+            stride = 50, trainIters = 1, threshold = 0.4)
+          .orderBy("id"),
+      Some(s"""WITH RECURSIVE $normCte,
+              |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
+              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
+              |cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
+              |          FROM c WHERE cid % 50 = 0),
+              |${lloydIter("cent0", "a1", "m1", "cent1")},
+              |d_f AS (SELECT cid, cent_id,
+              |          sum(CAST(ce[i] AS DOUBLE) * cent_e[i]) / (cn * cent_n) AS d
+              |        FROM c CROSS JOIN cent1 CROSS JOIN range(1, 65) t(i)
+              |        GROUP BY cid, cent_id, cn, cent_n),
+              |a_f AS (SELECT cid, cent_id FROM (
+              |          SELECT cid, cent_id,
+              |            row_number() OVER (PARTITION BY cid ORDER BY d DESC, cent_id) rnk
+              |          FROM d_f) WHERE rnk = 1),
+              |pr AS (SELECT x.cid a_id, y.cid b_id,
+              |         sum(CAST(cx.ce[i] AS DOUBLE) * CAST(cy.ce[i] AS DOUBLE)) / (cx.cn * cy.cn) AS cos
+              |       FROM a_f x JOIN a_f y ON x.cent_id = y.cent_id AND x.cid < y.cid
+              |       JOIN c cx ON cx.cid = x.cid
+              |       JOIN c cy ON cy.cid = y.cid
+              |       CROSS JOIN range(1, 65) t(i)
+              |       GROUP BY x.cid, y.cid, cx.cn, cy.cn),
+              |p AS (SELECT a_id, b_id FROM pr WHERE cos >= 0.4),
+              |e AS (SELECT a_id AS src, b_id AS dst FROM p
+              |      UNION SELECT b_id, a_id FROM p),
+              |r AS (SELECT src AS node, dst AS reach FROM e
+              |      UNION
+              |      SELECT r.node, e.dst AS reach FROM r JOIN e ON r.reach = e.src),
+              |cl AS (SELECT node, least(node, min(reach)) AS cluster_id FROM r GROUP BY node)
+              |SELECT em.vec_id AS id,
+              |       coalesce(cl.cluster_id, em.vec_id) AS cluster_id,
+              |       em.vec_id = coalesce(cl.cluster_id, em.vec_id) AS keep
+              |FROM embeddings em LEFT JOIN cl ON cl.node = em.vec_id
+              |ORDER BY id""".stripMargin)),
+
     // Embedding near-dup pairs blocked by label, cosine ≥ 0.4.
     QueryDef(
       "q41_embed_neardup",

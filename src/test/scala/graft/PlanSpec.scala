@@ -187,6 +187,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("q111 pair stage: the only quadratic term is within-cell — join keys on cent_id") {
+    // the composed q111 checkpoints its CC stage eagerly, so pin the
+    // exposed pair subplan: centroid assignment may broadcast-nested-
+    // loop over the TINY centroid set, but the corpus-vs-corpus pair
+    // join must be an equi-join on the learned cell id — never a
+    // corpus-wide cartesian
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val p = plan(graft.ext.Similarity.semanticPairs(
+      emb, "vec_id", "embedding", stride = 50, trainIters = 1, threshold = 0.4))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("keys") && l.contains("cent_id")), p)
+  }
+
   test("q103: cross-set LSH is equi-joins only; q107: sampling filter runs scan-side (no shuffle)") {
     val p103 = plan(q("q103_fuzzy_contamination"))
     assert(!p103.contains("CartesianProduct") && !p103.contains("BroadcastNestedLoopJoin"), p103)

@@ -76,6 +76,18 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs == Set((0L, 1L))) // 0-3 colinear-negative is cross-label, 0-2 below threshold
   }
 
+  test("semanticDedup: same-cell colinear vectors collapse; distinct directions survive") {
+    // stride=2 seeds centroids from ids 0 and 2; vectors 0,1 are
+    // colinear (cos 1) and land in cell 0 → one cluster keeping id 0;
+    // 2 (orthogonal) and 3 (opposite, nearest to cell 2 at cos 0) stay
+    // singletons — opposite-direction vectors must never merge
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        stride = 2, trainIters = 0, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      0L -> (0L, true), 1L -> (0L, false), 2L -> (2L, true), 3L -> (3L, true)))
+  }
+
   test("bruteForceTopK rejects an oversized query side with a typed error (no silent OOM)") {
     val e = intercept[IllegalArgumentException] {
       Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 2, maxQueries = 3)
