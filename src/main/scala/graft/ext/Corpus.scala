@@ -112,4 +112,51 @@ object Corpus {
         col("doc_id"), col("n_sh"), col("n_contam"),
         (col("n_contam").cast("double") / col("n_sh").cast("double")).as("rate"))
   }
+
+  /** (doc_id, pidx, passage): NON-OVERLAPPING k-token passages — the
+    * span-level unit for C4-style repeated-passage removal (unlike
+    * shingles, which overlap and serve similarity; a ragged tail shorter
+    * than k is dropped, so every passage compares equal-length).
+    */
+  def passageRel(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), Text.tokensNorm(col(textCol)).as("__ws"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          when(size(col("__ws")) >= k,
+            transform(
+              sequence(lit(0), (size(col("__ws")) / k).cast("int") - 1),
+              j => concat_ws(" ", slice(col("__ws"), j * k + 1, lit(k)))))
+            .otherwise(array().cast("array<string>"))).as(Seq("pidx", "passage")))
+
+  /** Passage-level duplication profile per document: how much of each
+    * doc consists of k-token passages that appear elsewhere in the
+    * corpus (or repeat within the doc) — the C4/RefinedWeb-style
+    * span-dedup signal that document-level fingerprints miss when only
+    * a boilerplate block is shared. keep = duplicated fraction < 0.5.
+    *
+    * Scale: one passage hash-agg for corpus counts, one join back, one
+    * per-doc agg — all on equi keys; passages are non-overlapping so the
+    * relation is ≤ tokens/k rows, SMALLER than the token relation.
+    */
+  def passageDupStats(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val rel = passageRel(df, idCol, textCol, k)
+    val counts = rel.groupBy(col("passage")).agg(count(lit(1)).as("__cnt"))
+    val stats = rel.join(counts, "passage")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_pass"),
+        count(when(col("__cnt") > 1, 1)).as("n_dup"))
+    val frac = coalesce(
+      col("n_dup").cast("double") / col("n_pass").cast("double"), lit(0.0))
+    df.select(col(idCol).as("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_pass"), lit(0L)).as("n_pass"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        frac.as("dup_frac"),
+        (frac < 0.5).as("keep"))
+  }
 }

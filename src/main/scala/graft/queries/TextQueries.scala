@@ -233,5 +233,31 @@ object TextQueries {
       Some(s"""WITH $shingleCte
               |SELECT shingle, count(*) AS doc_freq
               |FROM sh GROUP BY shingle
-              |ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin)))
+              |ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin)),
+
+    // Passage-level (span) dedup profile — C4/RefinedWeb-style: how much
+    // of each doc consists of 8-token non-overlapping passages seen
+    // elsewhere in the corpus (or repeated in-doc). Catches shared
+    // boilerplate blocks that document-level fingerprints miss; keep
+    // drops docs that are mostly duplicated spans.
+    QueryDef(
+      "q112_passage_dedup",
+      (s, dir) =>
+        graft.ext.Corpus
+          .passageDupStats(tbl(s, dir, "documents"), "doc_id", "text", 8)
+          .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+              |pass AS (SELECT doc_id, j AS pidx,
+              |           array_to_string(ws[(j*8+1):(j*8+8)], ' ') AS passage
+              |         FROM w CROSS JOIN range(0, 1000) t(j) WHERE j < len(ws) // 8),
+              |cnts AS (SELECT passage, count(*) AS cnt FROM pass GROUP BY passage),
+              |st AS (SELECT doc_id, count(*) AS n_pass,
+              |         count(CASE WHEN cnt > 1 THEN 1 END) AS n_dup
+              |       FROM pass JOIN cnts USING (passage) GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  coalesce(st.n_pass, 0) AS n_pass,
+              |  coalesce(st.n_dup, 0) AS n_dup,
+              |  coalesce(CAST(st.n_dup AS DOUBLE) / CAST(st.n_pass AS DOUBLE), 0.0) AS dup_frac,
+              |  coalesce(CAST(st.n_dup AS DOUBLE) / CAST(st.n_pass AS DOUBLE), 0.0) < 0.5 AS keep
+              |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin)))
 }

@@ -22,6 +22,32 @@ class CorpusSpec extends SparkSuite {
     assert(rows.map(_._2).toSeq == (0 until 6))
   }
 
+  test("passageRel: non-overlapping k-token spans, ragged tail dropped, short docs none") {
+    val rel = Corpus.passageRel(docs, "doc_id", "text", 4)
+      .as[(Long, Int, String)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+    // 6 tokens → one full 4-token passage, tail of 2 dropped
+    assert(rel(1L) == Seq("the cat sat on"))
+    assert(rel(4L) == Seq("a a a a")) // 5 tokens → 1 passage
+    assert(!rel.contains(5L)) // 1 token < k → no passages
+  }
+
+  test("passageDupStats: shared span counts as duplicated on BOTH docs; keep thresholds") {
+    val d = Seq(
+      (1L, "one two three four x y z w"), // passages: "one two three four", "x y z w"
+      (2L, "one two three four q r s t"), // shares passage 1 with doc 1
+      (3L, "alpha beta gamma delta"), // unique single passage
+      (4L, "hi") // too short: 0 passages
+    ).toDF("doc_id", "text")
+    val out = Corpus.passageDupStats(d, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5, false))) // half duplicated → dropped at <0.5
+    assert(out(2L) == ((2L, 1L, 0.5, false)))
+    assert(out(3L) == ((1L, 0L, 0.0, true)))
+    assert(out(4L) == ((0L, 0L, 0.0, true))) // no passages → trivially kept
+  }
+
   test("repetitionStats flags the stuffed doc and not normal prose") {
     val m = Corpus.repetitionStats(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") ->
