@@ -421,5 +421,67 @@ object Extended4 {
               |       FROM j)
               |SELECT doc_id, cluster_id, rn = 1 AS kept,
               |  ${Num.roundSql("quality", 4)} AS quality
-              |FROM rk ORDER BY doc_id""".stripMargin)))
+              |FROM rk ORDER BY doc_id""".stripMargin)),
+
+    // Mixture MATERIALIZATION — turns q109's temperature rates into an
+    // actual training-set selection under a token budget: per-source
+    // quota = n^α weight share × 25% of total corpus tokens; within each
+    // source docs are taken best-quality-first (q102's score, doc_id
+    // tie-break) until the running token count crosses the quota. The
+    // full decision table is emitted, so the SAMPLE ITSELF is
+    // hash-verified, like q107. One window per source computes both the
+    // rank and the running sum; weights go through the q109 pattern
+    // (round-to-8 then DECIMAL-accumulate) so the weight sum is
+    // order-independent in both engines.
+    QueryDef(
+      "q113_mix_materialize",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .withColumn("__t", Text.tokensNorm(col("text")))
+          .withColumn("n_tokens", size(col("__t")).cast("bigint"))
+          .withColumn("__q", Text.qualityScoreFromTokens(col("__t")))
+        val wRaw = Num.roundTo(sqrt(col("n_docs").cast("double")), 8)
+        val weights = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .select(col("source"), wRaw.as("__w"))
+        val totals = d.agg(sum(col("n_tokens")).as("__tot")).crossJoin(
+          weights.agg(
+            sum(col("__w").cast(org.apache.spark.sql.types.DecimalType(24, 8)))
+              .cast("double").as("__wsum")))
+        val w = Window.partitionBy(col("source")).orderBy(col("__q").desc, col("doc_id").asc)
+        d.join(broadcast(weights), "source")
+          .crossJoin(broadcast(totals))
+          .withColumn("quota", col("__w") / col("__wsum") * col("__tot").cast("double") * 0.25)
+          .withColumn("sel_rank", row_number().over(w).cast("bigint"))
+          .withColumn(
+            "__cum",
+            sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(
+            col("doc_id"), col("source"), col("n_tokens"), col("sel_rank"),
+            ((col("__cum") - col("n_tokens")).cast("double") < col("quota")).as("selected"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, len(${TextQueries.wsSql}) AS n,
+              |         ${TextQueries.scoreSql(Text.stopwordsEn)} AS n_stop,
+              |         len(list_distinct(${TextQueries.wsSql})) AS n_dist
+              |       FROM documents),
+              |q AS (SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens,
+              |        (n_stop / n) * 0.4 + (n_dist / n) * 0.3
+              |          + least(1.0, n / 100.0) * 0.3 AS quality
+              |      FROM t),
+              |s AS (SELECT source, count(*) AS n_docs FROM q GROUP BY 1),
+              |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM q),
+              |ws AS (SELECT CAST(sum(CAST(${Num.roundSql("sqrt(CAST(n_docs AS DOUBLE))", 8)}
+              |                            AS DECIMAL(24,8))) AS DOUBLE) AS wsum FROM s),
+              |r AS (SELECT q.doc_id, q.source, q.n_tokens,
+              |        row_number() OVER (PARTITION BY q.source
+              |                           ORDER BY quality DESC, q.doc_id) AS sel_rank,
+              |        sum(q.n_tokens) OVER (PARTITION BY q.source
+              |                              ORDER BY quality DESC, q.doc_id
+              |                              ROWS UNBOUNDED PRECEDING) AS cum,
+              |        ${Num.roundSql("sqrt(CAST(s.n_docs AS DOUBLE))", 8)} / ws.wsum
+              |          * tt.tot * 0.25 AS quota
+              |      FROM q JOIN s USING (source) CROSS JOIN tt CROSS JOIN ws)
+              |SELECT doc_id, source, n_tokens, sel_rank,
+              |  CAST(cum - n_tokens AS DOUBLE) < quota AS selected
+              |FROM r ORDER BY doc_id""".stripMargin)))
 }
