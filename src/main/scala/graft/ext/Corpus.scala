@@ -139,6 +139,43 @@ object Corpus {
     * per-doc agg — all on equi keys; passages are non-overlapping so the
     * relation is ≤ tokens/k rows, SMALLER than the token relation.
     */
+  /** The TRANSFORMATION behind [[passageDupStats]]: rebuild each doc's
+    * text with corpus-duplicated k-token passages REMOVED, in original
+    * passage order (plus the ragged tail, which never participates in
+    * dedup) — the C4-style span-cleaning step itself, not just its
+    * report. Docs shorter than k pass through normalized-whole.
+    *
+    * Order preservation costs no sort shuffle: surviving passages are
+    * re-assembled per doc with a sort_array over (pidx, passage) structs
+    * inside one hash aggregate.
+    */
+  def passageDedupText(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val rel = passageRel(df, idCol, textCol, k)
+    val counts = rel.groupBy(col("passage")).agg(count(lit(1)).as("__cnt"))
+    val kept = rel.join(counts, "passage")
+      .filter(col("__cnt") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("pidx"), col("passage")))),
+            x => x.getField("passage")),
+          " ").as("__kept"))
+    val ws = Text.tokensNorm(col(textCol))
+    val tail = when(size(ws) >= k,
+        concat_ws(" ", slice(ws, (size(ws) / k).cast("int") * k + 1, size(ws))))
+      .otherwise(concat_ws(" ", ws))
+    df.select(col(idCol).as("doc_id"), tail.as("__tail"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        concat_ws(" ", coalesce(col("__kept"), lit("")), col("__tail")).as("clean_text"))
+      .withColumn("clean_text",
+        // concat_ws of empty parts can leave edge spaces; normalize once
+        regexp_replace(trim(col("clean_text")), " +", " "))
+  }
+
   def passageDupStats(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val rel = passageRel(df, idCol, textCol, k)

@@ -259,5 +259,36 @@ object TextQueries {
               |  coalesce(st.n_dup, 0) AS n_dup,
               |  coalesce(CAST(st.n_dup AS DOUBLE) / CAST(st.n_pass AS DOUBLE), 0.0) AS dup_frac,
               |  coalesce(CAST(st.n_dup AS DOUBLE) / CAST(st.n_pass AS DOUBLE), 0.0) < 0.5 AS keep
-              |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin)))
+              |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // The span-dedup TRANSFORMATION (q112 is the report, this is the
+    // cleaning): rebuild every doc with corpus-duplicated 8-token
+    // passages removed, original order preserved, ragged tail appended.
+    // Order preservation costs no sort shuffle — surviving passages
+    // reassemble via sort_array inside one hash aggregate.
+    QueryDef(
+      "q114_passage_scrub",
+      (s, dir) =>
+        graft.ext.Corpus
+          .passageDedupText(tbl(s, dir, "documents"), "doc_id", "text", 8)
+          .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+              |pass AS (SELECT doc_id, j AS pidx,
+              |           array_to_string(ws[(j*8+1):(j*8+8)], ' ') AS passage
+              |         FROM w CROSS JOIN range(0, 1000) t(j) WHERE j < len(ws) // 8),
+              |cnts AS (SELECT passage, count(*) AS cnt FROM pass GROUP BY passage),
+              |keep AS (SELECT doc_id, string_agg(passage, ' ' ORDER BY pidx) AS kept
+              |         FROM pass JOIN cnts USING (passage) WHERE cnt = 1 GROUP BY doc_id),
+              |tl AS (SELECT doc_id,
+              |         CASE WHEN len(ws) >= 8
+              |           THEN array_to_string(ws[((len(ws)//8)*8+1):len(ws)], ' ')
+              |           ELSE array_to_string(ws, ' ') END AS tail
+              |       FROM w)
+              |SELECT d.doc_id,
+              |  regexp_replace(trim(concat_ws(' ', coalesce(k.kept, ''), t.tail)),
+              |                 ' +', ' ', 'g') AS clean_text
+              |FROM documents d
+              |LEFT JOIN keep k USING (doc_id)
+              |JOIN tl t USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)))
 }

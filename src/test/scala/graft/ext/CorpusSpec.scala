@@ -48,6 +48,20 @@ class CorpusSpec extends SparkSuite {
     assert(out(4L) == ((0L, 0L, 0.0, true))) // no passages → trivially kept
   }
 
+  test("passageDedupText drops only duplicated spans; order + ragged tail survive") {
+    val d = Seq(
+      (1L, "one two three four x y z w tail1"), // shared span + unique span + tail
+      (2L, "one two three four q r s t"), // shares span 1 with doc 1, no tail
+      (3L, "hi") // shorter than k: passes through normalized-whole
+    ).toDF("doc_id", "text")
+    val out = Corpus.passageDedupText(d, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "x y z w tail1",
+      2L -> "q r s t",
+      3L -> "hi"))
+  }
+
   test("repetitionStats flags the stuffed doc and not normal prose") {
     val m = Corpus.repetitionStats(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") ->
