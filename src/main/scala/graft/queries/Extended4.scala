@@ -483,5 +483,139 @@ object Extended4 {
               |      FROM q JOIN s USING (source) CROSS JOIN tt CROSS JOIN ws)
               |SELECT doc_id, source, n_tokens, sel_rank,
               |  CAST(cum - n_tokens AS DOUBLE) < quota AS selected
-              |FROM r ORDER BY doc_id""".stripMargin)))
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // CURATION FUNNEL — the end-to-end keep/drop decision a training-
+    // data pipeline actually ships, with per-doc attribution: every
+    // stage signal (benchmark-source exclusion, language-ID, token-length
+    // band, quality floor, character-entropy floor, best-copy dedup,
+    // exact-shingle decontamination) is computed INDEPENDENTLY over the
+    // full corpus (so attribution doesn't depend on stage order), then
+    // keep = AND of all, drop_reason = first failing stage. Composes six
+    // already-oracled formulas (q33/q69/q102/q108/q62) into one decision
+    // table; all stage thresholds are corpus-calibrated.
+    QueryDef(
+      "q115_curation_funnel",
+      (s, dir) => {
+        val benchSrc = Seq("src15", "src16", "src17", "src18", "src19")
+        val d = tbl(s, dir, "documents")
+          .withColumn("__t", Text.tokensNorm(col("text")))
+        val base = d.select(
+          col("doc_id"), col("source"),
+          (!col("source").isin(benchSrc: _*)).as("src_ok"),
+          (Text.langIdFromTokens(col("__t"), col("text")) === "en").as("lang_ok"),
+          size(col("__t")).between(20, 100).as("len_ok"),
+          (Text.qualityScoreFromTokens(col("__t")) >= 0.30).as("quality_ok"),
+          Text.fingerprintMd5(col("text")).as("__fp"),
+          Text.qualityScoreFromTokens(col("__t")).as("__q"))
+        val wDup = Window.partitionBy(col("__fp")).orderBy(col("__q").desc, col("doc_id").asc)
+        val withDup = base.withColumn("dup_ok", row_number().over(wDup) === 1)
+        val entCounts = d
+          .select(col("doc_id"), length(col("text")).as("n"),
+            explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "")
+          .groupBy(col("doc_id"), col("n"), col("ch"))
+          .agg(count(lit(1)).as("c"))
+        val p = col("c").cast("double") / col("n").cast("double")
+        val ent = entCounts
+          .groupBy(col("doc_id"), col("n"))
+          .agg(sum(Num.roundTo((p * log(p) / log(lit(2.0))) * lit(-1.0), 12)
+            .cast(org.apache.spark.sql.types.DecimalType(24, 12))).cast("double").as("__h"))
+          .select(col("doc_id"), (col("__h") >= 4.0).as("entropy_ok"))
+        val contam = graft.ext.Corpus
+          .contaminationRates(d, "doc_id", "text", col("source").isin(benchSrc: _*), 3)
+          .select(col("doc_id"), (col("rate") <= 0.15).as("__contam"))
+        withDup
+          .join(ent, "doc_id")
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("contam_ok", coalesce(col("__contam"), lit(true)))
+          .withColumn("keep",
+            col("src_ok") && col("lang_ok") && col("len_ok") && col("quality_ok") &&
+              col("entropy_ok") && col("dup_ok") && col("contam_ok"))
+          .withColumn("drop_reason",
+            when(!col("src_ok"), "benchmark_source")
+              .when(!col("lang_ok"), "language")
+              .when(!col("len_ok"), "length")
+              .when(!col("quality_ok"), "quality")
+              .when(!col("entropy_ok"), "entropy")
+              .when(!col("dup_ok"), "duplicate")
+              .when(!col("contam_ok"), "contaminated")
+              .otherwise("kept"))
+          .select("doc_id", "source", "src_ok", "lang_ok", "len_ok", "quality_ok",
+            "entropy_ok", "dup_ok", "contam_ok", "keep", "drop_reason")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, text, ${TextQueries.wsSql} AS ws FROM documents),
+              |sc AS (SELECT doc_id,
+              |         ${TextQueries.scoreSql(Text.stopwordsEn)} AS s_en,
+              |         ${TextQueries.scoreSql(Text.stopwordsDe)} AS s_de,
+              |         ${TextQueries.scoreSql(Text.stopwordsFr)} AS s_fr,
+              |         ${TextQueries.scoreSql(Text.stopwordsEs)} AS s_es,
+              |         length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh
+              |       FROM documents),
+              |lp AS (SELECT doc_id,
+              |         CASE WHEN s_zh > 0 THEN 'zh'
+              |              WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+              |              WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              |              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              |              WHEN s_fr >= s_es THEN 'fr'
+              |              ELSE 'es' END AS lang_pred
+              |       FROM sc),
+              |qs AS (SELECT doc_id, len(ws) AS n,
+              |         ${TextQueries.scoreSql(Text.stopwordsEn)} AS n_stop,
+              |         len(list_distinct(ws)) AS n_dist,
+              |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              |       FROM t),
+              |qq AS (SELECT doc_id, n, fp,
+              |         (n_stop / n) * 0.4 + (n_dist / n) * 0.3
+              |           + least(1.0, n / 100.0) * 0.3 AS quality
+              |       FROM qs),
+              |dup AS (SELECT doc_id,
+              |          row_number() OVER (PARTITION BY fp
+              |                             ORDER BY quality DESC, doc_id) = 1 AS dup_ok
+              |        FROM qq),
+              |ch AS (SELECT doc_id, length(text) AS nc, substr(text, i, 1) AS c1
+              |       FROM documents CROSS JOIN range(1, 4001) t(i)
+              |       WHERE i <= length(text)),
+              |g AS (SELECT doc_id, nc, c1, count(*) AS c FROM ch GROUP BY 1, 2, 3),
+              |e AS (SELECT doc_id,
+              |        CAST(sum(CAST(${Num.roundSql("((c / nc) * ln(c / nc) / ln(2)) * -1.0", 12)}
+              |                      AS DECIMAL(24,12))) AS DOUBLE) >= 4.0 AS entropy_ok
+              |      FROM g GROUP BY doc_id),
+              |sh AS (SELECT DISTINCT w.doc_id, w.ws[i] || ' ' || w.ws[i+1] || ' ' || w.ws[i+2] AS shingle
+              |       FROM t w CROSS JOIN range(1, 1000) r(i) WHERE i <= len(w.ws) - 2),
+              |b AS (SELECT DISTINCT shingle FROM sh
+              |      JOIN documents d ON sh.doc_id = d.doc_id
+              |      WHERE d.source IN ('src15','src16','src17','src18','src19')),
+              |cr AS (SELECT r.doc_id,
+              |         CAST(count(b.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE) <= 0.15 AS contam0
+              |       FROM (SELECT sh.doc_id, sh.shingle FROM sh
+              |             JOIN documents d ON sh.doc_id = d.doc_id
+              |             WHERE d.source NOT IN ('src15','src16','src17','src18','src19')) r
+              |       LEFT JOIN b ON r.shingle = b.shingle
+              |       GROUP BY r.doc_id),
+              |f AS (SELECT d.doc_id, d.source,
+              |        d.source NOT IN ('src15','src16','src17','src18','src19') AS src_ok,
+              |        lp.lang_pred = 'en' AS lang_ok,
+              |        qq.n BETWEEN 20 AND 100 AS len_ok,
+              |        qq.quality >= 0.30 AS quality_ok,
+              |        e.entropy_ok AS entropy_ok,
+              |        dup.dup_ok AS dup_ok,
+              |        coalesce(cr.contam0, TRUE) AS contam_ok
+              |      FROM documents d
+              |      JOIN lp USING (doc_id) JOIN qq USING (doc_id) JOIN dup USING (doc_id)
+              |      JOIN e USING (doc_id) LEFT JOIN cr USING (doc_id))
+              |SELECT doc_id, source, src_ok, lang_ok, len_ok, quality_ok, entropy_ok,
+              |  dup_ok, contam_ok,
+              |  src_ok AND lang_ok AND len_ok AND quality_ok AND entropy_ok
+              |    AND dup_ok AND contam_ok AS keep,
+              |  CASE WHEN NOT src_ok THEN 'benchmark_source'
+              |       WHEN NOT lang_ok THEN 'language'
+              |       WHEN NOT len_ok THEN 'length'
+              |       WHEN NOT quality_ok THEN 'quality'
+              |       WHEN NOT entropy_ok THEN 'entropy'
+              |       WHEN NOT dup_ok THEN 'duplicate'
+              |       WHEN NOT contam_ok THEN 'contaminated'
+              |       ELSE 'kept' END AS drop_reason
+              |FROM f ORDER BY doc_id""".stripMargin)))
 }
