@@ -201,6 +201,20 @@ class PlanSpec extends SparkSuite {
       l.contains("keys") && l.contains("cent_id")), p)
   }
 
+  test("q113: rank and running token sum share ONE Window operator (no second sort)") {
+    val p = plan(q("q113_mix_materialize"))
+    val nWindows = p.linesIterator.count(_.matches(""".*\+- Window \(\d+\)"""))
+    assert(nWindows == 1, s"expected exactly one Window node, got $nWindows:\n$p")
+  }
+
+  test("q112/q114: passage dedup is equi-joins + hash aggs only — no cartesian, no sort agg") {
+    Seq("q112_passage_dedup", "q114_passage_scrub").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("HashAggregate"), p)
+    }
+  }
+
   test("q103: cross-set LSH is equi-joins only; q107: sampling filter runs scan-side (no shuffle)") {
     val p103 = plan(q("q103_fuzzy_contamination"))
     assert(!p103.contains("CartesianProduct") && !p103.contains("BroadcastNestedLoopJoin"), p103)
