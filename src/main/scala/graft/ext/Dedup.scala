@@ -328,8 +328,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the token multiset: per bit, majority vote of
-    * xxhash64(token) bits, weighted by occurrence. Computed as 64 sum
-    * aggregates (one shuffle), reassembled into a LongType sketch.
+    * tokenHash64(token) bits, weighted by occurrence. Computed as 64 sum
+    * aggregates (one shuffle), reassembled into a LongType sketch. The
+    * md5-derived hash (vs xxhash64) costs a few ns/token more but makes
+    * the sketch engine-independent — q38's DuckDB oracle rebuilds the
+    * identical sketch from the hex digits and hash-matches the pair set.
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // pre-aggregate to (doc, token-hash, weight): the 64 per-bit votes
@@ -338,7 +341,7 @@ object Dedup {
     // 64-agg stage input several-fold
     val tok = df.select(col(idCol).as("doc_id"), explode(Text.tokensNorm(col(textCol))).as("t"))
       .filter(col("t") =!= "")
-      .groupBy(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy(col("doc_id"), Text.tokenHash64(col("t")).as("h"))
       .agg(count(lit(1)).as("w"))
     val votes = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"v$b")
@@ -369,7 +372,7 @@ object Dedup {
           col("p.doc_id") < col("q.doc_id"))
       .select(
         col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"),
-        bit_count(col("p.simhash").bitwiseXOR(col("q.simhash"))).as("hamming"))
+        bit_count(col("p.simhash").bitwiseXOR(col("q.simhash"))).cast("bigint").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

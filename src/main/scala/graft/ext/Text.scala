@@ -118,18 +118,38 @@ object Text {
 
   def qualityScore(c: Column): Column = qualityScoreFromTokens(tokensNorm(c))
 
+  /** Engine-independent 32-bit token hash: the first 8 hex digits of
+    * md5(token), parsed as an integer. md5 hashes the UTF-8 bytes
+    * identically in Spark and DuckDB (unlike xxhash64/murmur3, whose bit
+    * patterns are engine-internal), so every fingerprint built on this is
+    * oracle-checkable end to end.
+    */
+  def tokenHash32(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  /** Engine-independent 64-bit token hash: the first 16 hex digits of
+    * md5(token) reinterpreted as a SIGNED long (negative toBase = signed
+    * two's-complement parse, Hive `conv` semantics). Used by SimHash so
+    * the whole sketch — votes, chunk blocking, hamming distances — can be
+    * recomputed bit-exactly by the DuckDB oracle.
+    */
+  def tokenHash64(t: Column): Column =
+    conv(substring(md5(t), 1, 16), 16, -10).cast("long")
+
   /** Polynomial rolling hash of the token stream (base-31 mod 1e9+7),
-    * computed with the `aggregate` higher-order function — a pure-Spark
+    * computed with the `aggregate` higher-order function — an
     * order-sensitive fingerprint (unlike md5-of-whole-text it can be
-    * windowed/extended incrementally). The modulus keeps every
-    * intermediate product < 2^35, safe under ANSI overflow checking.
-    * Engine-specific layout → not oracle-checked; pinned by unit test.
+    * windowed/extended incrementally). Token hashes come from
+    * [[tokenHash32]], so the whole number is reproducible outside Spark
+    * (q42's DuckDB oracle re-derives it with list_reduce). The modulus
+    * keeps every intermediate product < 2^35, safe under ANSI overflow
+    * checking.
     */
   def rollingHash(toks: Column): Column = {
     val mod = lit(1000000007L)
     aggregate(
       toks,
       lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), mod), mod))
+      (acc, t) => pmod(acc * lit(31L) + pmod(tokenHash32(t), mod), mod))
   }
 }

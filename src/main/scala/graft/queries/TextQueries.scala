@@ -9,9 +9,9 @@ import QueryDef.tbl
   * quality scoring, language ID, fingerprints, exact dedup, n-gram
   * Jaccard near-dup (oracled), MinHash-LSH (oracled via the exact-pair
   * SQL — exact verification + recall-1.0 candidates make its output
-  * equal the exact pair set), and SimHash (rows-only — the pair set
-  * depends on xxhash64 bit patterns, which have no DuckDB equivalent;
-  * pinned in TextDedupSpec instead).
+  * equal the exact pair set), SimHash and the rolling-hash fingerprint
+  * (both hash-oracled end to end: their token hashes are md5-derived, so
+  * the DuckDB SQL rebuilds the identical sketches from hex digits).
   */
 object TextQueries {
 
@@ -186,23 +186,67 @@ object TextQueries {
           .orderBy("a_id", "b_id"),
       Some(exactJaccardSql)),
 
-    // SimHash near-dup sketch (64-bit, 4-chunk blocking, hamming ≤ 3).
+    // SimHash near-dup sketch (64-bit, 4-chunk blocking, hamming ≤ 3) —
+    // fully hash-oracled: the token hash is md5-derived (Text.tokenHash64),
+    // so the oracle rebuilds the ENTIRE sketch pipeline in SQL. Bit b of
+    // the 64-bit hash is read straight off hex digit 16 - b/4 of md5(t)
+    // (bit b%4), sidestepping signed-integer construction; the sketch
+    // reassembles as a HUGEINT sum (bit 63 contributes -2^63, the signed
+    // two's-complement value) and casts back to BIGINT, matching Spark's
+    // LongType exactly — then the same chunk-blocked self-join + XOR
+    // popcount yields the identical pair set.
     QueryDef(
       "q38_dedup_simhash",
       (s, dir) =>
         Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", 3)
           .orderBy("a_id", "b_id"),
-      None),
+      Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+              |th AS (SELECT doc_id, t, count(*) AS w
+              |       FROM (SELECT doc_id, unnest(ws) AS t FROM w)
+              |       WHERE t <> '' GROUP BY doc_id, t),
+              |v AS (SELECT doc_id, b,
+              |        sum(CASE WHEN ((strpos('0123456789abcdef',
+              |                         substr(md5(t), 16 - b // 4, 1)) - 1)
+              |                       >> (b % 4)) & 1 = 1
+              |                 THEN w ELSE -w END) AS vote
+              |      FROM th CROSS JOIN range(0, 64) r(b) GROUP BY doc_id, b),
+              |sh AS (SELECT doc_id,
+              |         CAST(sum(CASE WHEN vote > 0 THEN
+              |                    CASE WHEN b = 63
+              |                         THEN CAST(-9223372036854775808 AS HUGEINT)
+              |                         ELSE CAST(CAST(1 AS BIGINT) << b AS HUGEINT) END
+              |                  ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS simhash
+              |       FROM v GROUP BY doc_id),
+              |ch AS (SELECT doc_id, simhash, c, (simhash >> (c * 16)) & 65535 AS cv
+              |       FROM sh CROSS JOIN range(0, 4) r(c)),
+              |pr AS (SELECT DISTINCT p.doc_id AS a_id, q.doc_id AS b_id,
+              |         CAST(bit_count(xor(p.simhash, q.simhash)) AS BIGINT) AS hamming
+              |       FROM ch p JOIN ch q
+              |         ON p.c = q.c AND p.cv = q.cv AND p.doc_id < q.doc_id)
+              |SELECT a_id, b_id, hamming FROM pr
+              |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin)),
 
-    // Order-sensitive rolling-hash fingerprint of the token stream
-    // (xxhash64-seeded polynomial) — rows-only; pinned by TextSpec.
+    // Order-sensitive rolling-hash fingerprint of the token stream:
+    // base-31 polynomial mod 1e9+7 over md5-derived 32-bit token hashes.
+    // Fully hash-oracled — the DuckDB SQL re-derives the identical number
+    // with nested list_reduce folds (md5 hashes UTF-8 bytes the same way
+    // in both engines; all modular arithmetic stays below 2^35).
     QueryDef(
       "q42_rolling_fingerprint",
       (s, dir) =>
         tbl(s, dir, "documents")
           .select(col("doc_id"), Text.rollingHash(Text.tokensNorm(col("text"))).as("rhash"))
           .orderBy("doc_id"),
-      None),
+      Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents)
+              |SELECT doc_id,
+              |  list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT), list_transform(ws, t ->
+              |      list_reduce(
+              |        list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9),
+              |          i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT))),
+              |        (a, x) -> a * 16 + x))),
+              |    (acc, h) -> (acc * 31 + h % 1000000007) % 1000000007) AS rhash
+              |FROM w ORDER BY doc_id""".stripMargin)),
 
     // BPE-style pre-tokenizer counts vs whitespace counts (the regex is
     // dialect-neutral: no lookaheads, so Java and RE2 agree).

@@ -13,6 +13,30 @@ class TextDedupSpec extends SparkSuite {
     (4L, "completely different words entirely here now today")
   ).toDF("doc_id", "text")
 
+  test("tokenHash32/64 + rollingHash match independently-computed values") {
+    // constants derived outside Spark (python hashlib + int arithmetic on
+    // the md5 hex digits) — the same derivation q38/q42's DuckDB oracles
+    // run, so this pins cross-engine hash parity at the unit level:
+    //   md5('hello') = 5d41402abc4b2a76b9719d911017c592
+    //   h32  = 0x5d41402a                    = 1564557354
+    //   h64  = 0x5d41402abc4b2a76 (signed)   = 6719722671305337462
+    //   rollingHash(['hello','world'])       = 606371823
+    val r = Seq("hello").toDF("t")
+      .select(
+        Text.tokenHash32($"t").as("h32"),
+        Text.tokenHash64($"t").as("h64"),
+        Text.rollingHash(typedLit(Seq("hello", "world"))).as("rh"))
+      .head()
+    assert(r.getLong(0) == 1564557354L)
+    assert(r.getLong(1) == 6719722671305337462L)
+    assert(r.getLong(2) == 606371823L)
+    // signed reinterpretation: a leading hex digit ≥ 8 must go negative
+    // (md5('a') = 0cc1..., md5('c') = 4a8a... keep hunting: md5('b') =
+    // 92eb5ffee6ae2fec3ad71c777531578f → 0x92eb5ffee6ae2fec < 0)
+    val neg = Seq("b").toDF("t").select(Text.tokenHash64($"t")).head().getLong(0)
+    assert(neg == 0x92eb5ffee6ae2fecL && neg < 0L)
+  }
+
   test("normalize collapses case + whitespace; md5 fingerprints collide for dups") {
     val fps = docs.select($"doc_id", Text.fingerprintMd5($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -225,11 +249,11 @@ class TextDedupSpec extends SparkSuite {
   }
 
   test("rollingHash second witness: explode + power-table sum agrees on sf0.001") {
-    // independent formulation of the same polynomial: h = Σᵢ (xxh64(tokᵢ)
+    // independent formulation of the same polynomial: h = Σᵢ (h32(tokᵢ)
     // mod M)·31^(n-1-i) mod M via posexplode + a precomputed modular
     // power table + one hash aggregate — no HOF fold, different plan
-    // shape, same number. Anchors the rows-only q42 with a second
-    // independently-derived implementation.
+    // shape, same number. Anchors q42 with a second independently-derived
+    // implementation (its third witness is the DuckDB oracle itself).
     val M = 1000000007L
     val pows = {
       val a = new Array[Long](1024)
@@ -248,7 +272,7 @@ class TextDedupSpec extends SparkSuite {
       .select($"doc_id", size($"ws").as("n"), posexplode($"ws").as(Seq("pos", "tok")))
       .select($"doc_id",
         pmod(
-          pmod(xxhash64($"tok"), lit(M)) *
+          pmod(Text.tokenHash32($"tok"), lit(M)) *
             element_at(typedLit(pows), ($"n" - $"pos").cast("int")),
           lit(M)).as("c"))
       .groupBy("doc_id").agg(pmod(sum($"c"), lit(M)).as("h"))
