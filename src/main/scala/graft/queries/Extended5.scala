@@ -92,23 +92,32 @@ object Extended5 {
     // High surprisal = rare/garbled tokens; low = boilerplate. Per-token
     // terms are rounded then DECIMAL-summed (order-independent, the
     // q65/q108 pattern — ln itself is bit-identical across engines), so
-    // the score hash-matches. Scale shape: token-keyed shuffle with
-    // map-side combine for the vocab; the (doc,token)→vocab join shuffles
-    // on token — at 100 TB the vocab (≤ a few 100M rows after combine) is
-    // the small side and broadcast-eligible.
+    // the score hash-matches. Scale shape: ONE exploded pass over the
+    // corpus — c(t) comes from a whole-partition window over the
+    // (doc,token) aggregate (the same token-keyed shuffle a vocab join
+    // needs, without re-evaluating the scan lineage for the vocab side),
+    // and the N normalizer is a map-only scalar off a column-pruned
+    // second scan (no explode, no shuffle). The naive vocab-join
+    // formulation evaluates the explode+aggregate lineage three times.
     QueryDef(
       "q117_unigram_surprisal",
       (s, dir) => {
-        val tok = tbl(s, dir, "documents")
+        val perDoc = tbl(s, dir, "documents")
           .select(col("doc_id"), explode(Text.tokensNorm(col("text"))).as("t"))
           .filter(col("t") =!= "")
-        val perDoc = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("w"))
-        val vocab = perDoc.groupBy(col("t")).agg(sum(col("w")).as("c"))
-        val totals = vocab.agg(sum(col("c")).as("n_total"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("w"))
+        val withC = perDoc.withColumn(
+          "c",
+          sum(col("w")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("t"))))
+        val totals = tbl(s, dir, "documents")
+          .select(size(filter(Text.tokensNorm(col("text")), t => t =!= ""))
+            .cast("long").as("n"))
+          .agg(sum(col("n")).as("n_total"))
         val surprisal =
           (log(col("c").cast("double") / col("n_total").cast("double")) /
             log(lit(2.0))) * lit(-1.0)
-        perDoc.join(vocab, "t").crossJoin(broadcast(totals))
+        withC.crossJoin(broadcast(totals))
           .groupBy(col("doc_id"))
           .agg(
             sum(col("w")).as("n_toks"),
