@@ -225,6 +225,30 @@ class PlanSpec extends SparkSuite {
     assert(!beforeSort.contains("Exchange hashpartitioning"), p107)
   }
 
+  test("q116/q118: map-only curation passes — no shuffle before the output sort") {
+    // both are per-doc transforms: the only Exchange allowed is the
+    // range partitioning of the final ORDER BY
+    for (name <- Seq("q116_gopher_rules", "q118_chunk_windows")) {
+      val p = plan(q(name))
+      assert(!p.contains("Exchange hashpartitioning"), s"$name shuffles: $p")
+      assert(scanCount(p) == 1, name)
+    }
+  }
+
+  // formatted explain shows each scan twice (tree + detail); count the
+  // "(n) Scan parquet" detail headers only
+  private def scanCount(p: String): Int =
+    p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*.*"""))
+
+  test("q117: one exploded corpus scan (window c(t)), map-only normalizer, broadcast totals") {
+    val p = plan(q("q117_unigram_surprisal"))
+    // 2 scans total: the exploded pass + the column-pruned N scalar —
+    // the vocab-join formulation this replaced needed 3
+    assert(scanCount(p) == 2, p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(
