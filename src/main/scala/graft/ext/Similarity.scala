@@ -235,6 +235,55 @@ object Similarity {
       .withColumn("keep", col("id") === col("cluster_id"))
   }
 
+  /** Product-quantization (PQ) encoding (Jégou et al., "Product
+    * quantization for nearest neighbor search", TPAMI 2011): each vector
+    * splits into `nSub` contiguous `subDim`-dim subvectors; each subvector
+    * is assigned the id of its nearest codeword (squared L2, code_id
+    * tie-break) from a per-subspace codebook — seeded deterministically
+    * here from every `stride`th corpus vector (codebook TRAINING is
+    * orthogonal to the encode operator; swap in [[trainCentroids]] output
+    * per subspace at deployment). Output: one row per vector with `nSub`
+    * code columns plus the total squared reconstruction error,
+    * DECIMAL-accumulated so the cross-subspace sum is order-independent.
+    *
+    * Scale shape: the codebook broadcasts (nSub × codewords); the corpus
+    * streams once with no shuffle before the final per-vector regroup.
+    * 64-dim float (256 B) → 4 codes (4 B) is the 64× memory cut that makes
+    * billion-vector ANN candidate scans RAM-resident; distances against
+    * codes become nSub lookups in a per-query table.
+    *
+    * The per-subspace distance is an ascending-index fold of
+    * (x_i − c_i)² — the same bit-exact shape as [[dot]], which is what
+    * lets q125's DuckDB oracle replay the entire encode.
+    */
+  def pqEncode(
+      df: DataFrame, idCol: String, embCol: String,
+      nSub: Int, subDim: Int, stride: Int): DataFrame = {
+    val v = df.select(col(idCol).as("vid"), toDouble(col(embCol)).as("ve"))
+    val cb = df.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("code_id"), toDouble(col(embCol)).as("ce"))
+    val subs = v.withColumn("s", explode(sequence(lit(0), lit(nSub - 1))))
+    val d2 = aggregate(
+      sequence(lit(1), lit(subDim)), lit(0.0),
+      (acc, i) => {
+        val off = (col("s") * subDim + i).cast("int")
+        val diff = element_at(col("ve"), off) - element_at(col("ce"), off)
+        acc + diff * diff
+      })
+    val w = Window.partitionBy(col("vid"), col("s"))
+      .orderBy(col("d2").asc, col("code_id").asc)
+    val best = subs.crossJoin(broadcast(cb))
+      .select(col("vid"), col("s"), col("code_id"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val codeCols = (0 until nSub)
+      .map(i => max(when(col("s") === i, col("code_id"))).as(s"code_$i"))
+    val recon = sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+      .cast("double").as("recon")
+    best.groupBy(col("vid"))
+      .agg(codeCols.head, (codeCols.tail :+ recon): _*)
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `blockCol` (e.g. a
     * label, an LSH bucket, or an IVF cell id) so only same-block pairs
     * are scored.

@@ -6,12 +6,11 @@ import graft.ops.Num
 import QueryDef.tbl
 
 /** Similarity search over the `embeddings` fixture (Array[Float], dim 64).
-  * Brute-force and blocked near-dup are oracle-checked — the oracle
-  * mirrors the engine's normalize-first evaluation order exactly
-  * (element/norm division, then an ascending-index product fold), so the
-  * doubles match bit-for-bit. IVF is the approximate scale path
-  * (rows-only; exhaustive-probe ≡ brute-force asserted in
-  * SimilaritySpec).
+  * Every query here is hash-oracled — the oracle mirrors the engine's
+  * evaluation order exactly (element/norm division, ascending-index
+  * product folds, DECIMAL-accumulated means), so the doubles match
+  * bit-for-bit even through the trained-IVF pipeline (q40), the ANN
+  * recall measurement (q123), and the PQ encode (q125).
   */
 object EmbeddingQueries {
 
@@ -50,6 +49,44 @@ object EmbeddingQueries {
        |            sqrt(sum(cent_e[i] * cent_e[i])) AS cent_n
        |          FROM ${next}_e CROSS JOIN range(1, 65) t(i)
        |          GROUP BY cent_id, cent_e)""".stripMargin
+
+  /** The full IVF pipeline as CTE text (seed → two Lloyd iterations →
+    * assignment → nProbe probing → in-cell ranking, ending in `ivfr`
+    * with a row_number `rn` per qid), parameterized so q40 (top-k) and
+    * q123 (recall measurement) share ONE bit-exact definition. Assumes
+    * CTEs `c` (corpus) and `q` (queries) are already defined.
+    */
+  private def ivfCtes(nProbe: Int): String =
+    s"""cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
+       |          FROM c WHERE cid % 50 = 0),
+       |${lloydIter("cent0", "a1", "m1", "cent1")},
+       |${lloydIter("cent1", "a2", "m2", "cent2")},
+       |d3 AS (SELECT cid, cent_id,
+       |         sum(CAST(ce[i] AS DOUBLE) * cent_e[i]) / (cn * cent_n) AS d
+       |       FROM c CROSS JOIN cent2 CROSS JOIN range(1, 65) t(i)
+       |       GROUP BY cid, cent_id, cn, cent_n),
+       |a3 AS (SELECT cid, cent_id FROM (
+       |         SELECT cid, cent_id,
+       |           row_number() OVER (PARTITION BY cid ORDER BY d DESC, cent_id) rnk
+       |         FROM d3) WHERE rnk = 1),
+       |dp AS (SELECT qid, cent_id,
+       |         sum(CAST(qe[i] AS DOUBLE) * cent_e[i]) / (qn * cent_n) AS d
+       |       FROM q CROSS JOIN cent2 CROSS JOIN range(1, 65) t(i)
+       |       GROUP BY qid, cent_id, qn, cent_n),
+       |probe AS (SELECT qid, cent_id FROM (
+       |            SELECT qid, cent_id,
+       |              row_number() OVER (PARTITION BY qid ORDER BY d DESC, cent_id) rnk
+       |            FROM dp) WHERE rnk <= $nProbe),
+       |srch AS (SELECT qid, cid, $pairDot AS cos
+       |         FROM probe
+       |         JOIN a3 USING (cent_id)
+       |         JOIN q USING (qid)
+       |         JOIN c USING (cid)
+       |         CROSS JOIN range(1, 65) t(i)
+       |         WHERE cid != qid GROUP BY qid, cid, qn, cn),
+       |ivfr AS (SELECT qid, cid, cos,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |         FROM srch)""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     // Brute-force cosine top-5 for 10 query vectors: corpus streams once,
@@ -102,40 +139,104 @@ object EmbeddingQueries {
       Some(s"""WITH $normCte,
               |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
               |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
-              |cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
-              |          FROM c WHERE cid % 50 = 0),
-              |${lloydIter("cent0", "a1", "m1", "cent1")},
-              |${lloydIter("cent1", "a2", "m2", "cent2")},
-              |d3 AS (SELECT cid, cent_id,
-              |         sum(CAST(ce[i] AS DOUBLE) * cent_e[i]) / (cn * cent_n) AS d
-              |       FROM c CROSS JOIN cent2 CROSS JOIN range(1, 65) t(i)
-              |       GROUP BY cid, cent_id, cn, cent_n),
-              |a3 AS (SELECT cid, cent_id FROM (
-              |         SELECT cid, cent_id,
-              |           row_number() OVER (PARTITION BY cid ORDER BY d DESC, cent_id) rnk
-              |         FROM d3) WHERE rnk = 1),
               |q AS (SELECT e.vec_id qid, e.embedding qe, n.nrm qn
               |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id WHERE e.vec_id < 10),
-              |dp AS (SELECT qid, cent_id,
-              |         sum(CAST(qe[i] AS DOUBLE) * cent_e[i]) / (qn * cent_n) AS d
-              |       FROM q CROSS JOIN cent2 CROSS JOIN range(1, 65) t(i)
-              |       GROUP BY qid, cent_id, qn, cent_n),
-              |probe AS (SELECT qid, cent_id FROM (
-              |            SELECT qid, cent_id,
-              |              row_number() OVER (PARTITION BY qid ORDER BY d DESC, cent_id) rnk
-              |            FROM dp) WHERE rnk <= 3),
-              |srch AS (SELECT qid, cid, $pairDot AS cos
-              |         FROM probe
-              |         JOIN a3 USING (cent_id)
-              |         JOIN q USING (qid)
-              |         JOIN c USING (cid)
-              |         CROSS JOIN range(1, 65) t(i)
-              |         WHERE cid != qid GROUP BY qid, cid, qn, cn),
-              |r AS (SELECT qid, cid, cos,
-              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
-              |      FROM srch)
+              |${ivfCtes(nProbe = 3)}
               |SELECT qid, cid, rn, ${Num.roundSql("cos", 4)} AS cos_r
-              |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+              |FROM ivfr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // ANN quality measurement: recall@10 of the IVF path against the
+    // brute-force exact anchor, per query — the acceptance gate every
+    // approximate index must pass before it replaces an exact scan in a
+    // production pipeline (tune nProbe/stride until recall clears the
+    // bar). Both arms are deterministic, so even the RECALL of the
+    // approximate structure is hash-oracled: the SQL replays brute-force
+    // top-10 and the entire IVF pipeline (q39's and q40's shared CTEs)
+    // and joins them, exactly like the engine. The division is one IEEE
+    // op on an exact integer — bit-identical, no rounding needed.
+    QueryDef(
+      "q123_ann_recall",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity
+          .bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+          .select(col("qid"), col("cid"))
+        val appr = Similarity
+          .ivfTopK(emb, qs, "vec_id", "embedding", k = 10, stride = 50, nProbe = 3, trainIters = 2)
+          .select(col("qid"), col("cid"))
+        val hit = exact.join(appr, Seq("qid", "cid"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        qs.select(col("vec_id").as("qid"))
+          .join(hit, Seq("qid"), "left")
+          .select(
+            col("qid"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH $normCte,
+              |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
+              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
+              |q AS (SELECT e.vec_id qid, e.embedding qe, n.nrm qn
+              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id WHERE e.vec_id < 10),
+              |exd AS (SELECT qid, cid, $pairDot AS cos
+              |        FROM q CROSS JOIN c CROSS JOIN range(1, 65) t(i)
+              |        WHERE qid != cid GROUP BY qid, cid, qn, cn),
+              |ex AS (SELECT qid, cid FROM (
+              |         SELECT qid, cid,
+              |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+              |         FROM exd) WHERE rn <= 10),
+              |${ivfCtes(nProbe = 3)},
+              |ap AS (SELECT qid, cid FROM ivfr WHERE rn <= 10),
+              |hit AS (SELECT e.qid, count(*) AS n_hit
+              |        FROM ex e JOIN ap a ON a.qid = e.qid AND a.cid = e.cid
+              |        GROUP BY e.qid)
+              |SELECT q.qid,
+              |  CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+              |  CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / 10.0 AS recall
+              |FROM q LEFT JOIN hit ON hit.qid = q.qid ORDER BY q.qid""".stripMargin)),
+
+    // Product-quantization encode (Jégou et al. 2011): 64-dim vectors →
+    // 4 subspace codes + squared reconstruction error. The 64× memory
+    // cut (256 B float vector → 4 codes) that makes billion-vector ANN
+    // candidate scans RAM-resident. Deterministic end to end (seeded
+    // codebook, ascending (x−c)² folds, id tie-breaks,
+    // DECIMAL-accumulated error) — the oracle replays the whole encode,
+    // so code assignment AND reconstruction error hash-match.
+    QueryDef(
+      "q125_pq_encode",
+      (s, dir) =>
+        Similarity
+          .pqEncode(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+            nSub = 4, subDim = 16, stride = 50)
+          .select(
+            col("vid").as("vec_id"),
+            col("code_0"), col("code_1"), col("code_2"), col("code_3"),
+            Num.roundTo(col("recon"), 4).as("recon_r"))
+          .orderBy("vec_id"),
+      Some(s"""WITH cb AS (SELECT vec_id AS code_id, embedding AS ce
+              |           FROM embeddings WHERE vec_id % 50 = 0),
+              |d AS (SELECT v.vec_id, sp.s, cb.code_id,
+              |        sum((CAST(v.embedding[sp.s*16 + i] AS DOUBLE) -
+              |             CAST(cb.ce[sp.s*16 + i] AS DOUBLE)) *
+              |            (CAST(v.embedding[sp.s*16 + i] AS DOUBLE) -
+              |             CAST(cb.ce[sp.s*16 + i] AS DOUBLE))) AS d2
+              |      FROM embeddings v
+              |      CROSS JOIN range(0, 4) sp(s)
+              |      CROSS JOIN cb
+              |      CROSS JOIN range(1, 17) t(i)
+              |      GROUP BY v.vec_id, sp.s, cb.code_id),
+              |b AS (SELECT vec_id, s, code_id, d2,
+              |        row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code_id) AS rnk
+              |      FROM d)
+              |SELECT vec_id,
+              |  max(CASE WHEN s = 0 THEN code_id END) AS code_0,
+              |  max(CASE WHEN s = 1 THEN code_id END) AS code_1,
+              |  max(CASE WHEN s = 2 THEN code_id END) AS code_2,
+              |  max(CASE WHEN s = 3 THEN code_id END) AS code_3,
+              |  ${Num.roundSql("CAST(sum(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE)", 4)} AS recon_r
+              |FROM b WHERE rnk = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
     // SemDeDup-style SEMANTIC deduplication (arXiv:2303.09540) — the
     // embedding-space capstone: learned coarse cells (modular seed + one

@@ -240,6 +240,31 @@ class PlanSpec extends SparkSuite {
   private def scanCount(p: String): Int =
     p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*.*"""))
 
+  test("q119: blocklist scrub is map-only — no shuffle before the output sort") {
+    val p = plan(q("q119_blocklist_scrub"))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(scanCount(p) == 1, p)
+  }
+
+  test("q121: LATERAL decorrelates to ONE aggregate join — no per-row re-execution") {
+    val p = plan(q("q121_lateral_topk"))
+    // the correlated subquery became a plain aggregate below a join (no
+    // nested-loop re-evaluation): the FACT side scans exactly once — the
+    // third scan is the tiny part-key domain Spark adds so count(*) can
+    // return 0 for parts with no lineitems
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1, p)
+    assert(scanCount(p) == 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q125: PQ codebook broadcasts; corpus scans once") {
+    val p = plan(q("q125_pq_encode"))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(scanCount(p) == 2, p) // corpus + codebook subset
+    assert(!p.contains("CartesianProduct"), p) // broadcast NL join is the codebook fan-out
+  }
+
   test("q117: one exploded corpus scan (window c(t)), map-only normalizer, broadcast totals") {
     val p = plan(q("q117_unigram_surprisal"))
     // 2 scans total: the exploded pass + the column-pruned N scalar —
