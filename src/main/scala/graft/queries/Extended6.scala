@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.ext.Text
 import graft.ops.Num
 import QueryDef.tbl
@@ -190,5 +191,154 @@ object Extended6 {
               |  ${rs("regr_r2(l_extendedprice, l_quantity)", 6)} AS r2_r,
               |  ${rs("regr_avgx(l_extendedprice, l_quantity)", 6)} AS avgx_r,
               |  ${rs("regr_avgy(l_extendedprice, l_quantity)", 2)} AS avgy_r
-              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Gopher's duplicate-n-gram repetition signal (Rae et al. 2021
+    // §A1.1: "fraction of characters in duplicate n-grams"): per doc,
+    // the share of bigram characters that belong to bigrams occurring
+    // ≥2 times — catches looped/boilerplate text that q61's
+    // top-token share misses. Exact integers until ONE division. Scale:
+    // one explode + two hash aggs, all keyed by doc_id (map-side
+    // combine; no cross-doc term at all).
+    QueryDef(
+      "q126_dup_ngram_chars",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .withColumn("__ws", Text.tokensNorm(col("text")))
+        val n = size(col("__ws"))
+        val bigrams = when(n >= 2,
+          transform(sequence(lit(1), n - 1),
+            i => concat_ws(" ", element_at(col("__ws"), i),
+              element_at(col("__ws"), (i + 1).cast("int")))))
+          .otherwise(array().cast("array<string>"))
+        d.select(col("doc_id"), explode(bigrams).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("w"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("w")).as("n_bigrams"),
+            count(when(col("w") >= 2, 1)).as("n_dup_types"),
+            sum(col("w") * length(col("bg"))).as("__denom"),
+            sum(when(col("w") >= 2, col("w") * length(col("bg")))
+              .otherwise(lit(0L))).as("__num"))
+          .select(
+            col("doc_id"), col("n_bigrams"), col("n_dup_types"),
+            R(col("__num").cast("double") / col("__denom").cast("double"), 6)
+              .as("dup_char_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+              |b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+              |      FROM w CROSS JOIN range(1, 1000) t(i)
+              |      WHERE i <= len(ws) - 1),
+              |c AS (SELECT doc_id, bg, count(*) AS w FROM b GROUP BY 1, 2),
+              |a AS (SELECT doc_id,
+              |        CAST(sum(w) AS BIGINT) AS n_bigrams,
+              |        count(CASE WHEN w >= 2 THEN 1 END) AS n_dup_types,
+              |        CAST(sum(w * length(bg)) AS BIGINT) AS denom,
+              |        CAST(coalesce(sum(CASE WHEN w >= 2 THEN w * length(bg) END), 0)
+              |             AS BIGINT) AS num
+              |      FROM c GROUP BY 1)
+              |SELECT doc_id, n_bigrams, n_dup_types,
+              |  ${rs("CAST(num AS DOUBLE) / CAST(denom AS DOUBLE)", 6)} AS dup_char_frac
+              |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // Distribution-drift monitor: PSI (population stability index) of
+    // each source's doc-length histogram against the src0 baseline —
+    // the pipeline-health check run between ingestion batches (PSI >
+    // 0.2 = investigate). Laplace-smoothed bin probabilities keep ln
+    // finite on empty bins with EXACT rational smoothing; per-bin terms
+    // are rounded then DECIMAL-summed (the q117 ln-parity recipe).
+    // Scale: one map-only binning pass + aggregates over sources×10
+    // bins — the comparison itself is free at any corpus size.
+    QueryDef(
+      "q127_psi_drift",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .select(col("source"),
+            least(floor(size(Text.tokensNorm(col("text"))) / lit(16.0)).cast("int"),
+              lit(9)).as("bin"))
+        val counts = d.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+        val grid = d.select(col("source")).distinct()
+          .crossJoin(s.range(0, 10).select(col("id").cast("int").as("bin")))
+        val hist = grid.join(counts, Seq("source", "bin"), "left")
+          .select(col("source"), col("bin"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+        val n = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+        val p = hist.join(n, Seq("source"))
+          .select(col("source"), col("bin"), col("n"),
+            ((col("cnt").cast("double") + lit(1.0)) /
+              (col("n").cast("double") + lit(10.0))).as("p"))
+        val base = p.filter(col("source") === "src0")
+          .select(col("bin"), col("p").as("p0"))
+        p.join(broadcast(base), Seq("bin"))
+          .groupBy(col("source"))
+          .agg(
+            max(col("n")).as("n_docs"),
+            sum(Num.roundTo((col("p") - col("p0")) * log(col("p") / col("p0")), 12)
+              .cast(DecimalType(24, 12))).cast("double").as("__psi"))
+          .select(col("source"), col("n_docs"), R(col("__psi"), 6).as("psi_r"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source,
+              |             least(CAST(floor(len($wsSql) / 16.0) AS INT), 9) AS bin
+              |           FROM documents),
+              |c AS (SELECT source, bin, count(*) AS cnt FROM d GROUP BY 1, 2),
+              |grid AS (SELECT source, CAST(b AS INT) AS bin
+              |         FROM (SELECT DISTINCT source FROM documents)
+              |         CROSS JOIN range(0, 10) t(b)),
+              |h AS (SELECT g.source, g.bin, coalesce(c.cnt, 0) AS cnt
+              |      FROM grid g LEFT JOIN c ON c.source = g.source AND c.bin = g.bin),
+              |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+              |p AS (SELECT h.source, h.bin, n.n,
+              |        (CAST(cnt AS DOUBLE) + 1.0) / (CAST(n.n AS DOUBLE) + 10.0) AS p
+              |      FROM h JOIN n USING (source)),
+              |b0 AS (SELECT bin, p AS p0 FROM p WHERE source = 'src0'),
+              |a AS (SELECT p.source, max(p.n) AS n_docs,
+              |        CAST(sum(CAST(${Num.roundSql("(p.p - b0.p0) * ln(p.p / b0.p0)", 12)}
+              |                      AS DECIMAL(24,12))) AS DOUBLE) AS psi
+              |      FROM p JOIN b0 USING (bin) GROUP BY 1)
+              |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+              |  ${rs("psi", 6)} AS psi_r
+              |FROM a ORDER BY source""".stripMargin)),
+
+    // Exact-substring benchmark decontamination (the PaLM/GPT-3 recipe:
+    // drop training docs CONTAINING a benchmark string verbatim) —
+    // complements q62/q103's shingle/fuzzy forms. Probes are the
+    // normalized 8-token prefixes of docs 0–4; every doc is checked for
+    // verbatim containment. The probe side is tiny by construction →
+    // broadcast nested-loop is the RIGHT plan (contains() is not an
+    // equi-key); at 100 TB the cost stays one corpus scan × |benchmark|.
+    QueryDef(
+      "q128_exact_decontam",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .withColumn("__n", Text.normalize(col("text")))
+        val probes = d.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("probe_id"),
+            concat_ws(" ", slice(Text.tokensNorm(col("text")), 1, 8)).as("probe"))
+        val hits = d.crossJoin(broadcast(probes))
+          .filter(col("__n").contains(col("probe")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_probes_hit"), min(col("probe_id")).as("first_probe"))
+        d.select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_probes_hit"), lit(0L)).as("n_probes_hit"),
+            col("first_probe"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH nd AS (SELECT doc_id,
+              |              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+              |            FROM documents),
+              |pr AS (SELECT doc_id AS probe_id,
+              |         array_to_string(list_slice($wsSql, 1, 8), ' ') AS probe
+              |       FROM documents WHERE doc_id < 5),
+              |h AS (SELECT nd.doc_id, count(*) AS n_hit, min(pr.probe_id) AS first_probe
+              |      FROM nd JOIN pr ON contains(nd.nt, pr.probe)
+              |      GROUP BY nd.doc_id)
+              |SELECT nd.doc_id,
+              |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_probes_hit,
+              |  h.first_probe
+              |FROM nd LEFT JOIN h ON h.doc_id = nd.doc_id
+              |ORDER BY nd.doc_id""".stripMargin)))
 }

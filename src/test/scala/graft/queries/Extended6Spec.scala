@@ -138,6 +138,50 @@ class Extended6Spec extends SparkSuite {
     }
   }
 
+  test("q126 dup-ngram chars: hand-computed repetition fractions") {
+    val dir = writeDocs(Seq(
+      (1L, "a b a b c"), // bigrams: "a b"×2, "b a", "b c" → num=2*3=6, denom=3+3+3+3=12
+      (2L, "x y z w"))) // all bigrams unique → frac 0
+    val rows = q("q126_dup_ngram_chars")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows(0) == ((1L, 4L, 1L, 0.5)))
+    assert(rows(1) == ((2L, 3L, 0L, 0.0)))
+  }
+
+  test("q127 psi: baseline source scores exactly 0; PSI is non-negative") {
+    val all = q("q127_psi_drift")(spark, sf0001).collect()
+    val bySrc = all.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(bySrc("src0") == 0.0, s"PSI(src0||src0) must be 0, got ${bySrc("src0")}")
+    // PSI is a sum of (p-q)ln(p/q) terms, each ≥ 0 up to term rounding
+    all.foreach(r => assert(r.getDouble(2) > -1e-9, r.toString))
+    assert(all.length == 20) // every fixture source present
+  }
+
+  test("q128 exact decontam: probes hit themselves; verbatim embeds are caught") {
+    val rows = q("q128_exact_decontam")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 4L).foreach(id =>
+      assert(rows(id) >= 1L, s"probe doc $id must contain its own prefix"))
+    // synthetic corpus: docs 0,1 share one text (duplicate probes); doc 3
+    // embeds that prefix mid-text; docs 2,4 hit only their own prefixes
+    val d0 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"doc_id" === 0).select($"text").head().getString(0)
+    val prefix8 = d0.toLowerCase.trim.split("\\s+").take(8).mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, d0),
+      (1L, d0),
+      (2L, "totally unrelated words here that hit nothing at all"),
+      (3L, s"leading context $prefix8 trailing context"),
+      (4L, "another benchmark probe document entirely different from the rest")))
+    val got = q("q128_exact_decontam")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toList
+    assert(got(0) == ((0L, 2L, Some(0L)))) // own prefix ≡ probe 0 and 1
+    assert(got(1) == ((1L, 2L, Some(0L))))
+    assert(got(2) == ((2L, 1L, Some(2L)))) // only its own prefix
+    assert(got(3) == ((3L, 3L, Some(0L)))) // embedded copy + probes 0,1
+    assert(got(4) == ((4L, 1L, Some(4L))))
+  }
+
   test("q125 pq encode: hand-computed 2-subspace example") {
     val dir = java.nio.file.Files.createTempDirectory("x6pq").toString
     // dim 4, 2 subspaces of 2; codewords = ids 0 and 50
