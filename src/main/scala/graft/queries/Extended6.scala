@@ -340,5 +340,88 @@ object Extended6 {
               |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_probes_hit,
               |  h.first_probe
               |FROM nd LEFT JOIN h ON h.doc_id = nd.doc_id
-              |ORDER BY nd.doc_id""".stripMargin)))
+              |ORDER BY nd.doc_id""".stripMargin)),
+
+    // Source-balance Gini coefficient over per-source token mass — the
+    // corpus-diversity number a data-mixing report leads with (0 =
+    // perfectly balanced sources, →1 = one source dominates). Closed
+    // form over the ascending-sorted masses: G = (2·Σi·xᵢ − (n+1)·Σxᵢ)
+    // / (n·Σxᵢ) — exact integers until ONE division. The rank window
+    // runs over SOURCE-cardinality rows (tiny); the heavy part is the
+    // per-source token aggregate, which map-side combines.
+    QueryDef(
+      "q129_source_gini",
+      (s, dir) => {
+        val per = tbl(s, dir, "documents")
+          .select(col("source"),
+            size(Text.tokensNorm(col("text"))).cast("bigint").as("nt"))
+          .groupBy(col("source")).agg(sum(col("nt")).as("x"))
+        val w = Window.orderBy(col("x").asc, col("source").asc)
+        per.withColumn("i", row_number().over(w).cast("bigint"))
+          .agg(
+            count(lit(1)).as("n_sources"),
+            sum(col("x")).as("total_tokens"),
+            sum(col("i") * col("x")).as("__ix"))
+          .select(
+            col("n_sources"), col("total_tokens"),
+            R((col("__ix") * 2 - (col("n_sources") + 1) * col("total_tokens"))
+              .cast("double") /
+              (col("n_sources") * col("total_tokens")).cast("double"), 6)
+              .as("gini_r"))
+      },
+      Some(s"""WITH per AS (
+              |  SELECT source, CAST(sum(len($wsSql)) AS BIGINT) AS x
+              |  FROM documents GROUP BY source),
+              |r AS (SELECT source, x,
+              |        CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i
+              |      FROM per),
+              |a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+              |        CAST(sum(x) AS BIGINT) AS total_tokens,
+              |        CAST(sum(i * x) AS BIGINT) AS ix
+              |      FROM r)
+              |SELECT n_sources, total_tokens,
+              |  ${rs("CAST(ix * 2 - (n_sources + 1) * total_tokens AS DOUBLE) / " +
+             "CAST(n_sources * total_tokens AS DOUBLE)", 6)} AS gini_r
+              |FROM a""".stripMargin)),
+
+    // Dataset card: the one-row corpus datasheet (Gebru et al.,
+    // "Datasheets for Datasets") emitted at the end of every curation
+    // run — sizes, source/language diversity, token mass, mean length,
+    // exact-duplicate rate. ONE scan: the multi-distinct aggregate
+    // expands to per-distinct partial aggs (low-cardinality keys →
+    // map-side dedup), the md5-fingerprint distinct rides the same
+    // Expand. Every ratio is a single IEEE division off exact integers.
+    QueryDef(
+      "q130_dataset_card",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            size(Text.tokensNorm(col("text"))).cast("bigint").as("nt"),
+            Text.fingerprintMd5(col("text")).as("fp"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("nt")).as("total_tokens"),
+            countDistinct(col("fp")).as("n_unique"))
+          .select(
+            col("n_docs"), col("n_sources"), col("n_langs"), col("total_tokens"),
+            R(col("total_tokens").cast("double") / col("n_docs").cast("double"), 4)
+              .as("mean_tokens_r"),
+            R((col("n_docs") - col("n_unique")).cast("double") /
+              col("n_docs").cast("double"), 6).as("dup_frac_r")),
+      Some(s"""WITH d AS (SELECT source, lang,
+              |            CAST(len($wsSql) AS BIGINT) AS nt,
+              |            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              |          FROM documents),
+              |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              |        CAST(sum(nt) AS BIGINT) AS total_tokens,
+              |        CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+              |      FROM d)
+              |SELECT n_docs, n_sources, n_langs, total_tokens,
+              |  ${rs("CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)} AS mean_tokens_r,
+              |  ${rs("CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS dup_frac_r
+              |FROM a""".stripMargin)))
 }

@@ -182,6 +182,40 @@ class Extended6Spec extends SparkSuite {
     assert(got(4) == ((4L, 1L, Some(4L))))
   }
 
+  private def writeDocsSrc(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("x6src").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q129 gini: perfectly balanced sources score 0; known skew matches closed form") {
+    val even = writeDocsSrc(Seq(
+      (1L, "a b c", "s1"), (2L, "d e f", "s2"), (3L, "g h i", "s3")))
+    val r0 = q("q129_source_gini")(spark, even).head()
+    assert(r0.getLong(0) == 3 && r0.getLong(1) == 9 && r0.getDouble(2) == 0.0)
+    // masses 1,2,3: G = (2*(1*1+2*2+3*3) - 4*6) / (3*6) = (28-24)/18 = 2/9
+    val skew = writeDocsSrc(Seq(
+      (1L, "a", "s1"), (2L, "b c", "s2"), (3L, "d e f", "s3")))
+    val r1 = q("q129_source_gini")(spark, skew).head()
+    assert(math.abs(r1.getDouble(2) - 2.0 / 9.0) < 1e-6)
+  }
+
+  test("q130 dataset card: counts, mean tokens, exact-dup fraction") {
+    val dir = writeDocsSrc(Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "  ALPHA   beta GAMMA ", "s1"), // normalizes to doc 1's fingerprint
+      (3L, "delta epsilon", "s2"),
+      (4L, "zeta", "s2")))
+    val r = q("q130_dataset_card")(spark, dir).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2 && r.getLong(2) == 1)
+    assert(r.getLong(3) == 9) // 3+3+2+1 tokens
+    assert(r.getDouble(4) == 2.25)
+    assert(r.getDouble(5) == 0.25) // one duplicate of four
+  }
+
   test("q125 pq encode: hand-computed 2-subspace example") {
     val dir = java.nio.file.Files.createTempDirectory("x6pq").toString
     // dim 4, 2 subspaces of 2; codewords = ids 0 and 50
