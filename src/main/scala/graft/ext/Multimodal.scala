@@ -94,6 +94,94 @@ object Multimodal {
     }
   }
 
+  /** Typed feature row per AUDIO asset. Populated fields require a valid
+    * RIFF/WAVE PCM payload; anything else yields decode_ok=false with
+    * byte-level stats only.
+    */
+  final case class AudioFeatures(
+      asset_id: Long,
+      n_bytes: Long,
+      decode_ok: Boolean,
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      bits: Option[Int],
+      n_frames: Option[Long], // samples per channel
+      duration_s: Option[Double],
+      rms: Option[Double], // full-scale-normalized RMS over all samples
+      peak: Option[Double])
+
+  private[ext] final case class Wav(
+      sampleRate: Int, channels: Int, bits: Int,
+      nFrames: Long, durationS: Double, rms: Double, peak: Double)
+
+  /** Parse a RIFF/WAVE payload (the container format is public and
+    * fixed-layout; no codec library needed for PCM16). Walks the chunk
+    * list for `fmt ` and `data`, then computes RMS/peak over the PCM16
+    * samples — the audio twin of [[decode]]'s scanline sampling.
+    * Compressed codecs (mp3/aac/opus) are NOT decoded — they return None
+    * here and keep byte-level features, exactly like non-image blobs on
+    * the image path; swapping a codec in is a local change.
+    */
+  private[ext] def decodeWav(bytes: Array[Byte]): Option[Wav] = {
+    if (bytes.length < 44) return None
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, channels, rate, bits
+    var data: Option[(Int, Int)] = None // offset, size
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = ascii(off)
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16)
+        fmt = Some((bb.getShort(off + 8) & 0xffff, bb.getShort(off + 10) & 0xffff,
+          bb.getInt(off + 12), bb.getShort(off + 22) & 0xffff))
+      else if (id == "data") data = Some((off + 8, size))
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate, 16)), Some((dOff, dSize)))
+          if ch > 0 && rate > 0 && dSize >= 2 =>
+        val nSamples = dSize / 2
+        var sumSq = 0.0
+        var pk = 0.0
+        var i = 0
+        while (i < nSamples) {
+          val s = bb.getShort(dOff + 2 * i) / 32768.0
+          sumSq += s * s
+          if (math.abs(s) > pk) pk = math.abs(s)
+          i += 1
+        }
+        val nFrames = nSamples.toLong / ch
+        Some(Wav(rate, ch, 16, nFrames, nFrames.toDouble / rate,
+          math.sqrt(sumSq / nSamples), pk))
+      case _ => None
+    }
+  }
+
+  /** Batch audio feature extraction — same partition-iterator shape as
+    * [[extractFeatures]]; one streaming pass per partition, no shuffle.
+    */
+  def extractAudioFeatures(assets: DataFrame): Dataset[AudioFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id"), col("asset"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWav(bytes) match {
+            case Some(w) => AudioFeatures(id, bytes.length.toLong, decode_ok = true,
+              Some(w.sampleRate), Some(w.channels), Some(w.bits), Some(w.nFrames),
+              Some(w.durationS), Some(w.rms), Some(w.peak))
+            case None => AudioFeatures(id, bytes.length.toLong, decode_ok = false,
+              None, None, None, None, None, None, None)
+          }
+        }
+      }
+  }
+
   /** Batch feature extraction over the binary column. Partition-iterator
     * shape: per-partition (not per-row) setup cost, streaming through
     * rows — the pattern that scales to 100 TB of blobs (each task

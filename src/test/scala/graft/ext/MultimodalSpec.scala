@@ -89,4 +89,51 @@ class MultimodalSpec extends SparkSuite {
     val f = Multimodal.extractFeatures(Multimodal.withBinaryAsset(df, "id", "payload")).head()
     assert(!f.decode_ok && f.n_bytes == 0L && f.byte_mean == 0.0)
   }
+
+  /** Minimal valid RIFF/WAVE PCM16 payload built from first principles. */
+  private def wavBytes(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("WAV PCM16 decode: header fields, duration, RMS and peak exact") {
+    // 8 kHz mono, 0.5 s square wave at half full scale: rms = peak = 0.5
+    val square = Array.tabulate[Short](4000)(i => if (i % 2 == 0) 16384 else -16384)
+    val silent = Array.fill[Short](800)(0) // 0.1 s of silence
+    val df = Seq(
+      (1L, wavBytes(8000, 1, square)),
+      (2L, wavBytes(8000, 1, silent)),
+      (3L, "not audio at all".getBytes("UTF-8"))).toDF("asset_id", "asset")
+    val f = Multimodal.extractAudioFeatures(df).collect().map(a => a.asset_id -> a).toMap
+    val w1 = f(1L)
+    assert(w1.decode_ok && w1.sample_rate.contains(8000) && w1.channels.contains(1))
+    assert(w1.bits.contains(16) && w1.n_frames.contains(4000L))
+    assert(w1.duration_s.contains(0.5))
+    assert(w1.rms.contains(0.5) && w1.peak.contains(0.5))
+    val w2 = f(2L)
+    assert(w2.decode_ok && w2.rms.contains(0.0) && w2.peak.contains(0.0))
+    assert(w2.duration_s.contains(0.1))
+    assert(!f(3L).decode_ok && f(3L).sample_rate.isEmpty)
+  }
+
+  test("WAV decode: stereo frame accounting and truncated/corrupt payload safety") {
+    // 4 kHz stereo, 100 interleaved sample pairs → 100 frames, 0.025 s
+    val stereo = Array.tabulate[Short](200)(i => (i * 50).toShort)
+    val ok = Multimodal.decodeWav(wavBytes(4000, 2, stereo)).get
+    assert(ok.channels == 2 && ok.nFrames == 100L && ok.durationS == 0.025)
+    // corrupt: declared chunk size overruns the payload → None, no throw
+    val truncated = wavBytes(8000, 1, Array.fill[Short](100)(5)).dropRight(50)
+    assert(Multimodal.decodeWav(truncated).isEmpty)
+    assert(Multimodal.decodeWav(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+  }
 }
