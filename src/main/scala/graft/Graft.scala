@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
 object Graft {
   def registerAll(spark: SparkSession): Unit = {
     functions.VectorExpressions.register(spark)
+    functions.StringExpressions.register(spark)
     ops.Classify.registerUdfs(spark)
     ops.Aggregates.registerUdafs(spark)
   }

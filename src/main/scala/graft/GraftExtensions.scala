@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.VectorDot
+import graft.functions.{JaroWinkler, VectorDot}
 
 /** Session-extension entry point: makes the engine's native expressions
   * available in any session via
@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getCanonicalName, "vec_dot"),
       exprs => VectorDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getCanonicalName, "jaro_winkler"),
+      exprs => JaroWinkler(exprs.head, exprs(1))))
   }
 }

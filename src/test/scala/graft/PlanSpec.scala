@@ -274,6 +274,36 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q135: ER verify runs the native jaro_winkler inside codegen over a broadcast canon") {
+    val df = q("q135_jaro_winkler")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.linesIterator.exists(l =>
+      l.contains("*(") && l.toLowerCase.contains("jarowinkler")))
+    assert(executed.contains("BroadcastNestedLoopJoin") ||
+      executed.contains("BroadcastExchange"), executed)
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.JaroWinkler]))
+  }
+
+  test("q140/q142: window-only plans — candidate generation without any join") {
+    val p140 = plan(q("q140_sorted_neighborhood"))
+    assert(p140.contains("Window"), p140)
+    assert(!p140.contains("Join"), p140)
+    val p142 = plan(q("q142_topp_nucleus"))
+    assert(p142.contains("Window"), p142)
+    assert(!p142.contains("Join"), p142)
+  }
+
+  test("q137/q139/q141: per-group stats tables broadcast back (no shuffle join)") {
+    Seq("q137_mad_outliers", "q139_winsorize", "q141_dsir_weights").foreach { name =>
+      val p = plan(q(name))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name: stats join did not broadcast\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name: unexpected shuffle join\n$p")
+    }
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(
