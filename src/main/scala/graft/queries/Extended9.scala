@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ext.Text
+import graft.ops.Num
+import QueryDef.tbl
+
+/** Round-5 batch 2: iterative PageRank hash-oracled against an unrolled
+  * recursive oracle (q144), the end-to-end entity-resolution capstone
+  * composing corruption-invariant blocking + sorted-neighborhood
+  * candidates + native Jaro-Winkler verify (q145), and time-series
+  * linear interpolation — the midpoint-aware companion to q82's
+  * forward fill (q146).
+  */
+object Extended9 {
+
+  private def R(c: Column, n: Int) = Num.roundTo(c, n)
+  private def rs(e: String, n: Int) = Num.roundSql(e, n)
+
+  /** q144's oracle is GENERATED: one CTE pair (contribution sum, new rank
+    * vector) per iteration, each reproducing the Spark loop's exact
+    * arithmetic — per-edge terms rounded to 12 decimals, summed as
+    * DECIMAL (order-free), damped, re-rounded. Same constant fold shape
+    * on both sides: 0.006 + 0.85 * coalesce(s, 0.0).
+    */
+  private val PrIters = 6
+  private def pagerankSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""c$k AS (SELECT e.v,
+         |        CAST(sum(CAST(${rs(s"r.r * e.frac", 12)} AS DECIMAL(24,12))) AS DOUBLE) AS s
+         |      FROM ew e JOIN r${k - 1} r ON r.v = e.u GROUP BY e.v),
+         |r$k AS (SELECT vtx.v, ${rs(s"0.006 + 0.85 * coalesce(c$k.s, 0.0)", 12)} AS r
+         |      FROM vtx LEFT JOIN c$k ON c$k.v = vtx.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eg AS (SELECT c.c_nationkey AS u, s.s_nationkey AS v, count(*) AS w
+       |            FROM lineitem l
+       |            JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |            JOIN customer c ON o.o_custkey = c.c_custkey
+       |            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |            GROUP BY 1, 2),
+       |outd AS (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM eg GROUP BY 1),
+       |ew AS (SELECT u, v, CAST(w AS DOUBLE) / CAST(outw AS DOUBLE) AS frac
+       |       FROM eg JOIN outd USING (u)),
+       |vtx AS (SELECT n_nationkey AS v FROM nation),
+       |r0 AS (SELECT v, CAST(0.04 AS DOUBLE) AS r FROM vtx),
+       |$iters
+       |SELECT r$PrIters.v, n_name, r$PrIters.r AS pagerank
+       |FROM r$PrIters JOIN nation ON n_nationkey = r$PrIters.v
+       |ORDER BY v""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // PageRank over the customer-nation → supplier-nation trade graph
+    // (damping 0.85, 6 iterations, uniform start 1/25). THE iterative-
+    // algorithm template at 100 TB: the edge relation is aggregated once
+    // (|V|² rows — localCheckpoint truncates the 4-way join lineage so
+    // the loop doesn't replay it), the rank vector is tiny and BROADCAST
+    // into every iteration's edge join; per-iteration cost is one
+    // map-side join + one hash agg over edges. Per-vertex contribution
+    // sums are rounded-term DECIMAL, so both engines converge through
+    // bit-identical intermediate vectors. Dangling-vertex mass leaks (no
+    // redistribution) — standard simplified PR, same on both sides.
+    QueryDef(
+      "q144_pagerank",
+      (s, dir) => {
+        val eg = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey").as("u")),
+            col("o_custkey") === col("c_custkey"))
+          .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey").as("v")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        val outd = eg.groupBy("u").agg(sum(col("w")).as("outw"))
+        val ew = eg.join(outd, "u")
+          .select(col("u"), col("v"),
+            (col("w").cast("double") / col("outw").cast("double")).as("frac"))
+          .localCheckpoint()
+        val vtx = tbl(s, dir, "nation").select(col("n_nationkey").as("v"))
+        var r = vtx.withColumn("r", lit(0.04))
+        (1 to PrIters).foreach { _ =>
+          val contrib = ew
+            .join(broadcast(r.select(col("v").as("u"), col("r").as("ru"))), "u")
+            .groupBy(col("v"))
+            .agg(sum(R(col("ru") * col("frac"), 12).cast(DecimalType(24, 12)))
+              .cast("double").as("s"))
+          r = vtx.join(broadcast(contrib), Seq("v"), "left")
+            .select(col("v"),
+              R(lit(0.006) + lit(0.85) * coalesce(col("s"), lit(0.0)), 12).as("r"))
+        }
+        r.join(broadcast(
+            tbl(s, dir, "nation").select(col("n_nationkey").as("v"), col("n_name"))), "v")
+          .select(col("v"), col("n_name"), col("r").as("pagerank"))
+          .orderBy("v")
+      },
+      Some(pagerankSql)),
+
+    // Entity-resolution capstone: q140's blocking + q135's verify as ONE
+    // pipeline. Every 5th doc gets a deterministic corruption (all vowels
+    // deleted); records block on the consonant skeleton — which the
+    // corruption PRESERVES, so a variant always sorts adjacent to its
+    // canon (same skeleton, same doc_id, kind 'c' < 'v') and candidate
+    // recall on true pairs is 1.0 by construction. The native
+    // jaro_winkler verify (>= 0.75 on the 60-char prefixes — below every
+    // true restoration's score at sf0.01 AND sf0.1) emits surviving
+    // pairs WITH their ground-truth label, so the output doubles as the
+    // precision/recall evaluation table. Candidates are 2n via lead() —
+    // no join, no shingle blow-up; the verify is map-side codegen.
+    QueryDef(
+      "q145_er_pipeline",
+      (s, dir) => {
+        graft.functions.StringExpressions.register(s)
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), Text.normalize(col("text")).as("nm"))
+        val canon = docs.select(col("doc_id"), lit("c").as("kind"), col("nm"))
+        val variants = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), lit("v").as("kind"),
+            regexp_replace(col("nm"), "[aeiou]", "").as("nm"))
+        val tagged = canon.unionAll(variants)
+          .withColumn("skel", substring(regexp_replace(col("nm"), "[aeiou ]", ""), 1, 16))
+          .withColumn("blk", substring(col("skel"), 1, 6))
+        val w = Window.partitionBy(col("blk"))
+          .orderBy(col("skel"), col("doc_id"), col("kind"))
+        val nbr = tagged.select(col("doc_id"), col("kind"), col("nm"),
+          array((1 to 2).map(i => struct(
+            lead(col("doc_id"), i).over(w).as("nid"),
+            lead(col("kind"), i).over(w).as("nkind"),
+            lead(col("nm"), i).over(w).as("nnm"))): _*).as("nb"))
+        nbr.select(col("doc_id"), col("kind"), col("nm"), explode(col("nb")).as("x"))
+          .filter(col("x.nid").isNotNull && col("kind") =!= col("x.nkind"))
+          .withColumn("jw_r", R(graft.functions.StringExpressions.jaroWinkler(
+            substring(col("nm"), 1, 60), substring(col("x.nnm"), 1, 60)), 4))
+          .filter(col("jw_r") >= 0.75)
+          .select(
+            when(col("kind") === "v", col("doc_id")).otherwise(col("x.nid")).as("variant_id"),
+            when(col("kind") === "v", col("x.nid")).otherwise(col("doc_id")).as("canon_id"),
+            col("jw_r"),
+            (when(col("kind") === "v", col("doc_id")).otherwise(col("x.nid")) ===
+              when(col("kind") === "v", col("x.nid")).otherwise(col("doc_id"))).as("is_true"))
+          .orderBy("variant_id", "canon_id")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id,
+              |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nm
+              |             FROM documents),
+              |tagged AS (
+              |  SELECT doc_id, 'c' AS kind, nm FROM docs
+              |  UNION ALL
+              |  SELECT doc_id, 'v', regexp_replace(nm, '[aeiou]', '', 'g')
+              |  FROM docs WHERE doc_id % 5 = 0),
+              |k AS (SELECT doc_id, kind, nm,
+              |        substr(regexp_replace(nm, '[aeiou ]', '', 'g'), 1, 16) AS skel
+              |      FROM tagged),
+              |kb AS (SELECT doc_id, kind, nm, skel, substr(skel, 1, 6) AS blk FROM k),
+              |nb0 AS (SELECT doc_id, kind, nm,
+              |          lead(doc_id, 1) OVER w AS nid1, lead(kind, 1) OVER w AS nk1,
+              |          lead(nm, 1) OVER w AS nnm1,
+              |          lead(doc_id, 2) OVER w AS nid2, lead(kind, 2) OVER w AS nk2,
+              |          lead(nm, 2) OVER w AS nnm2
+              |        FROM kb WINDOW w AS (PARTITION BY blk ORDER BY skel, doc_id, kind)),
+              |nb AS (SELECT doc_id, kind, nm, nid1 AS nid, nk1 AS nkind, nnm1 AS nnm FROM nb0
+              |       UNION ALL SELECT doc_id, kind, nm, nid2, nk2, nnm2 FROM nb0),
+              |p AS (SELECT doc_id, kind, nid, nkind,
+              |        ${rs("jaro_winkler_similarity(substr(nm, 1, 60), substr(nnm, 1, 60))", 4)}
+              |          AS jw_r
+              |      FROM nb WHERE nid IS NOT NULL AND kind <> nkind),
+              |m AS (SELECT
+              |        CASE WHEN kind = 'v' THEN doc_id ELSE nid END AS variant_id,
+              |        CASE WHEN kind = 'v' THEN nid ELSE doc_id END AS canon_id,
+              |        jw_r
+              |      FROM p WHERE jw_r >= 0.75)
+              |SELECT variant_id, canon_id, jw_r, variant_id = canon_id AS is_true
+              |FROM m ORDER BY variant_id, canon_id""".stripMargin)),
+
+    // Linear interpolation over the hourly timeline — q82's gap-fill
+    // upgraded from step (last-observation-carried-forward) to
+    // piecewise-linear, with edge policy ffill/bfill and a method column
+    // for lineage. Two frame-bounded windows over ONE sort (same
+    // partitioning as the timeline join — no extra exchange); the
+    // interpolation weight is an exact integer ratio, so the arithmetic
+    // is one deterministic IEEE chain on both engines.
+    QueryDef(
+      "q146_linear_interp",
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(R(avg(col("value")), 4).as("v"))
+          .repartition(col("user_id"))
+        val timeline = ev.groupBy(col("user_id"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+        val wb = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val sec = col("h").cast("long")
+        val x = timeline.join(ev, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"), col("v"),
+            sec.as("hs"),
+            last(col("v"), ignoreNulls = true).over(wb).as("pv"),
+            last(when(col("v").isNotNull, sec), ignoreNulls = true).over(wb).as("ph"),
+            first(col("v"), ignoreNulls = true).over(wf).as("nv"),
+            first(when(col("v").isNotNull, sec), ignoreNulls = true).over(wf).as("nh"))
+        x.select(
+            col("user_id"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                R(col("pv") + (col("nv") - col("pv")) *
+                  ((col("hs") - col("ph")).cast("double") /
+                    (col("nh") - col("ph")).cast("double")), 6))
+              .otherwise(coalesce(col("pv"), col("nv"))).as("v_interp"),
+            when(col("v").isNotNull, "obs")
+              .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+              .when(col("pv").isNotNull, "ffill")
+              .otherwise("bfill").as("method"))
+          .orderBy("user_id", "hour")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+              |    ${rs("avg(value)", 4)} AS v
+              |  FROM events GROUP BY 1, 2),
+              |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+              |tl AS (SELECT user_id,
+              |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              |       FROM span),
+              |j AS (SELECT tl.user_id, tl.h, ev.v
+              |      FROM tl LEFT JOIN ev ON ev.user_id = tl.user_id AND ev.h = tl.h),
+              |x AS (SELECT user_id, h, v,
+              |        CAST(epoch(h) AS BIGINT) AS hs,
+              |        last_value(v IGNORE NULLS) OVER wb AS pv,
+              |        last_value(CASE WHEN v IS NOT NULL
+              |          THEN CAST(epoch(h) AS BIGINT) END IGNORE NULLS) OVER wb AS ph,
+              |        first_value(v IGNORE NULLS) OVER wf AS nv,
+              |        first_value(CASE WHEN v IS NOT NULL
+              |          THEN CAST(epoch(h) AS BIGINT) END IGNORE NULLS) OVER wf AS nh
+              |      FROM j
+              |      WINDOW wb AS (PARTITION BY user_id ORDER BY h
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |             wf AS (PARTITION BY user_id ORDER BY h
+              |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+              |  CASE WHEN v IS NOT NULL THEN v
+              |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              |         ${rs("pv + (nv - pv) * (CAST(hs - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))", 6)}
+              |       ELSE coalesce(pv, nv) END AS v_interp,
+              |  CASE WHEN v IS NOT NULL THEN 'obs'
+              |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+              |       WHEN pv IS NOT NULL THEN 'ffill'
+              |       ELSE 'bfill' END AS method
+              |FROM x ORDER BY user_id, hour""".stripMargin)))
+}

@@ -304,6 +304,18 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q144: the rank vector broadcasts into every iteration (6 broadcast joins, no SMJ)") {
+    val p = plan(q("q144_pagerank"))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 6, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q145: ER capstone generates candidates with windows only — no join anywhere") {
+    val p = plan(q("q145_er_pipeline"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(
