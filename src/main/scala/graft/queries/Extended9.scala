@@ -52,6 +52,44 @@ object Extended9 {
        |ORDER BY v""".stripMargin
   }
 
+  /** q147's oracle is also GENERATED: per merge round, a pair-count CTE
+    * (zip-unnest of adjacent symbols), an argmax CTE (count DESC, then
+    * lexicographic — fully deterministic), and a re-segmentation CTE
+    * whose list_reduce fold replays the exact greedy left-to-right
+    * non-overlapping merge the Spark `aggregate` HOF applies. DuckDB
+    * list slices are INCLUSIVE ([:-2] drops the last element) — pinned
+    * here because [:-1] silently keeps it.
+    */
+  private val BpeIters = 4
+  private def bpeSql: String = {
+    val iters = (1 to BpeIters).map { k =>
+      s"""p$k AS (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt
+         |       FROM (SELECT freq, unnest(syms[:-2]) AS pa, unnest(syms[2:]) AS pb
+         |             FROM s${k - 1})
+         |       GROUP BY 1, 2),
+         |b$k AS (SELECT pa, pb, cnt FROM p$k ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |s$k AS (SELECT w, freq,
+         |          list_reduce(list_transform(syms, x -> [x]),
+         |            (acc, x) -> CASE WHEN acc[-1] = pa AND x[1] = pb
+         |                             THEN list_append(acc[:-2], pa || pb)
+         |                             ELSE list_append(acc, x[1]) END) AS syms
+         |        FROM s${k - 1} CROSS JOIN b$k)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BpeIters)
+      .map(k => s"SELECT $k AS it, pa AS a, pb AS b, cnt AS pair_count FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH tok AS (SELECT t FROM (SELECT unnest(${TextQueries.wsSql}) AS t FROM documents)
+       |             WHERE regexp_full_match(t, '[a-z]+')),
+       |w0 AS (SELECT t AS w, count(*) AS freq FROM tok GROUP BY 1),
+       |s0 AS (SELECT w, freq,
+       |         list_transform(range(1, length(w)+1), i -> substr(w, CAST(i AS INT), 1))
+       |           AS syms
+       |       FROM w0),
+       |$iters
+       |$sel
+       |ORDER BY it""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // PageRank over the customer-nation → supplier-nation trade graph
@@ -195,16 +233,22 @@ object Extended9 {
             explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
         val wb = Window.partitionBy(col("user_id")).orderBy(col("h"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wf = Window.partitionBy(col("user_id")).orderBy(col("h"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        // "next observation" = last-ignorenulls over the REVERSED order
+        // with the same running frame — semantically first-over-following
+        // (frame includes the current row either way), but Spark evaluates
+        // running frames incrementally in O(n) while an
+        // unbounded-FOLLOWING frame re-aggregates per row (O(n²) per
+        // partition — measured 57 s vs 2 s on the sf0.1 timeline)
+        val wf = Window.partitionBy(col("user_id")).orderBy(col("h").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val sec = col("h").cast("long")
         val x = timeline.join(ev, Seq("user_id", "h"), "left")
           .select(col("user_id"), col("h"), col("v"),
             sec.as("hs"),
             last(col("v"), ignoreNulls = true).over(wb).as("pv"),
             last(when(col("v").isNotNull, sec), ignoreNulls = true).over(wb).as("ph"),
-            first(col("v"), ignoreNulls = true).over(wf).as("nv"),
-            first(when(col("v").isNotNull, sec), ignoreNulls = true).over(wf).as("nh"))
+            last(col("v"), ignoreNulls = true).over(wf).as("nv"),
+            last(when(col("v").isNotNull, sec), ignoreNulls = true).over(wf).as("nh"))
         x.select(
             col("user_id"),
             date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -252,5 +296,50 @@ object Extended9 {
               |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
               |       WHEN pv IS NOT NULL THEN 'ffill'
               |       ELSE 'bfill' END AS method
-              |FROM x ORDER BY user_id, hour""".stripMargin)))
+              |FROM x ORDER BY user_id, hour""".stripMargin)),
+
+    // BPE tokenizer training (Sennrich 2016): 4 merge rounds over the
+    // corpus vocabulary, entirely inside the plan — per round one
+    // zip-explode + hash agg counts adjacent symbol pairs (weighted by
+    // word frequency), a TakeOrderedAndProject picks the argmax
+    // (count DESC, then lexicographic — no ties possible), and the pick
+    // BROADCASTS into an `aggregate` HOF fold that re-segments every
+    // word greedily left-to-right. No collect anywhere: the learned rule
+    // steers the next round as a broadcast column. At 100 TB the token
+    // count is the only corpus-sized stage; everything after runs on the
+    // distinct-word relation (vocabulary-sized, localCheckpointed once).
+    QueryDef(
+      "q147_bpe_merges",
+      (s, dir) => {
+        val words = tbl(s, dir, "documents")
+          .select(explode(Text.tokensNorm(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        var seq = words
+          .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
+          .localCheckpoint()
+        val merges = (1 to BpeIters).map { k =>
+          val pairs = seq
+            .select(col("freq"), explode(arrays_zip(
+              slice(col("syms"), lit(1), size(col("syms")) - 1),
+              slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+            .select(col("p.0").as("pa"), col("p.1").as("pb"), col("freq"))
+            .groupBy("pa", "pb").agg(sum(col("freq")).as("cnt"))
+          val best = pairs.orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
+          seq = seq.crossJoin(broadcast(best))
+            .select(col("w"), col("freq"),
+              aggregate(
+                slice(col("syms"), lit(2), size(col("syms")) - 1),
+                slice(col("syms"), lit(1), lit(1)),
+                (acc, x) => when(
+                  element_at(acc, -1) === col("pa") && x === col("pb"),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(concat(col("pa"), col("pb")))))
+                  .otherwise(concat(acc, array(x)))).as("syms"))
+          best.select(lit(k).as("it"), col("pa").as("a"), col("pb").as("b"),
+            col("cnt").as("pair_count"))
+        }
+        merges.reduce(_ unionAll _).orderBy("it")
+      },
+      Some(bpeSql)))
 }

@@ -316,6 +316,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q147: each BPE round's argmax is a TakeOrderedAndProject broadcast into the fold") {
+    val p = plan(q("q147_bpe_merges"))
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 4, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(

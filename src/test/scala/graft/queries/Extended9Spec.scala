@@ -73,6 +73,23 @@ class Extended9Spec extends SparkSuite {
     }
   }
 
+  test("q147: replays the classic BPE example by hand") {
+    // vocab: low×3 lower×2 newest×4 widest×1 (Sennrich-style fixture)
+    // round 1: (w,e)=2+4=6 wins → 'we'
+    // round 2: (l,o)=5 ties (s,t)=5 → lexicographic, 'l'<'s' → (l,o)
+    // round 3: (s,t)=5
+    // round 4: (e,we)=4 ties (n,e)=4, (we,st)=4 → 'e'<'n'<'we' → (e,we)
+    val dir = java.nio.file.Files.createTempDirectory("x9bpe").toString
+    Seq((1L, ("low " * 3 + "lower " * 2 + "newest " * 4 + "widest").trim, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = q("q147_bpe_merges")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "w", "e", 6L), (2, "l", "o", 5L), (3, "s", "t", 5L), (4, "e", "we", 4L)))
+  }
+
   test("q146: hand-computed linear interpolation, with edge-policy labels") {
     val dir = java.nio.file.Files.createTempDirectory("x9ev").toString
     def ns(hour: Int) =
