@@ -3,7 +3,7 @@ package graft.queries
 import graft.SparkSuite
 import org.apache.spark.sql.functions._
 
-/** Semantics pins for the round-5 batch-2 queries (q144–q146). */
+/** Semantics pins for the round-5 batch-2 queries (q144–q147). */
 class Extended9Spec extends SparkSuite {
   import spark.implicits._
 
