@@ -15,6 +15,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // A query that throws must POISON the bench, not flatter it: the old
+    // swallow-all catch timed a failing query at near-zero, so a
+    // correctness regression would have LOWERED the total. Failures are
+    // counted per query, reported in every summary line, and flip the
+    // exit code.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min over reps: single-run VM noise is ±30%, which manufactures
       // phantom regressions; the min is the stable per-plan cost
@@ -24,7 +30,11 @@ object Bench {
         // .count() would let Catalyst prune projections and eliminate the
         // ORDER BYs, timing a much cheaper plan than Verify executes
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"BENCH FAIL $name: ${String.valueOf(e).take(300)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -41,9 +51,13 @@ object Bench {
     // LAST line carries "metric":"total" — the combined line is
     // "total_detail" so grep-all consumers never double-count and
     // first-match/last-match parsers agree on the schema.
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"failures":${failed.size},"sf":"$sfDir"}""")
     results.foreach { case (k, v) => println(s"""{"query":"$k","sec":$v}""") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failures":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"bench had ${failed.size} failing queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -187,5 +187,5 @@ object Extended10 {
               |  ${rs("CAST(sm AS DOUBLE) / CAST(nm AS DOUBLE)", 4)} AS avg_refreshed,
               |  (sm = sf AND nm = nf) AS matches_full
               |FROM m JOIN full_ ON full_.pri = m.pri
-              |ORDER BY pri""".stripMargin)))
+              |ORDER BY m.pri""".stripMargin)))
 }
