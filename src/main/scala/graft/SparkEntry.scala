@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Extended3.all ++ graft.queries.Extended4.all ++
       graft.queries.Extended5.all ++ graft.queries.Extended6.all ++
       graft.queries.Extended7.all ++ graft.queries.Extended8.all ++
-      graft.queries.Extended9.all ++ graft.queries.Extended10.all
+      graft.queries.Extended9.all ++ graft.queries.Extended10.all ++
+      graft.queries.Extended11.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's daily-aggregate shape (v5_group_project_dag.py:167-172)

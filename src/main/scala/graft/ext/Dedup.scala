@@ -280,7 +280,8 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else graft.ops.Ckpt(df) // falls back to graft.checkpoint.dir, then local
     // materialize the (possibly expensive) pair plan ONCE, then build the
     // symmetric edge relation from the checkpointed copy — a union of the
     // raw plan with its own swap would execute pair generation twice

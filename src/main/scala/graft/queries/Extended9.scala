@@ -95,7 +95,7 @@ object Extended9 {
     // PageRank over the customer-nation → supplier-nation trade graph
     // (damping 0.85, 6 iterations, uniform start 1/25). THE iterative-
     // algorithm template at 100 TB: the edge relation is aggregated once
-    // (|V|² rows — localCheckpoint truncates the 4-way join lineage so
+    // (|V|² rows — Ckpt truncates the 4-way join lineage so
     // the loop doesn't replay it), the rank vector is tiny and BROADCAST
     // into every iteration's edge join; per-iteration cost is one
     // map-side join + one hash agg over edges. Per-vertex contribution
@@ -117,7 +117,7 @@ object Extended9 {
         val ew = eg.join(outd, "u")
           .select(col("u"), col("v"),
             (col("w").cast("double") / col("outw").cast("double")).as("frac"))
-          .localCheckpoint()
+          .transform(graft.ops.Ckpt.apply)
         val vtx = tbl(s, dir, "nation").select(col("n_nationkey").as("v"))
         var r = vtx.withColumn("r", lit(0.04))
         (1 to PrIters).foreach { _ =>
@@ -307,7 +307,8 @@ object Extended9 {
     // word greedily left-to-right. No collect anywhere: the learned rule
     // steers the next round as a broadcast column. At 100 TB the token
     // count is the only corpus-sized stage; everything after runs on the
-    // distinct-word relation (vocabulary-sized, localCheckpointed once).
+    // distinct-word relation (vocabulary-sized, Ckpt-truncated once —
+    // reliable when graft.checkpoint.dir is set).
     QueryDef(
       "q147_bpe_merges",
       (s, dir) => {
@@ -317,7 +318,7 @@ object Extended9 {
           .groupBy("w").agg(count(lit(1)).as("freq"))
         var seq = words
           .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
-          .localCheckpoint()
+          .transform(graft.ops.Ckpt.apply)
         val merges = (1 to BpeIters).map { k =>
           val pairs = seq
             .select(col("freq"), explode(arrays_zip(
