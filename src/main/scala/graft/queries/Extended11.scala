@@ -74,5 +74,70 @@ object Extended11 {
               |  ${rs("CAST(sum(CAST(" + rs("value", 4) + " AS DECIMAL(18,4))) AS DOUBLE)", 4)}
               |    AS value_sum_r
               |FROM events GROUP BY 1, 2
-              |ORDER BY hour_start, event_type""".stripMargin)))
+              |ORDER BY hour_start, event_type""".stripMargin)),
+
+    // Streaming sessionization executed as a real StreamingQuery —
+    // session_window state merging (the stateful operator q29's batch
+    // gaps-and-islands plan cannot exercise) under AvailableNow replay.
+    // session_window semantics, pinned in Extended11Spec on an
+    // exact-boundary fixture: an event at last_ts + gap EXACTLY still
+    // merges (split only when the gap is strictly exceeded), and
+    // session_end = last event ts + gap. The oracle replays those
+    // semantics as µs-precision gaps-and-islands (split at
+    // diff > 1.8e9 µs), start = min(ts), end = max(ts) + 30 min.
+    // Complete mode for the same reason as q151: a bounded replay must
+    // emit the tail sessions; append+watermark is the production shape.
+    QueryDef(
+      "q152_stream_sessions",
+      (s, dir) => {
+        val src = java.nio.file.Files.createTempDirectory("graft_q152_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          src.resolve("events.parquet"))
+        val out = java.nio.file.Files.createTempDirectory("graft_q152_out").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q152_ck").toString
+        val agg = Streaming.eventsFileStream(s, src.toString)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(R(col("value"), 4).cast(DecimalType(18, 4))).as("__vs"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .select(
+            col("user_id"),
+            date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+            date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+            col("n_events"),
+            R(col("__vs").cast("double"), 4).as("value_sum_r"))
+          .orderBy("user_id", "start_s")
+      },
+      // µs-precision islands: epoch_us avoids the double rounding a
+      // fractional epoch() would introduce at session boundaries
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+              |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+              |  FROM events),
+              |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+              |                THEN 1 ELSE 0 END AS is_new
+              |      FROM e),
+              |g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |                                  ROWS UNBOUNDED PRECEDING) AS sid
+              |      FROM f)
+              |SELECT user_id,
+              |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+              |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS end_s,
+              |  count(*) AS n_events,
+              |  ${rs("CAST(sum(CAST(" + rs("value", 4) + " AS DECIMAL(18,4))) AS DOUBLE)", 4)}
+              |    AS value_sum_r
+              |FROM g GROUP BY user_id, sid
+              |ORDER BY user_id, start_s""".stripMargin)))
 }

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Pins for the streaming battery entries (q151/q152).
+  *
+  * The load-bearing pin is session_window's merge-boundary contract: the
+  * q152 oracle splits sessions when the inter-event gap STRICTLY exceeds
+  * 30 minutes, so Spark must merge an event arriving at last_ts + gap
+  * exactly. If a Spark upgrade ever flipped that boundary, the synthetic
+  * fixture here fails loudly instead of the oracle hash diverging only
+  * when a fixture happens to contain an exact-gap pair (it currently
+  * contains none — OracleTokenBoundSpec-style, the assumption is pinned,
+  * not hoped).
+  */
+class Extended11Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("session_window merges an exact-gap event and splits just past it (batch twin)") {
+    // u1: 10:00:00, 10:30:00 (diff == gap → must merge), 11:00:00.000001
+    //     (diff > gap by 1µs from the merged session's last event → split)
+    // u2: one event — session of one
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, Timestamp.from(ts("2024-01-01 10:30:00").toInstant), 1.0),
+      (1L, {
+        val t = ts("2024-01-01 11:00:00"); t.setNanos(1000); t
+      }, 1.0),
+      (2L, ts("2024-01-01 09:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val sessions = df
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("st"),
+        col("session_window.end").as("en"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(sessions.toSeq == Seq(
+      // exact-gap event merged: one session 10:00 → 10:30 + 30min = 11:00
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0", 2L),
+      // 1µs past the boundary: its own session, end = start + gap
+      (1L, "2024-01-01 11:00:00.000001", "2024-01-01 11:30:00.000001", 1L),
+      (2L, "2024-01-01 09:00:00.0", "2024-01-01 09:30:00.0", 1L)),
+      s"session_window boundary contract changed: ${sessions.toSeq}")
+  }
+
+  test("q151: streamed hourly rollup equals the batch twin's plan on the fixture") {
+    val streamed = graft.SparkEntry.queries("q151_stream_hourly")(spark, sf0001).collect()
+    val batch = graft.Tables.load(spark, sf0001, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.ops.Num.roundTo(col("value"), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("__vs"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"),
+        graft.ops.Num.roundTo(col("__vs").cast("double"), 4).as("value_sum_r"))
+      .orderBy("hour_start", "event_type")
+      .collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
+  test("q152: streamed sessionization equals the batch session_window plan on the fixture") {
+    val streamed = graft.SparkEntry.queries("q152_stream_sessions")(spark, sf0001).collect()
+    val batch = graft.Tables.load(spark, sf0001, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.ops.Num.roundTo(col("value"), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("__vs"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+        col("n_events"),
+        graft.ops.Num.roundTo(col("__vs").cast("double"), 4).as("value_sum_r"))
+      .orderBy("user_id", "start_s")
+      .collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+}
