@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.DecimalType
 import graft.ext.Streaming
 import graft.ops.Num
+import QueryDef.tbl
 
 /** Round-7 batch: a driver-visible STREAMING entry. Every other battery
   * query is a batch plan; `ext/Streaming.scala` was spec-tested only. q151
@@ -15,6 +16,12 @@ import graft.ops.Num
   * the streaming execution path end-to-end, not a batch twin.
   */
 object Extended11 {
+
+  /** Walk bound shared by the q153 Spark loop and its oracle's recursive
+    * CTE — identical cutoffs keep the engines in lockstep even on a
+    * component whose diameter exceeded the bound.
+    */
+  private val BfsMaxHops = 6
 
   private def R(c: Column, n: Int) = Num.roundTo(c, n)
   private def rs(e: String, n: Int) = Num.roundSql(e, n)
@@ -139,5 +146,61 @@ object Extended11 {
               |  ${rs("CAST(sum(CAST(" + rs("value", 4) + " AS DECIMAL(18,4))) AS DOUBLE)", 4)}
               |    AS value_sum_r
               |FROM g GROUP BY user_id, sid
-              |ORDER BY user_id, start_s""".stripMargin)))
+              |ORDER BY user_id, start_s""".stripMargin)),
+
+    // BFS shortest-hops from nation 0 over the directed trade graph
+    // (customer-nation → supplier-nation, the q144 edge relation
+    // unweighted). The iterative-frontier template: the distance vector
+    // is vertex-sized and BROADCASTS into each round's edge join; the
+    // edge relation is Ckpt-truncated once (reliable under
+    // graft.checkpoint.dir); per-round cost is one map-side join + one
+    // hash agg over edges. Six rounds bound the walk on both engines, so
+    // results agree even if a component's diameter exceeded the bound.
+    // Pure integer arithmetic — no rounding contract needed. The oracle
+    // is a recursive CTE whose UNION dedup keeps (v, dist) pairs finite
+    // on the cyclic graph.
+    QueryDef(
+      "q153_bfs_hops",
+      (s, dir) => {
+        val eg = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey").as("u")),
+            col("o_custkey") === col("c_custkey"))
+          .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey").as("w")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("u"), col("w").as("v")).distinct()
+          .transform(graft.ops.Ckpt.apply)
+        val vtx = tbl(s, dir, "nation").select(col("n_nationkey").as("v"))
+        var dist = vtx.select(col("v"),
+          when(col("v") === 0, lit(0)).otherwise(lit(null).cast("int")).as("hops"))
+        (1 to BfsMaxHops).foreach { _ =>
+          val frontier = dist.filter(col("hops").isNotNull)
+            .select(col("v").as("u"), col("hops").as("du"))
+          val reached = eg.join(broadcast(frontier), "u")
+            .groupBy(col("v")).agg(min(col("du") + 1).as("nd"))
+          // least() skips NULLs, so: both null → still unreached; one
+          // side set → that distance; both set → the smaller
+          dist = dist.join(broadcast(reached), Seq("v"), "left")
+            .select(col("v"), least(col("hops"), col("nd")).as("hops"))
+        }
+        dist.orderBy("v")
+      },
+      Some(s"""WITH RECURSIVE eg AS (
+              |  SELECT DISTINCT c.c_nationkey AS u, s.s_nationkey AS v
+              |  FROM lineitem l
+              |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |  JOIN customer c ON o.o_custkey = c.c_custkey
+              |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+              |walk(v, dist) AS (
+              |  SELECT CAST(0 AS BIGINT), 0
+              |  UNION
+              |  SELECT eg.v, walk.dist + 1
+              |  FROM walk JOIN eg ON eg.u = walk.v
+              |  WHERE walk.dist < $BfsMaxHops),
+              |d AS (SELECT v, min(dist) AS hops FROM walk GROUP BY 1)
+              |SELECT n.n_nationkey AS v, d.hops
+              |FROM nation n LEFT JOIN d ON d.v = n.n_nationkey
+              |ORDER BY v""".stripMargin)))
+
 }

@@ -84,4 +84,41 @@ class Extended11Spec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq)
     assert(streamed.nonEmpty)
   }
+
+  test("q153: BFS hops equal an independent driver-side BFS replay") {
+    // collect the tiny nation-level edge list and replay BFS with a plain
+    // Scala queue — a structurally different implementation cross-checks
+    // the iterative broadcast-join loop (and its 6-round bound: distances
+    // here must all be < 6 for the replay to be the true BFS)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+    val supp = spark.read.parquet(s"$sf0001/supplier.parquet")
+    val edges = li.select($"l_orderkey", $"l_suppkey")
+      .join(ord.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .join(cust.select($"c_custkey", $"c_nationkey".as("u")), $"o_custkey" === $"c_custkey")
+      .join(supp.select($"s_suppkey", $"s_nationkey".as("v")), $"l_suppkey" === $"s_suppkey")
+      .select($"u", $"v").distinct()
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val adj = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._2).toSet }
+    val dist = scala.collection.mutable.Map(0L -> 0)
+    val queue = scala.collection.mutable.Queue(0L)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      for (v <- adj.getOrElse(u, Set.empty) if !dist.contains(v)) {
+        dist(v) = dist(u) + 1; queue += v
+      }
+    }
+    assert(dist.values.forall(_ < 6), "replay exceeded the 6-round bound")
+    val got = graft.SparkEntry.queries("q153_bfs_hops")(spark, sf0001).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    val nations = spark.read.parquet(s"$sf0001/nation.parquet")
+      .select($"n_nationkey".cast("long")).as[Long].collect().toSet
+    val expected = nations.toSeq.sorted.map(v => v -> dist.get(v).map(_.toInt))
+    assert(got.toSeq == expected)
+    // the walk genuinely iterated: at least one vertex beyond hop 1
+    assert(dist.values.exists(_ >= 2) || dist.size < nations.size)
+  }
 }
