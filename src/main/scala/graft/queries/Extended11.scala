@@ -201,6 +201,67 @@ object Extended11 {
               |d AS (SELECT v, min(dist) AS hops FROM walk GROUP BY 1)
               |SELECT n.n_nationkey AS v, d.hops
               |FROM nation n LEFT JOIN d ON d.v = n.n_nationkey
+              |ORDER BY v""".stripMargin)),
+
+    // Per-nation triangle participation on the undirected trade graph —
+    // the motif-counting template (community structure, clustering
+    // coefficient numerators). Edges canonicalize to a < b, so each
+    // triangle materializes exactly once as (a < b < c) from two joins
+    // plus a closing-edge check; every triangle credits its three
+    // vertices. Integer-exact. At 100 TB the same shape runs with
+    // degree-ordered orientation (replace vertex-id order with degree
+    // rank) so wedge fan-out is bounded by arboricity, and the edge
+    // relation bucket-joins on its first key — no all-pairs stage exists
+    // to begin with.
+    QueryDef(
+      "q154_triangles",
+      (s, dir) => {
+        val base = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey").as("u")),
+            col("o_custkey") === col("c_custkey"))
+          .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey").as("w")),
+            col("l_suppkey") === col("s_suppkey"))
+          .filter(col("u") =!= col("w"))
+          .select(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"))
+          .distinct()
+          .transform(graft.ops.Ckpt.apply)
+        val tri = base.as("e1")
+          .join(base.as("e2"), col("e1.b") === col("e2.a"))
+          .join(base.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        val credits = tri.select(col("x").as("v"))
+          .unionAll(tri.select(col("y").as("v")))
+          .unionAll(tri.select(col("z").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("n_tri"))
+        tbl(s, dir, "nation").select(col("n_nationkey").as("v"))
+          .join(broadcast(credits), Seq("v"), "left")
+          .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+          .orderBy("v")
+      },
+      Some("""WITH base AS (
+              |  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+              |         greatest(c.c_nationkey, s.s_nationkey) AS b
+              |  FROM lineitem l
+              |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |  JOIN customer c ON o.o_custkey = c.c_custkey
+              |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              |  WHERE c.c_nationkey <> s.s_nationkey),
+              |tri AS (
+              |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              |  FROM base e1
+              |  JOIN base e2 ON e2.a = e1.b
+              |  JOIN base e3 ON e3.a = e1.a AND e3.b = e2.b),
+              |credits AS (
+              |  SELECT v, count(*) AS n_tri FROM (
+              |    SELECT x AS v FROM tri
+              |    UNION ALL SELECT y FROM tri
+              |    UNION ALL SELECT z FROM tri)
+              |  GROUP BY 1)
+              |SELECT n.n_nationkey AS v, coalesce(credits.n_tri, 0) AS n_tri
+              |FROM nation n LEFT JOIN credits ON credits.v = n.n_nationkey
               |ORDER BY v""".stripMargin)))
 
 }

@@ -121,4 +121,34 @@ class Extended11Spec extends SparkSuite {
     // the walk genuinely iterated: at least one vertex beyond hop 1
     assert(dist.values.exists(_ >= 2) || dist.size < nations.size)
   }
+
+  test("q154: triangle credits equal an independent set-based replay") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+    val supp = spark.read.parquet(s"$sf0001/supplier.parquet")
+    val und = li.select($"l_orderkey", $"l_suppkey")
+      .join(ord.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .join(cust.select($"c_custkey", $"c_nationkey".as("u")), $"o_custkey" === $"c_custkey")
+      .join(supp.select($"s_suppkey", $"s_nationkey".as("w")), $"l_suppkey" === $"s_suppkey")
+      .filter($"u" =!= $"w")
+      .select(least($"u", $"w").as("a"), greatest($"u", $"w").as("b")).distinct()
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toSet
+    // brute-force: every vertex triple with all three canonical edges
+    val verts = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val credits = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- verts.indices; j <- (i + 1) until verts.size; k <- (j + 1) until verts.size
+      (x, y, z) = (verts(i), verts(j), verts(k))
+      if und((x, y)) && und((y, z)) && und((x, z))
+    } Seq(x, y, z).foreach(v => credits(v) += 1L)
+    val got = graft.SparkEntry.queries("q154_triangles")(spark, sf0001).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1))
+    val nations = spark.read.parquet(s"$sf0001/nation.parquet")
+      .select($"n_nationkey".cast("long")).as[Long].collect().toSet
+    assert(got.toSeq == nations.toSeq.sorted.map(v => v -> credits(v)))
+    assert(credits.values.sum > 0, "fixture graph must contain triangles")
+  }
 }
