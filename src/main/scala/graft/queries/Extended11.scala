@@ -227,9 +227,13 @@ object Extended11 {
           .select(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"))
           .distinct()
           .transform(graft.ops.Ckpt.apply)
+        // the canonical nation-level edge relation is dimension-sized →
+        // broadcast both closure probes (the stats-opaque Ckpt relation
+        // would otherwise default to a sort-merge self-join); at corpus
+        // scale the closure join shuffle-partitions on its first key
         val tri = base.as("e1")
-          .join(base.as("e2"), col("e1.b") === col("e2.a"))
-          .join(base.as("e3"),
+          .join(broadcast(base.as("e2")), col("e1.b") === col("e2.a"))
+          .join(broadcast(base.as("e3")),
             col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
           .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
         val credits = tri.select(col("x").as("v"))

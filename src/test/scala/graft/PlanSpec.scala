@@ -323,6 +323,33 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q148: erasure cascade is broadcast semi/anti joins — no fact-side shuffle join") {
+    val p = plan(q("q148_cascade_delete"))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q149: overlap matrix has no cartesian stage; per-source totals broadcast") {
+    val p = plan(q("q149_overlap_matrix"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q153: every BFS round joins the broadcast frontier — no SMJ on edges") {
+    val p = plan(q("q153_bfs_hops"))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 6, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q154: triangle closure probes broadcast; per-vertex credits broadcast — no SMJ") {
+    val p = plan(q("q154_triangles"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(
