@@ -33,6 +33,111 @@ object Dedup {
     */
   val BatteryMaxDf = 1000
 
+  /** Set-similarity join with PREFIX FILTERING (the PPJoin family,
+    * Xiao et al. 2008): exact token-set Jaccard ≥ tauNum/tauDen without a
+    * hot-token guard. Tokens order globally by (df, token) — rarest
+    * first — and a document with n tokens exposes only its first
+    * n - ceil(τ·n) + 1 tokens as join keys: two sets with Jaccard ≥ τ
+    * MUST share a prefix token, so candidate fan-out is governed by RARE
+    * token frequencies, not the corpus's hottest token (the boilerplate
+    * shingle that forces ngramJaccardPairs' maxDf split). A length
+    * filter (τ·max ≤ min) prunes before the distinct; survivors get
+    * exact intersection counting. All thresholds compare as integers —
+    * no floating-point tie can flip membership.
+    *
+    * Returns (a_id, b_id, na, nb, inter) for pairs with
+    * inter/(na+nb-inter) ≥ tauNum/tauDen; callers derive Jaccard.
+    *
+    * At 100 TB: df attaches via a broadcast-sized vocabulary relation,
+    * the per-doc prefix window shuffles on doc id once, and the
+    * candidate join shuffles on (rare) prefix tokens — the skew the
+    * shared-shingle join suffers on hot keys cannot arise because hot
+    * tokens sit at the BACK of every ordering and never enter a prefix
+    * unless the document is almost all boilerplate.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(0 < tauNum && tauNum <= tauDen, "need 0 < tau <= 1")
+    val toks = tokenSet(df, idCol, textCol)
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefix = prefixed(toks, dfreq, tauNum, tauDen)
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.__id") < col("b.__id"))
+      // length filter: Jaccard ≥ τ forces τ·max(n) ≤ min(n)
+      .filter(least(col("a.n"), col("b.n")) * tauDen >=
+        greatest(col("a.n"), col("b.n")) * tauNum)
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    verifyExact(cand, toks, toks, tauNum, tauDen)
+  }
+
+  /** Cross-set variant of [[prefixJaccardPairs]] — the decontamination
+    * posture (q103's LSH sibling, exact): every (probe, corpus) pair with
+    * token-set Jaccard ≥ τ. Work is bounded by the PROBE side: only probe
+    * prefix tokens generate candidates, so corpus-side cluster structure
+    * (which makes the self-join's output quadratic on near-identical
+    * corpora) never amplifies beyond the probes' true matches. Token
+    * rarity comes from the CORPUS (the probe must not shift the order);
+    * probe-only tokens take df 0 — "rarest" — which is conservative:
+    * they can never produce a corpus match, and both sides rank prefixes
+    * under the same total (df, token) order, preserving the
+    * no-false-negative prefix theorem.
+    */
+  def prefixJaccardJoin(
+      probe: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(0 < tauNum && tauNum <= tauDen, "need 0 < tau <= 1")
+    val tp = tokenSet(probe, idCol, textCol)
+    val tc = tokenSet(corpus, idCol, textCol)
+    val dfreq = tc.groupBy("tok").agg(count(lit(1)).as("df"))
+    val cand = prefixed(tp, dfreq, tauNum, tauDen).as("a")
+      .join(prefixed(tc, dfreq, tauNum, tauDen).as("b"),
+        col("a.tok") === col("b.tok"))
+      .filter(least(col("a.n"), col("b.n")) * tauDen >=
+        greatest(col("a.n"), col("b.n")) * tauNum)
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    verifyExact(cand, tp, tc, tauNum, tauDen)
+  }
+
+  /** Distinct (id, token) relation under the shared normalizer. */
+  private def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), explode(Text.tokensNorm(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+
+  /** Keep each document's (n - ceil(τn) + 1)-prefix under the global
+    * (df, token) order; ceil(a/d) = floor((a+d-1)/d), exact in double
+    * for any plausible n (< 2^50). Tokens missing from the df relation
+    * rank as df 0 (rarest).
+    */
+  private def prefixed(
+      toks: DataFrame, dfreq: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    val n = toks.groupBy("__id").agg(count(lit(1)).as("n"))
+    toks.join(dfreq, Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .join(n, "__id")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("__id")).orderBy(col("df"), col("tok"))))
+      .filter(col("pos") <=
+        col("n") - floor((col("n") * tauNum + (tauDen - 1)) / tauDen) + 1)
+      .select(col("__id"), col("tok"), col("n"))
+  }
+
+  /** Exact intersection count + integer threshold over candidate pairs. */
+  private def verifyExact(
+      cand: DataFrame, ta: DataFrame, tb: DataFrame,
+      tauNum: Int, tauDen: Int): DataFrame =
+    cand
+      .join(ta.select(col("__id").as("a_id"), col("tok")), "a_id")
+      .join(tb.select(col("__id").as("b_id"), col("tok")), Seq("b_id", "tok"))
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * tauDen >= (col("na") + col("nb") - col("inter")) * tauNum)
+
   /** Exact-duplicate groups by md5 of normalized text: (fp, keep_id =
     * smallest doc id, n_docs). Group-then-min keeps one deterministic
     * representative.

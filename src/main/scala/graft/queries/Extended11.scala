@@ -266,6 +266,74 @@ object Extended11 {
               |  GROUP BY 1)
               |SELECT n.n_nationkey AS v, coalesce(credits.n_tri, 0) AS n_tri
               |FROM nation n LEFT JOIN credits ON credits.v = n.n_nationkey
-              |ORDER BY v""".stripMargin)))
+              |ORDER BY v""".stripMargin)),
+
+    // Cross-set similarity join with PREFIX FILTERING (PPJoin family,
+    // Xiao 2008): exact token-set Jaccard ≥ 0.9 between a benchmark
+    // probe slice (doc_id ≡ 0 mod 101) and the remaining corpus — the
+    // exact sibling of q103's LSH decontamination. Candidate generation
+    // is bounded by the PROBES' rare-token prefixes under a shared
+    // (corpus-df, token) order, so corpus-side cluster structure — which
+    // makes any all-pairs self-join output quadratic on near-identical
+    // corpora — never amplifies work beyond the probes' true matches.
+    // Thresholds compare as integers (10·inter ≥ 9·(na+nb−inter)): no
+    // floating-point tie can flip pair membership across engines; only
+    // the reported Jaccard rounds.
+    QueryDef(
+      "q155_prefix_join",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.ext.Dedup
+          .prefixJaccardJoin(
+            docs.filter(col("doc_id") % 101 === 0),
+            docs.filter(col("doc_id") % 101 =!= 0),
+            "doc_id", "text", 9, 10)
+          .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("inter"),
+            R(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard_r"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH tp AS (
+              |  SELECT DISTINCT doc_id,
+              |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |                       x -> x <> '')) AS tok
+              |  FROM documents WHERE doc_id % 101 = 0),
+              |tc AS (
+              |  SELECT DISTINCT doc_id,
+              |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |                       x -> x <> '')) AS tok
+              |  FROM documents WHERE doc_id % 101 <> 0),
+              |dfreq AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+              |np AS (SELECT doc_id, count(*) AS n FROM tp GROUP BY 1),
+              |nc AS (SELECT doc_id, count(*) AS n FROM tc GROUP BY 1),
+              |prep AS (
+              |  SELECT t.doc_id, t.tok, np.n
+              |  FROM tp t LEFT JOIN dfreq USING (tok) JOIN np USING (doc_id)
+              |  QUALIFY row_number() OVER (PARTITION BY t.doc_id
+              |                             ORDER BY coalesce(dfreq.df, 0), t.tok)
+              |          <= np.n - ((np.n * 9 + 9) // 10) + 1),
+              |prec AS (
+              |  SELECT t.doc_id, t.tok, nc.n
+              |  FROM tc t LEFT JOIN dfreq USING (tok) JOIN nc USING (doc_id)
+              |  QUALIFY row_number() OVER (PARTITION BY t.doc_id
+              |                             ORDER BY coalesce(dfreq.df, 0), t.tok)
+              |          <= nc.n - ((nc.n * 9 + 9) // 10) + 1),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              |         a.n AS na, b.n AS nb
+              |  FROM prep a JOIN prec b ON a.tok = b.tok
+              |  WHERE least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 9),
+              |inter AS (
+              |  SELECT c.a_id, c.b_id, c.na, c.nb, count(*) AS inter
+              |  FROM cand c
+              |  JOIN tp ta ON ta.doc_id = c.a_id
+              |  JOIN tc tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+              |  GROUP BY 1, 2, 3, 4)
+              |SELECT a_id, b_id, na, nb, inter,
+              |  ${rs("CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)", 6)}
+              |    AS jaccard_r
+              |FROM inter
+              |WHERE inter * 10 >= (na + nb - inter) * 9
+              |ORDER BY a_id, b_id""".stripMargin)))
 
 }

@@ -151,4 +151,46 @@ class Extended11Spec extends SparkSuite {
     assert(got.toSeq == nations.toSeq.sorted.map(v => v -> credits(v)))
     assert(credits.values.sum > 0, "fixture graph must contain triangles")
   }
+
+  test("prefixJaccardJoin: exact 0.9 boundary included, just-below excluded") {
+    // A vs B: |A|=|B|=19, |A∩B|=18 → J = 18/20 = 0.9 EXACTLY — the
+    // integer threshold (10·i ≥ 9·(na+nb−i)) must include it.
+    // A vs C: |C|=19, |A∩C|=17 → J = 17/21 < 0.9 — excluded.
+    val shared = (1 to 18).map(i => s"t$i")
+    val a = (shared :+ "onlya").mkString(" ")
+    val b = (shared :+ "onlyb").mkString(" ")
+    val c = (shared.drop(1) ++ Seq("onlyc1", "onlyc2")).mkString(" ")
+    val probe = Seq((1L, a)).toDF("doc_id", "text")
+    val corpus = Seq((2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.prefixJaccardJoin(probe, corpus, "doc_id", "text", 9, 10)
+      .select("a_id", "b_id", "na", "nb", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 19L, 19L, 18L)), got.toSeq.toString)
+  }
+
+  test("q155: cross-set prefix join equals a brute-force all-pairs replay at sf0.01") {
+    // replicate Text.tokensNorm driver-side (trim→lower→split \\s+) and
+    // compute every probe×corpus Jaccard with sets — no prefix filter, no
+    // length filter — so the pruned plan is checked against an
+    // implementation that cannot share its bugs
+    val sf001 = "/root/testdata/sf0.01"
+    def tokSets(pred: Long => Boolean) =
+      spark.read.parquet(s"$sf001/documents.parquet")
+        .select($"doc_id", $"text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+          .split("\\s+").filter(_.nonEmpty).toSet)
+        .filter(t => pred(t._1)).toMap
+    val probes = tokSets(_ % 101 == 0)
+    val corpus = tokSets(_ % 101 != 0)
+    val expected = (for {
+      (pa, sa) <- probes; (pb, sb) <- corpus
+      i = (sa & sb).size
+      if i * 10 >= (sa.size + sb.size - i) * 9
+    } yield (pa, pb, sa.size.toLong, sb.size.toLong, i.toLong))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = graft.SparkEntry.queries("q155_prefix_join")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+    assert(expected.nonEmpty, "fixture must contain cross-set near-dups at tau=0.9")
+  }
 }
