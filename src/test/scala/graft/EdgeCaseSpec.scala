@@ -9,6 +9,24 @@ import org.apache.spark.sql.functions._
 class EdgeCaseSpec extends SparkSuite {
   import spark.implicits._
 
+  test("prefixJaccardJoin with an empty probe side returns empty, no crash") {
+    val probe = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(graft.ext.Dedup.prefixJaccardJoin(probe, corpus, "doc_id", "text", 9, 10)
+      .count() == 0)
+  }
+
+  test("prefixJaccardPairs: single doc and whitespace-only docs produce no pairs") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    assert(graft.ext.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 4, 5).count() == 0)
+  }
+
+  test("Ckpt on an empty DataFrame preserves schema and emptiness") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val out = graft.ops.Ckpt(empty)
+    assert(out.columns.toSeq == Seq("k", "v") && out.count() == 0)
+  }
+
   test("connectedComponents on an empty pair set returns an empty mapping") {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(graft.ext.Dedup.connectedComponents(empty).count() == 0)
