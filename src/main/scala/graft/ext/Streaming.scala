@@ -262,6 +262,55 @@ object Streaming {
       .transformWithState(new RunningTotalsProcessor(ttlConf), timeMode, OutputMode.Update())
   }
 
+  /** Exact-integer running totals — the oracle-gated variant of
+    * [[runningUserAggTws]] (battery q156): the value column arrives
+    * pre-converted to 1e-4 units (long), so state accumulation is
+    * order-free across rows, micro-batches, AND restarts — a hash-exact
+    * contract a Double-summing state cannot give (per-key long totals
+    * overflow only past ~9e14 in value units, far beyond any per-user
+    * sum; use DECIMAL state if a key can aggregate the whole corpus).
+    * TimeMode.None / no TTL is the bounded-replay configuration — an
+    * unbounded key universe needs the TTL form (see runningUserAggTws).
+    */
+  final case class UserTotals(user_id: Long, n_events: Long, units: Long)
+
+  private class ExactTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), UserTotals] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      var (n, u) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1; u += r._2 }
+      totals.update((n, u))
+      Iterator.single(UserTotals(user, n, u))
+    }
+  }
+
+  /** `events` must carry (user_id: Long, units: Long). Emits the running
+    * (n_events, units) per key each micro-batch in update mode.
+    */
+  def runningUserTotalsExact(events: DataFrame): org.apache.spark.sql.Dataset[UserTotals] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .select(col("user_id"), col("units"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new ExactTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** foreachBatch sink: idempotent micro-batch landing. Each batch writes
     * under `batch_id=<id>/` with dynamic partition overwrite, so a
     * RETRIED batch replaces its own partition instead of duplicating it —

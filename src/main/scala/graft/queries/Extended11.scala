@@ -334,6 +334,64 @@ object Extended11 {
               |    AS jaccard_r
               |FROM inter
               |WHERE inter * 10 >= (na + nb - inter) * 9
-              |ORDER BY a_id, b_id""".stripMargin)))
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Arbitrary stateful processing under the oracle gate: per-user
+    // running totals via transformWithState (typed ValueState, RocksDB
+    // provider) executed as a real update-mode StreamingQuery. Values
+    // enter state as exact 1e-4-unit longs, so accumulation is
+    // order-free across rows, micro-batches, and restarts — the only
+    // contract under which a stateful stream can HASH-MATCH a batch
+    // oracle. Each batch's updates append with their batch id; the
+    // read-back keeps the LATEST row per key, which is the final state
+    // regardless of how the replay happened to micro-batch. The prior
+    // state-store provider is restored afterwards so this entry leaves
+    // no session-level footprint on its battery neighbors.
+    QueryDef(
+      "q156_stream_state_totals",
+      (s, dir) => {
+        val src = java.nio.file.Files.createTempDirectory("graft_q156_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          src.resolve("events.parquet"))
+        val out = java.nio.file.Files.createTempDirectory("graft_q156_out").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q156_ck").toString
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prior = s.conf.getOption(providerKey)
+        try {
+          val stream = Streaming.eventsFileStream(s, src.toString)
+            .select(col("user_id"),
+              (R(col("value"), 4).cast(DecimalType(18, 4)) * 10000).cast("long").as("units"))
+          val q = Streaming.runningUserTotalsExact(stream).toDF().writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        } finally prior match {
+          case Some(p) => s.conf.set(providerKey, p)
+          case None => s.conf.unset(providerKey)
+        }
+        val latest = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+        s.read.parquet(out)
+          .withColumn("__rn", row_number().over(latest))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("n_events"),
+            R(col("units").cast("double") / 10000.0, 4).as("value_sum_r"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT user_id,
+              |    CAST(CAST(${rs("value", 4)} AS DECIMAL(18,4)) * 10000 AS BIGINT) AS units
+              |  FROM events)
+              |SELECT user_id, count(*) AS n_events,
+              |  ${rs("CAST(sum(units) AS DOUBLE) / 10000.0", 4)} AS value_sum_r
+              |FROM u GROUP BY 1
+              |ORDER BY user_id""".stripMargin)))
 
 }

@@ -193,4 +193,53 @@ class Extended11Spec extends SparkSuite {
     assert(got.toSeq == expected)
     assert(expected.nonEmpty, "fixture must contain cross-set near-dups at tau=0.9")
   }
+
+  test("q156 machinery: state accumulates across REAL multi-batch replay, latest row wins") {
+    import org.apache.spark.sql.types.DecimalType
+    // force 3 micro-batches: split the fixture into 3 files, 1 per trigger
+    val events = graft.Tables.load(spark, sf0001, "events")
+    val srcDir = java.nio.file.Files.createTempDirectory("q156_multi").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf0001/events.parquet").repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    val out = java.nio.file.Files.createTempDirectory("q156_multi_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("q156_multi_ck").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    try {
+      val stream = graft.ext.Streaming.eventsFileStream(spark, srcDir, maxFilesPerTrigger = 1)
+        .select($"user_id",
+          (graft.ops.Num.roundTo($"value", 4).cast(DecimalType(18, 4)) * 10000)
+            .cast("long").as("units"))
+      val q = graft.ext.Streaming.runningUserTotalsExact(stream).toDF().writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    val landed = spark.read.parquet(out)
+    assert(landed.select("batch_id").distinct().count() >= 3,
+      "replay must actually micro-batch (one file per trigger)")
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"batch_id".desc)
+    val got = landed.withColumn("rn", row_number().over(latest)).filter($"rn" === 1)
+      .select($"user_id", $"n_events", $"units")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val expected = events
+      .select($"user_id",
+        (graft.ops.Num.roundTo($"value", 4).cast(DecimalType(18, 4)) * 10000)
+          .cast("long").as("units"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("units").as("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == expected.toSeq,
+      "final state after multi-batch accumulation must equal the batch aggregate")
+  }
 }
