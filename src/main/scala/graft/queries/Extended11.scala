@@ -23,6 +23,39 @@ object Extended11 {
     */
   private val BfsMaxHops = 6
 
+  /** Bellman-Ford rounds shared by the q157 Spark loop and its GENERATED
+    * unrolled-CTE oracle (q144's pattern — recursion would enumerate
+    * paths; min-plus rounds keep each CTE vertex-sized). 6 < |V|-1, so
+    * distances are the 6-hop-bounded optimum on BOTH engines — identical
+    * by construction even where unconverged.
+    */
+  private val BfRounds = 6
+
+  private def bellmanFordSql: String = {
+    val rounds = (1 to BfRounds).map { k =>
+      s"""d$k AS (
+         |  SELECT v, min(dist) AS dist FROM (
+         |    SELECT v, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.v, p.dist + e.w AS dist
+         |    FROM d${k - 1} p JOIN eg e ON e.u = p.v)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eg AS (SELECT c.c_nationkey AS u, s.s_nationkey AS v,
+       |              CAST(count(*) AS BIGINT) AS w
+       |            FROM lineitem l
+       |            JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |            JOIN customer c ON o.o_custkey = c.c_custkey
+       |            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |            GROUP BY 1, 2),
+       |d0 AS (SELECT n_nationkey AS v, CAST(0 AS BIGINT) AS dist
+       |       FROM nation WHERE n_nationkey = 0),
+       |$rounds
+       |SELECT n.n_nationkey AS v, d.dist AS cost
+       |FROM nation n LEFT JOIN d$BfRounds d ON d.v = n.n_nationkey
+       |ORDER BY v""".stripMargin
+  }
+
   private def R(c: Column, n: Int) = Num.roundTo(c, n)
   private def rs(e: String, n: Int) = Num.roundSql(e, n)
 
@@ -392,6 +425,41 @@ object Extended11 {
               |SELECT user_id, count(*) AS n_events,
               |  ${rs("CAST(sum(units) AS DOUBLE) / 10000.0", 4)} AS value_sum_r
               |FROM u GROUP BY 1
-              |ORDER BY user_id""".stripMargin)))
+              |ORDER BY user_id""".stripMargin)),
+
+    // Weighted shortest paths from nation 0 (Bellman-Ford, min-plus
+    // semiring) over the trade graph, edge cost = trade-pair count. Six
+    // relaxation rounds; each is one broadcast join of the vertex-sized
+    // distance vector into the edge relation plus a hash-agg min — the
+    // weighted sibling of q153's BFS and the min-plus instance of the
+    // q144 iteration template. All-long arithmetic: bit-exact on any
+    // engine, no rounding contract. Unreachable-at-6-hops vertices
+    // report NULL on both sides by construction.
+    QueryDef(
+      "q157_weighted_paths",
+      (s, dir) => {
+        val eg = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey").as("u")),
+            col("o_custkey") === col("c_custkey"))
+          .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey").as("w")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("u"), col("w").as("v")).agg(count(lit(1)).as("wt"))
+          .transform(graft.ops.Ckpt.apply)
+        val vtx = tbl(s, dir, "nation").select(col("n_nationkey").as("v"))
+        var dist = vtx.filter(col("v") === 0)
+          .select(col("v"), lit(0L).as("dist"))
+        (1 to BfRounds).foreach { _ =>
+          val relaxed = eg
+            .join(broadcast(dist.select(col("v").as("u"), col("dist").as("du"))), "u")
+            .select(col("v"), (col("du") + col("wt")).as("dist"))
+          dist = dist.unionAll(relaxed).groupBy("v").agg(min(col("dist")).as("dist"))
+        }
+        vtx.join(broadcast(dist), Seq("v"), "left")
+          .select(col("v"), col("dist").as("cost"))
+          .orderBy("v")
+      },
+      Some(bellmanFordSql)))
 
 }

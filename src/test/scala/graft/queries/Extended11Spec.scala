@@ -242,4 +242,36 @@ class Extended11Spec extends SparkSuite {
     assert(got.toSeq == expected.toSeq,
       "final state after multi-batch accumulation must equal the batch aggregate")
   }
+
+  test("q157: weighted distances equal an independent 6-round Bellman-Ford replay") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+    val supp = spark.read.parquet(s"$sf0001/supplier.parquet")
+    val edges = li.select($"l_orderkey", $"l_suppkey")
+      .join(ord.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .join(cust.select($"c_custkey", $"c_nationkey".as("u")), $"o_custkey" === $"c_custkey")
+      .join(supp.select($"s_suppkey", $"s_nationkey".as("v")), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"u", $"v").count()
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue, r.getLong(2)))
+    // plain-map min-plus replay, same 6-round bound as the query
+    var dist = Map(0L -> 0L)
+    for (_ <- 1 to 6) {
+      val relaxed = edges.flatMap { case (u, v, w) => dist.get(u).map(d => v -> (d + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).map { case (k, ds) => k -> ds.map(_._2).min }
+    }
+    val got = graft.SparkEntry.queries("q157_weighted_paths")(spark, sf0001).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val nations = spark.read.parquet(s"$sf0001/nation.parquet")
+      .select($"n_nationkey".cast("long")).as[Long].collect().toSet
+    assert(got.toSeq == nations.toSeq.sorted.map(v => v -> dist.get(v)))
+    // weights matter: a reachable vertex's cost must exceed its hop count
+    // (pair-count weights, not unit hops — at sf0.001 every direct edge
+    // weighs >= 8, while the unreachable 14 nations stay NULL because only
+    // 10 supplier nations exist at that scale)
+    assert(dist.exists { case (v, d) => v != 0L && d > 1L })
+    assert(dist.size > 1 && dist.size < nations.size)
+  }
 }
