@@ -85,8 +85,11 @@ object Extended12 {
          |l$k AS (SELECT l.v, coalesce(p.lab, l.lab) AS lab
          |      FROM l${k - 1} l LEFT JOIN p$k p ON p.v = l.v)""".stripMargin
     }.mkString(",\n")
-    s"""WITH dg AS ($tradeEdgesSql),
-       |eg AS (SELECT u, v FROM dg WHERE u <> v
+    // MATERIALIZED: without it DuckDB inlines the 4-way edge join into
+    // every unrolled round and OOMs at sf0.1 — compute the 25×25 edge
+    // relation once
+    s"""WITH dg AS MATERIALIZED ($tradeEdgesSql),
+       |eg AS MATERIALIZED (SELECT u, v FROM dg WHERE u <> v
        |       UNION SELECT v, u FROM dg WHERE u <> v),
        |l0 AS (SELECT n_nationkey AS v, n_nationkey AS lab FROM nation),
        |$rounds
@@ -183,15 +186,18 @@ object Extended12 {
           .select(col("p"), col("t"), col("cb"), R(pmi, 4).as("pmi_r"))
           .orderBy("p", "t")
       },
+      // token relation via parallel unnest (positional zip of the two
+      // shifted slices), NOT a range cross-join: the range form made
+      // DuckDB materialize |docs|×1000 carrier rows and spill tens of GB
+      // at sf0.1. Slices align only because ws never contains '' after
+      // trim (whitespace-only text yields [''] with len 1, excluded).
       Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
-              |tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS t
-              |        FROM w CROSS JOIN range(1, 1000) r(i)
-              |        WHERE i <= len(ws) AND ws[i] <> ''),
-              |big AS (SELECT doc_id, t,
-              |          lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS p
-              |        FROM tok QUALIFY p IS NOT NULL),
-              |uni AS (SELECT t, count(*) AS cu FROM tok GROUP BY 1),
-              |tot AS (SELECT (SELECT count(*) FROM tok) AS nu,
+              |tok AS (SELECT unnest(ws) AS t FROM w),
+              |big AS (SELECT unnest(ws[1:len(ws)-1]) AS p,
+              |               unnest(ws[2:len(ws)]) AS t
+              |        FROM w WHERE len(ws) >= 2 AND ws[1] <> ''),
+              |uni AS (SELECT t, count(*) AS cu FROM tok WHERE t <> '' GROUP BY 1),
+              |tot AS (SELECT (SELECT count(*) FROM tok WHERE t <> '') AS nu,
               |               (SELECT count(*) FROM big) AS nb),
               |pairs AS (SELECT p, t, count(*) AS cb FROM big GROUP BY 1, 2
               |          HAVING count(*) >= 5),
@@ -301,7 +307,10 @@ object Extended12 {
           col("s1").cast("double") * col("s1").cast("double") / col("n").cast("double")) /
           (col("n").cast("double") - lit(1.0))
         val z = (col("n_chars").cast("double") - mean) / sqrt(vr)
-        d.join(stats, "source")
+        // per-source stats are |sources| rows — broadcast them; without
+        // the hint fixture-scale stats make Spark broadcast the DOCUMENT
+        // side (BuildLeft), which is exactly backwards at 100 TB
+        d.join(broadcast(stats), "source")
           .withColumn("pct",
             percent_rank().over(Window.partitionBy(col("source")).orderBy(col("n_chars"))))
           .select(col("doc_id"), col("source"), col("n_chars"),

@@ -356,6 +356,47 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q158: marginal joins are token-keyed equi-joins; only scalar totals broadcast") {
+    val p = plan(q("q158_pmi_collocations"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the two 1-row totals must arrive via broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q159: all 10 EWMA lags share ONE Window node — a single shuffle on user_id") {
+    val p = plan(q("q159_ewma"))
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q160: LPA rounds run behind Ckpt — final plan is lineage-truncated, no join") {
+    val p = plan(q("q160_label_prop"))
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q161: per-source stats broadcast back onto rows (BuildRight); one Window") {
+    val p = plan(q("q161_score_calibrate"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BuildRight"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1, p)
+  }
+
+  test("q162: FD audit is pure aggregation — no join anywhere in the plan") {
+    val p = plan(q("q162_fd_check"))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q163: BFS rounds run behind Ckpt; final vertex merge is equi-join, no cartesian") {
+    val p = plan(q("q163_harmonic_centrality"))
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(

@@ -51,6 +51,11 @@ def main():
             cwd="/root/repo", check=True)
 
     con = duckdb.connect()
+    # keep oracle spill off the repo disk and bounded — an unboundedly
+    # spilling oracle once wrote 78 GB into ./.tmp and filled the volume
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("PRAGMA max_temp_directory_size='20GB'")
+    con.execute("PRAGMA memory_limit='16GB'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
