@@ -397,6 +397,39 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q164: a-priori prune is a semi-join; marginals and totals broadcast") {
+    val p = plan(q("q164_brand_pairs"))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q165: skyline is sort-based — one window over per-price groups, no dominance self-join") {
+    val p = plan(q("q165_skyline"))
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q166: single-pass — two windows over the hourly relation, no join, one scan") {
+    val p = plan(q("q166_seasonal_decomp"))
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 2, p)
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Scan parquet\\s*")) == 1, p)
+  }
+
+  test("q167: transition totals and vocabulary broadcast — no shuffle join") {
+    val p = plan(q("q167_markov_transitions"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q168: interval merge is windows + one agg — no join anywhere") {
+    val p = plan(q("q168_interval_merge"))
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 2, p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(
