@@ -21,7 +21,12 @@ object Bench {
     // counted per query, reported in every summary line, and flip the
     // exit code.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional trailing args: bench only these queries (builder-side
+    // iteration; the driver passes no args and times the full battery)
+    val only = args.toSet
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // min over reps: single-run VM noise is ±30%, which manufactures
       // phantom regressions; the min is the stable per-plan cost
       val times = (1 to reps).map { _ =>

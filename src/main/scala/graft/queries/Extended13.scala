@@ -45,10 +45,14 @@ object Extended13 {
     QueryDef(
       "q164_brand_pairs",
       (s, dir) => {
+        // Ckpt: the basket relation feeds four consumers (totals, supports,
+        // both self-join sides) — materialize it once instead of scanning
+        // and joining lineitem×part four times (4× the base read at scale)
         val b = tbl(s, dir, "lineitem").select(col("l_orderkey").as("okey"), col("l_partkey"))
           .join(tbl(s, dir, "part").select(col("p_partkey"), col("p_brand").as("brand")),
             col("l_partkey") === col("p_partkey"))
           .select(col("okey"), col("brand")).distinct()
+          .transform(graft.ops.Ckpt.apply)
         val tot = b.select(countDistinct(col("okey")).as("n_orders"))
         val sup = b.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
         val freq = sup.filter(col("cnt") >= MinSup)
@@ -271,6 +275,38 @@ object Extended13 {
              |                               ROWS UNBOUNDED PRECEDING) AS island FROM f)
              |SELECT user_id, min(t0) AS start_us, max(t1) AS end_us, count(*) AS n_events
              |FROM g GROUP BY user_id, island
-             |ORDER BY user_id, start_us""".stripMargin))
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // ----- q169: sliding-window distinct count (trailing 24 h) -----------
+    // Distinct users in the trailing 24-hour window at each observed hour.
+    // Exact sliding distinct cannot use a plain window frame (COUNT
+    // DISTINCT over frames isn't supported and would be quadratic
+    // anyway); the scalable shape is fan-out-to-buckets: pre-dedup to
+    // (hour, user) memberships (map-side partial), explode each into the
+    // ≤24 window-ends it can serve, then one countDistinct per window
+    // end. Cost is linear × the window/granule ratio — no self-join, no
+    // per-window rescans; the same plan serves any trailing window by
+    // changing the fan-out constant. Ckpt'd membership relation feeds
+    // both the fan-out and the observed-hour semi-join without a second
+    // events scan. Integer epoch-hours end-to-end.
+    QueryDef(
+      "q169_sliding_distinct",
+      (s, dir) => {
+        val eh = tbl(s, dir, "events")
+          .select(expr("unix_micros(ts) div 3600000000").as("h"), col("user_id"))
+          .distinct()
+          .transform(graft.ops.Ckpt.apply)
+        val hours = eh.select(col("h").as("wh")).distinct()
+        eh.select(explode(sequence(col("h"), col("h") + lit(23L))).as("wh"), col("user_id"))
+          .join(hours, Seq("wh"), "left_semi")
+          .groupBy(col("wh")).agg(countDistinct(col("user_id")).as("u24"))
+          .orderBy("wh")
+      },
+      Some("""WITH eh AS MATERIALIZED (
+             |  SELECT DISTINCT epoch_us(ts) // 3600000000 AS h, user_id FROM events),
+             |ex AS (SELECT h + k AS wh, user_id FROM eh CROSS JOIN range(0, 24) r(k))
+             |SELECT wh, count(DISTINCT user_id) AS u24
+             |FROM ex WHERE wh IN (SELECT h FROM eh)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -430,6 +430,14 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 2, p)
   }
 
+  test("q169: sliding distinct is fan-out + one agg off the Ckpt'd membership — no self-join") {
+    val p = plan(q("q169_sliding_distinct"))
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("Generate"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(

@@ -159,4 +159,20 @@ class Extended13Spec extends SparkSuite {
     assert(expected.size < events.length)
     assert(expected.exists(_._4 > 1))
   }
+
+  test("q169: sliding distinct equals a per-window brute-force replay") {
+    val eh = graft.Tables.load(spark, sf0001, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"), $"user_id")
+      .distinct().collect().map(row => (row.getLong(0), row.getLong(1)))
+    val hours = eh.map(_._1).distinct.sorted
+    val expected = hours.map { wh =>
+      wh -> eh.filter(e => e._1 >= wh - 23 && e._1 <= wh).map(_._2).distinct.length.toLong
+    }.toSeq
+    val got = graft.SparkEntry.queries("q169_sliding_distinct")(spark, sf0001).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    assert(got.toSeq == expected)
+    // the window must matter: some hour's trailing count exceeds its own-hour count
+    val own = eh.groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).distinct.length.toLong }
+    assert(expected.exists { case (h, c) => c > own(h) })
+  }
 }
