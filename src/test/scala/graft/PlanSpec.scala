@@ -438,6 +438,25 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q170: snapshot diff is two argmax windows + one key-colocated full join") {
+    val p = plan(q("q170_snapshot_diff"))
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 2, p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q171: weighted median is two windows over one sort family — no join, no collect") {
+    val p = plan(q("q171_weighted_median"))
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q172: RFM is one agg + three ntile windows — no join") {
+    val p = plan(q("q172_rfm"))
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 3, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(
