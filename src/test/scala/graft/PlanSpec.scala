@@ -457,6 +457,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q173: apportionment windows run over the groups-sized relation; totals broadcast") {
+    val p = plan(q("q173_largest_remainder"))
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q174: dimension joins broadcast; both share levels from two windows, no re-agg") {
+    val p = plan(q("q174_ratio_to_report"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 2, p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Pins for the round-7 fifth batch (q173–q174): BigDecimal replays plus
+  * the exact-sum invariants that are each query's reason to exist — the
+  * Hamilton allocation must sum to the budget EXACTLY, and the
+  * ratio-to-report shares must sum to 1 within rounding width.
+  */
+class Extended15Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def r(x: Double, n: Int): Double = {
+    val p = math.pow(10, n.toDouble)
+    math.signum(x) * math.floor(math.abs(x) * p + 0.5) / p + 0.0
+  }
+
+  test("q173: Hamilton allocation equals a BigDecimal replay and sums exactly to the budget") {
+    val rows = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderpriority", $"o_totalprice").collect()
+      .map(row => (row.getString(0), BigDecimal(r(row.getDouble(1), 2))))
+    val m = rows.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val mt = m.values.sum
+    val quotas = m.map { case (p, v) =>
+      p -> (v * 10000 / mt).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val fl = quotas.map { case (p, q) => p -> q.toBigInt.toLong }
+    val used = fl.values.sum
+    val extra = 10000L - used
+    val ranked = quotas.toSeq
+      .map { case (p, q) => (p, q - BigDecimal(fl(p))) }
+      .sortBy { case (p, rem) => (-rem, p) }
+    val bump = ranked.take(extra.toInt).map(_._1).toSet
+    val expected = m.keys.toSeq.sorted.map { p =>
+      (p, m(p).toDouble, fl(p), r((quotas(p) - BigDecimal(fl(p))).toDouble, 6),
+        fl(p) + (if (bump(p)) 1L else 0L))
+    }
+    val got = graft.SparkEntry.queries("q173_largest_remainder")(spark, sf0001).collect()
+      .map(row => (row.getString(0), row.getDouble(1), row.getLong(2), row.getDouble(3),
+        row.getLong(4)))
+    assert(got.toSeq == expected)
+    // the exact-sum invariant — THE point of largest remainder
+    assert(got.map(_._5).sum == 10000L)
+    // floors alone must NOT have summed to the budget (else the method is vacuous)
+    assert(used != 10000L, s"fixture must leave a remainder to distribute (used=$used)")
+  }
+
+  test("q174: contribution shares equal a BigDecimal replay; shares sum to 1") {
+    val rev = spark.read.parquet(s"$sf0001/orders.parquet")
+      .join(spark.read.parquet(s"$sf0001/customer.parquet"),
+        $"o_custkey" === $"c_custkey")
+      .join(spark.read.parquet(s"$sf0001/nation.parquet"),
+        $"c_nationkey" === $"n_nationkey")
+      .join(spark.read.parquet(s"$sf0001/region.parquet"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", $"n_name", $"o_totalprice").collect()
+      .map(row => (row.getString(0), row.getString(1), BigDecimal(r(row.getDouble(2), 2))))
+    val byNation = rev.groupBy(x => (x._1, x._2)).map { case (k, xs) => k -> xs.map(_._3).sum }
+    val byRegion = byNation.groupBy(_._1._1).map { case (rn, m) => rn -> m.values.sum }
+    val grand = byRegion.values.sum
+    val expected = byNation.toSeq.sortBy(_._1).map { case ((rn, nn), v) =>
+      (rn, nn, v.toDouble,
+        r(v.toDouble / byRegion(rn).toDouble, 6),
+        r(byRegion(rn).toDouble / grand.toDouble, 6))
+    }
+    val got = graft.SparkEntry.queries("q174_ratio_to_report")(spark, sf0001).collect()
+      .map(row => (row.getString(0), row.getString(1), row.getDouble(2), row.getDouble(3),
+        row.getDouble(4)))
+    assert(got.toSeq == expected)
+    // within-region shares sum to 1 (up to rounding width per member)
+    for ((rn, members) <- got.groupBy(_._1)) {
+      val s = members.map(_._4).sum
+      assert(math.abs(s - 1.0) <= members.length * 5e-7 + 1e-9, s"$rn shares sum $s")
+    }
+  }
+}
