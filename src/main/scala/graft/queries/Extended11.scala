@@ -278,7 +278,10 @@ object Extended11 {
           .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
           .orderBy("v")
       },
-      Some("""WITH base AS (
+      // MATERIALIZED: base is referenced three times in the closure join;
+      // without it DuckDB inlines the 4-way fact join into every arm and
+      // OOMs at sf0.1 — compute the dimension-sized edge relation once
+      Some("""WITH base AS MATERIALIZED (
               |  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
               |         greatest(c.c_nationkey, s.s_nationkey) AS b
               |  FROM lineitem l
