@@ -128,6 +128,45 @@ object Extended15 {
               |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS rev_d,
               |       ${rs("CAST(rev AS DOUBLE) / CAST(rrev AS DOUBLE)", 6)} AS share_in_region_r,
               |       ${rs("CAST(rrev AS DOUBLE) / CAST(grev AS DOUBLE)", 6)} AS region_share_r
-              |FROM w ORDER BY r_name, n_name""".stripMargin))
+              |FROM w ORDER BY r_name, n_name""".stripMargin)),
+
+    // ----- q175: time-weighted average (TWAP) ---------------------------
+    // Each observation holds until the next one; the average weights each
+    // value by its holding duration — the correct mean for irregularly
+    // sampled series (sensor state, prices), where the plain mean
+    // over-weights bursts. One lead() window per user gives the segment
+    // durations in exact epoch-µs integers; the value·duration products
+    // accumulate as DECIMAL (4-dp-rounded value × integer µs — exact, so
+    // summation order cannot matter), and one division closes it out.
+    // Single user-keyed shuffle, no self-join — same cost class as any
+    // per-entity window feature at 100 TB.
+    QueryDef(
+      "q175_twap",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"), col("value"))
+          .withColumn("nxt", lead(col("t"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("user_id"),
+            (R(col("value"), 4).cast(DecimalType(18, 4)) * (col("nxt") - col("t"))).as("vd"),
+            (col("nxt") - col("t")).as("dur"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_segments"),
+            R(sum(col("vd")).cast("double") / sum(col("dur")).cast("double"), 6).as("twap_r"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+              |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+              |  FROM events),
+              |seg AS (
+              |  SELECT user_id,
+              |         CAST(${rs("value", 4)} AS DECIMAL(18,4)) * (nxt - t) AS vd,
+              |         nxt - t AS dur
+              |  FROM e WHERE nxt IS NOT NULL)
+              |SELECT user_id, count(*) AS n_segments,
+              |  ${rs("CAST(sum(vd) AS DOUBLE) / CAST(sum(dur) AS DOUBLE)", 6)} AS twap_r
+              |FROM seg GROUP BY 1 ORDER BY user_id""".stripMargin))
   )
 }

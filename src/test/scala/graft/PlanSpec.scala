@@ -470,6 +470,12 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 2, p)
   }
 
+  test("q175: TWAP is one lead window + one agg over a single user shuffle — no join") {
+    val p = plan(q("q175_twap"))
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(

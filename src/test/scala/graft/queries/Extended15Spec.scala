@@ -74,4 +74,28 @@ class Extended15Spec extends SparkSuite {
       assert(math.abs(s - 1.0) <= members.length * 5e-7 + 1e-9, s"$rn shares sum $s")
     }
   }
+
+  test("q175: TWAP equals a BigDecimal segment replay and differs from the plain mean") {
+    val events = graft.Tables.load(spark, sf0001, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("t"), $"value").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3)))
+    val expected = events.groupBy(_._1).toSeq.map { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val segs = sorted.zip(sorted.tail).map { case (a, b) =>
+        (BigDecimal(r(a._4, 4)) * BigDecimal(b._3 - a._3), b._3 - a._3)
+      }
+      val num = segs.map(_._1).sum
+      val den = segs.map(_._2).sum
+      (u, segs.size.toLong, r(num.toDouble / den.toDouble, 6))
+    }.sortBy(_._1)
+    val got = graft.SparkEntry.queries("q175_twap")(spark, sf0001).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2)))
+    assert(got.toSeq == expected)
+    // duration weighting must matter: TWAP != unweighted mean for some user
+    val plain = events.groupBy(_._1).map { case (u, es) =>
+      val s = es.sortBy(e => (e._3, e._2)).dropRight(1)
+      u -> r(s.map(e => r(e._4, 4)).sum / s.length, 6)
+    }
+    assert(expected.exists { case (u, _, tw) => plain(u) != tw })
+  }
 }
