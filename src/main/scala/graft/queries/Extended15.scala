@@ -167,6 +167,101 @@ object Extended15 {
               |  FROM e WHERE nxt IS NOT NULL)
               |SELECT user_id, count(*) AS n_segments,
               |  ${rs("CAST(sum(vd) AS DOUBLE) / CAST(sum(dur) AS DOUBLE)", 6)} AS twap_r
-              |FROM seg GROUP BY 1 ORDER BY user_id""".stripMargin))
+              |FROM seg GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ----- q176: graph profile (degree stats + assortativity) ------------
+    // Structural statistics of the undirected trade graph in one pass:
+    // vertex/edge counts, mean degree, and Newman's degree assortativity
+    // (Pearson correlation of endpoint degrees over both edge
+    // orientations). Every accumulator is an exact BIGINT moment sum —
+    // the correlation divides once at the end, so the only float op is
+    // shared verbatim by both engines. Shape: one distinct over canonical
+    // edges, one vertex-sized degree agg broadcast onto both endpoints,
+    // integer rollups. Complements the traversal battery (q153/q157/
+    // q160/q163) with the "is my graph hub-heavy or flat" health check
+    // that decides salting and partitioning strategy before running them.
+    QueryDef(
+      "q176_graph_profile",
+      (s, dir) => {
+        // strong-edge graph: keep pairs whose trade weight exceeds the
+        // median pair weight — the raw nation graph is near-complete at
+        // sf ≥ 0.01 (all degrees equal → assortativity is 0/0); the
+        // thresholded graph has real degree structure at every SF
+        val undW = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey").as("u")),
+            col("o_custkey") === col("c_custkey"))
+          .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey").as("w")),
+            col("l_suppkey") === col("s_suppkey"))
+          .filter(col("u") =!= col("w"))
+          .groupBy(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"))
+          .agg(count(lit(1)).as("wgt"))
+        val med = undW.agg(median(col("wgt")).as("md"))
+        val und = undW.crossJoin(broadcast(med))
+          .filter(col("wgt") > col("md"))
+          .select(col("a"), col("b"))
+          .transform(graft.ops.Ckpt.apply)
+        val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        val ends = und
+          .join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
+          .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
+        val pairs = ends.select(col("da").as("x"), col("db").as("y"))
+          .unionAll(ends.select(col("db").as("x"), col("da").as("y")))
+        val mom = pairs.agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+        val vstats = deg.agg(
+          count(lit(1)).as("n_vertices"), sum(col("d")).as("dsum"),
+          min(col("d")).as("deg_min"), max(col("d")).as("deg_max"))
+        val nedges = und.agg(count(lit(1)).as("n_edges"))
+        val varTerm = (col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+          (col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))
+        val assort = (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          when(varTerm === 0.0, lit(null).cast("double")).otherwise(sqrt(varTerm))
+        vstats.crossJoin(broadcast(nedges)).crossJoin(broadcast(mom))
+          .select(col("n_vertices"), col("n_edges"), col("deg_min"), col("deg_max"),
+            R(col("dsum").cast("double") / col("n_vertices").cast("double"), 4)
+              .as("deg_mean_r"),
+            R(assort, 6).as("assort_r"))
+      },
+      Some(s"""WITH undw AS MATERIALIZED (
+              |  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+              |         greatest(c.c_nationkey, s.s_nationkey) AS b, count(*) AS wgt
+              |  FROM lineitem l
+              |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |  JOIN customer c ON o.o_custkey = c.c_custkey
+              |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              |  WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+              |md AS (SELECT median(wgt) AS md FROM undw),
+              |und AS MATERIALIZED (
+              |  SELECT a, b FROM undw CROSS JOIN md WHERE wgt > md.md),
+              |deg AS MATERIALIZED (
+              |  SELECT v, count(*) AS d FROM (
+              |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+              |  GROUP BY 1),
+              |ends AS (
+              |  SELECT da.d AS x, db.d AS y
+              |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+              |pairs AS (SELECT x, y FROM ends UNION ALL SELECT y AS x, x AS y FROM ends),
+              |mom AS (
+              |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              |         CAST(sum(x * y) AS BIGINT) AS sxy,
+              |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+              |  FROM pairs),
+              |vs AS (
+              |  SELECT count(*) AS n_vertices, CAST(sum(d) AS BIGINT) AS dsum,
+              |         min(d) AS deg_min, max(d) AS deg_max
+              |  FROM deg),
+              |ne AS (SELECT count(*) AS n_edges FROM und)
+              |SELECT vs.n_vertices, ne.n_edges, vs.deg_min, vs.deg_max,
+              |  ${rs("CAST(vs.dsum AS DOUBLE) / CAST(vs.n_vertices AS DOUBLE)", 4)} AS deg_mean_r,
+              |  ${rs("(CAST(mom.n AS DOUBLE) * CAST(mom.sxy AS DOUBLE) - CAST(mom.sx AS DOUBLE) * CAST(mom.sy AS DOUBLE)) / sqrt(nullif((CAST(mom.n AS DOUBLE) * CAST(mom.sxx AS DOUBLE) - CAST(mom.sx AS DOUBLE) * CAST(mom.sx AS DOUBLE)) * (CAST(mom.n AS DOUBLE) * CAST(mom.syy AS DOUBLE) - CAST(mom.sy AS DOUBLE) * CAST(mom.sy AS DOUBLE)), 0))", 6)} AS assort_r
+              |FROM vs CROSS JOIN ne CROSS JOIN mom""".stripMargin))
   )
 }

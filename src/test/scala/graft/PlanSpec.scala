@@ -476,6 +476,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q176: post-checkpoint degree joins broadcast; scalar combines are BNLJ — no SMJ") {
+    val p = plan(q("q176_graph_profile"))
+    // the edge list is checkpointed; everything downstream joins a
+    // vertex-sized degree relation (broadcast) or a 1-row scalar (BNLJ)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(

@@ -98,4 +98,53 @@ class Extended15Spec extends SparkSuite {
     }
     assert(expected.exists { case (u, _, tw) => plain(u) != tw })
   }
+
+  test("q176: graph profile equals an exact Scala replay; assortativity well-formed") {
+    // rebuild the strong-edge nation graph driver-side from the raw pairs
+    val raw = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey")
+      .join(spark.read.parquet(s"$sf0001/orders.parquet")
+        .select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .join(spark.read.parquet(s"$sf0001/customer.parquet")
+        .select($"c_custkey", $"c_nationkey".as("u")), $"o_custkey" === $"c_custkey")
+      .join(spark.read.parquet(s"$sf0001/supplier.parquet")
+        .select($"s_suppkey", $"s_nationkey".as("w")), $"l_suppkey" === $"s_suppkey")
+      .filter($"u" =!= $"w").select($"u", $"w").collect()
+      .map(row => (row.getInt(0), row.getInt(1)))
+    val wgt = raw.groupBy { case (u, w) => (math.min(u, w), math.max(u, w)) }
+      .map { case (k, xs) => k -> xs.length.toLong }
+    // exact median with even-count interpolation — Spark median() semantics
+    val ws = wgt.values.toSeq.sorted
+    val md =
+      if (ws.size % 2 == 1) ws(ws.size / 2).toDouble
+      else (ws(ws.size / 2 - 1) + ws(ws.size / 2)) / 2.0
+    val und = wgt.filter(_._2 > md).keys.toSeq
+    assert(und.nonEmpty && und.size < wgt.size, "threshold must bite at sf0.001")
+    val deg = und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val xy = und.flatMap { case (a, b) => Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = xy.size.toLong
+    val sx = xy.map(_._1).sum
+    val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val varTerm = (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+      (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble)
+    assert(varTerm != 0.0, "fixture graph must have degree variance")
+    val assort = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      math.sqrt(varTerm)
+    val dsum = deg.values.sum
+    val expected = (deg.size.toLong, und.size.toLong, deg.values.min, deg.values.max,
+      r(dsum.toDouble / deg.size.toDouble, 4), r(assort, 6))
+    val got = graft.SparkEntry.queries("q176_graph_profile")(spark, sf0001).collect()
+    assert(got.length == 1)
+    val row = got.head
+    val gt = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getDouble(4), row.getDouble(5))
+    assert(gt == expected, s"got $gt expected $expected")
+    // structural invariants: handshake lemma + correlation bounds
+    assert(dsum == 2L * und.size)
+    assert(gt._6 >= -1.0 - 1e-9 && gt._6 <= 1.0 + 1e-9)
+  }
 }
