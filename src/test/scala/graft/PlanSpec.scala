@@ -486,6 +486,26 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q177: one ancestor explode + one agg + one bounded window — join-free rollup") {
+    val p = plan(q("q177_hierarchy_rollup"))
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Generate.*")) == 1, p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1, p)
+    // the report bound caps the aggregate at 999 groups; root shares must
+    // NOT re-derive the measure via a self-join (one orders scan total) —
+    // the ONLY join is the broadcast customer⋈orders that builds the measure
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Scan parquet.*")) == 2, p) // customer + orders
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) BroadcastHashJoin.*")) == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q178: one months explode, integer-space agg, total via window — join-free") {
+    val p = plan(q("q178_interval_proration"))
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Generate.*")) == 1, p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1, p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Scan parquet.*")) == 1, p) // orders once
+    assert(!p.contains("Join"), p)
+  }
+
   test("Graft.registerAll wires the whole SQL function surface in one call") {
     Graft.registerAll(spark)
     val r = spark.sql(
