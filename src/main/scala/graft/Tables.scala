@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * parquet directly — schema comes from parquet footers, so Catalyst gets
   * exact types and can push filters/column pruning into the scan.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses outright
-  * (PARQUET_TYPE_ILLEGAL). We read it via the legacy nanos-as-long path and
-  * rebuild a TimestampType column by integer-dividing to microseconds —
-  * the same truncation DuckDB's ns→µs rendering applies, so second-level
-  * keys stay oracle-exact.
+  * `events.ts` has shipped in two physical forms across fixture
+  * generations: parquet TIMESTAMP(NANOS) — which Spark 4 refuses outright
+  * (PARQUET_TYPE_ILLEGAL), so we read it via the legacy nanos-as-long path
+  * and integer-divide to microseconds (the same truncation DuckDB's ns→µs
+  * rendering applies) — and plain TIMESTAMP(MICROS), which surfaces as
+  * TIMESTAMP_NTZ and only needs a cast to session-TZ TimestampType (a
+  * no-op under the UTC session both Verify and Bench pin). The loader
+  * inspects the footer schema and adapts, so a fixture regeneration can
+  * never silently break every events-based query again.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -23,8 +27,12 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -27,12 +27,22 @@ object Streaming {
     * tests exercise multi-batch accumulation.
     */
   def eventsFileStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    // A streaming source needs a DECLARED schema, but the fixture's ts has
+    // shipped as both TIMESTAMP(NANOS) (→ legacy nanos-as-long) and plain
+    // TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ) across generations. One batch
+    // footer read picks the right declaration — same adaptivity as
+    // Tables.load, driver-side only (never in the streaming hot path).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(Schemas.eventsRaw)
+    val nanosAsLong = spark.read.parquet(dir).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val schema =
+      if (nanosAsLong) Schemas.eventsRaw else Schemas.eventsRawMicros
+    val raw = spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (nanosAsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Tumbling event-time window counts with a watermark for state expiry.

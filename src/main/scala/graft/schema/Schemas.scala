@@ -40,6 +40,17 @@ object Schemas {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The micros-generation events fixture: ts is TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark surfaces as TIMESTAMP_NTZ.
+    */
+  val eventsRawMicros: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   val documents: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
