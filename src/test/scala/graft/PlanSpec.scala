@@ -528,4 +528,46 @@ class PlanSpec extends SparkSuite {
       .head().getDouble(0)
     assert(out == 11.0)
   }
+
+  test("q179: spatial join is a cell equi-join — never a cartesian pair enumeration") {
+    val p = plan(q("q179_spatial_join"))
+    assert(p.contains("Generate"), p) // the 9-cell neighborhood explode
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q180/q182/q183/q185/q187: window-over-agg shapes stay join-free") {
+    for (name <- Seq("q180_cusum_drift", "q182_event_paths", "q183_welch_ttest",
+        "q185_attribution", "q187_rrf_fusion")) {
+      val p = plan(q(name))
+      assert(p.contains("Window"), s"$name: $p")
+      assert(!p.contains("Join"), s"$name must not join: $p")
+    }
+  }
+
+  test("q181: inverted index is Generate → partial agg; single scan, no join") {
+    val p = plan(q("q181_inverted_index"))
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+    // partial-then-final agg around the (tok, doc) shuffle
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("q184: the 45-row digit dimension broadcasts onto the counts") {
+    val df = q("q184_benford")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin") ||
+      executed.contains("BroadcastExchange"), executed)
+  }
+
+  test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
+    val df = q("q186_autocorr")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin") ||
+      executed.contains("BroadcastExchange"), executed)
+  }
 }
