@@ -563,6 +563,36 @@ class PlanSpec extends SparkSuite {
       executed.contains("BroadcastExchange"), executed)
   }
 
+  test("q188: PIT join stays an entity-keyed equi-join — interval predicate never degrades it") {
+    val p = plan(q("q188_pit_join"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q189: KM curve windows run after user-sized aggs; the corpus-end scalar broadcasts") {
+    val p = plan(q("q189_kaplan_meier"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q190: the 100-row quantile grid broadcasts onto the per-source cells") {
+    val df = q("q190_quantile_normalize")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin") ||
+      executed.contains("BroadcastExchange"), executed)
+  }
+
+  test("q191: bootstrap is a map-side Generate into partial agg; no cartesian") {
+    val p = plan(q("q191_bootstrap_ci"))
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
