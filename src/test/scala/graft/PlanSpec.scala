@@ -593,6 +593,29 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
+  test("q192/q193: contingency and AUC stay one-scan shapes (windows over aggregates)") {
+    val p192 = plan(q("q192_chi2_independence"))
+    assert(p192.contains("Window"), p192)
+    assert(!p192.contains("CartesianProduct"), p192) // tiny distinct×distinct grid broadcasts
+    val p193 = plan(q("q193_auc_rank"))
+    assert(p193.contains("Window"), p193)
+    assert(!p193.contains("Join"), p193)
+  }
+
+  test("q194: the day-7 calendar self-join broadcasts at runtime") {
+    val df = q("q194_forecast_backtest")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin") ||
+      executed.contains("BroadcastExchange"), executed)
+  }
+
+  test("q195: triangle enumeration is equi-joins over the deduped edge relation") {
+    val p = plan(q("q195_triangles"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
