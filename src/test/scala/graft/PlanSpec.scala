@@ -616,6 +616,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q196/q199: info-theory and SPC shapes — windows over aggregates, no cartesian") {
+    for (name <- Seq("q196_mutual_info", "q199_control_chart")) {
+      val p = plan(q(name))
+      assert(p.contains("Window") || p.contains("HashAggregate"), s"$name: $p")
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+    }
+  }
+
+  test("q197: FK audit arms join key-level aggregates, never raw fact rows") {
+    val p = plan(q("q197_fk_audit"))
+    // every child relation is hash-aggregated to key counts BEFORE the
+    // parent join: the joins must sit above HashAggregates, and no
+    // cartesian/BNLJ may appear
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 8, p)
+  }
+
+  test("q198: gap detection is partitioned lags — no global row sort before the gaps relation") {
+    val p = plan(q("q198_id_gaps"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
