@@ -640,6 +640,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q200/q201: calendar-bounded series joins broadcast at runtime") {
+    for (name <- Seq("q200_rolling_median", "q201_cross_correlation")) {
+      val df = q(name)
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+      assert(executed.contains("BroadcastHashJoin") ||
+        executed.contains("BroadcastExchange"), s"$name: $executed")
+    }
+  }
+
+  test("q202/q203: burst and lift are window-over-agg shapes, join-free") {
+    for (name <- Seq("q202_burst_detect", "q203_lift_curve")) {
+      val p = plan(q(name))
+      assert(p.contains("Window"), s"$name: $p")
+      assert(!p.contains("Join"), s"$name must not join: $p")
+    }
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
