@@ -658,6 +658,28 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q204: hotspot neighborhoods come from a lattice equi-join, never a distance cross product") {
+    val df = q("q204_hotspots")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(!executed.contains("CartesianProduct"), executed)
+    assert(executed.contains("BroadcastHashJoin") ||
+      executed.contains("BroadcastExchange"), executed)
+  }
+
+  test("q205: ER sweep joins only on the blocking key (no all-pairs scoring)") {
+    val p = plan(q("q205_er_prf"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the threshold fan-out is a Generate over the scored candidates
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q206: SPRT is one agg + ordered prefix windows, join-free") {
+    val p = plan(q("q206_sprt"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
