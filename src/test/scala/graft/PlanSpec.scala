@@ -680,6 +680,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q207: interval overlap join is a cell equi-join — never an interval cross product") {
+    val p = plan(q("q207_interval_join"))
+    assert(p.contains("Generate"), p) // both sides explode to day cells
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q208: waterfall boundary months broadcast; windows run over the groups relation") {
+    val df = q("q208_waterfall")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastExchange"), executed)
+    assert(executed.contains("Window"), executed)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
