@@ -694,6 +694,20 @@ class PlanSpec extends SparkSuite {
     assert(executed.contains("Window"), executed)
   }
 
+  test("q209/q210: profiler and matrix are one-scan shapes — Generate/moments, no rescans") {
+    val p209 = plan(q("q209_column_profile"))
+    assert(p209.contains("Generate"), p209) // the unpivot explode
+    assert(!p209.contains("Join"), p209)
+    // formatted plans list each node twice (tree + details); count the
+    // numbered detail headers for the true operator count
+    assert(p209.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      "profiler must read lineitem exactly once: " + p209)
+    val p210 = plan(q("q210_corr_matrix"))
+    assert(!p210.contains("CartesianProduct"), p210)
+    // ten moment sums come from ONE aggregate; the union arms reuse it
+    assert(p210.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) <= 6, p210)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
