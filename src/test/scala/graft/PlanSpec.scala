@@ -708,6 +708,21 @@ class PlanSpec extends SparkSuite {
     assert(p210.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) <= 6, p210)
   }
 
+  test("q211/q212: proportion CI and growth curve are join-free single-agg shapes") {
+    for (name <- Seq("q211_wilson_ci", "q212_cumulative_uniques")) {
+      val p = plan(q(name))
+      assert(!p.contains("Join"), s"$name: $p")
+    }
+  }
+
+  test("q213: the 25-vertex centroid pairing broadcasts (bounded all-pairs by design)") {
+    val df = q("q213_haversine")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastNestedLoopJoin") ||
+      executed.contains("BroadcastExchange"), executed)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
