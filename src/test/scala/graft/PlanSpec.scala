@@ -723,6 +723,13 @@ class PlanSpec extends SparkSuite {
       executed.contains("BroadcastExchange"), executed)
   }
 
+  test("q214: multi-touch pairing is an entity-keyed equi-join (q188's PIT pattern)") {
+    val p = plan(q("q214_linear_attribution"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
