@@ -33,8 +33,14 @@ object Streaming {
     // footer read picks the right declaration — same adaptivity as
     // Tables.load, driver-side only (never in the streaming hot path).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosAsLong = spark.read.parquet(dir).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+    // An initially EMPTY source directory is a normal file-stream startup
+    // state — the probe read throws (no footers to infer from), and the
+    // stream falls back to the declared nanos schema rather than failing
+    // before any file arrives.
+    val nanosAsLong =
+      try spark.read.parquet(dir).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      catch { case _: org.apache.spark.sql.AnalysisException => true }
     val schema =
       if (nanosAsLong) Schemas.eventsRaw else Schemas.eventsRawMicros
     val raw = spark.readStream

@@ -53,30 +53,57 @@ object Scale {
   }
 
   /** Bloom-prefiltered semi join: build a Bloom filter over the (small)
-    * key side, broadcast it, and discard non-matching large-side rows
-    * BEFORE the shuffle — the manual form of Spark's runtime row-level
-    * filtering, exposed as an operator so pipelines can persist/reuse the
-    * filter across runs. False positives survive the prefilter, so the
-    * exact semi join behind it keeps the result identical to a plain
-    * semi join (q74's oracle IS the plain join); the win at scale is the
-    * shuffle shrinking to ~selectivity × |large| + fpp stragglers.
+    * key side, and discard non-matching large-side rows BEFORE the
+    * shuffle — the manual form of Spark's runtime row-level filtering,
+    * exposed as an operator so pipelines can persist/reuse the filter
+    * across runs. False positives survive the prefilter, so the exact
+    * semi join behind it keeps the result identical to a plain semi join
+    * (q74's oracle IS the plain join); the win at scale is the shuffle
+    * shrinking to ~selectivity × |large| + fpp stragglers.
+    *
+    * The probe uses Spark's native `BloomFilterMightContain` expression
+    * (the same one AQE's runtime filtering injects) over a foldable
+    * filter literal, NOT a Scala UDF — the prefilter stage stays inside
+    * whole-stage codegen instead of crossing a per-row black box. Both
+    * sides key on xxhash64(key), the aggregate's required Long input.
     */
   def bloomSemiJoin(
       large: DataFrame, keys: DataFrame, keyCol: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    // stat.bloomFilter NPEs when the key side is empty (its aggregate
-    // returns null bytes) — an empty key set means an empty semi join,
-    // which the exact join below produces; just skip the prefilter
-    val bf =
-      try keys.stat.bloomFilter(keyCol, expectedItems, fpp)
-      catch { case _: NullPointerException => null }
-    val prefiltered = if (bf == null) large else {
-      val bc = large.sparkSession.sparkContext.broadcast(bf)
-      val mightContain = udf((k: java.lang.Long) =>
-        k != null && bc.value.mightContainLong(k))
-      large.filter(mightContain(col(keyCol)))
-    }
+    val spark = large.sparkSession
+    registerBloom(spark)
+    // standard sizing: m = -n·ln(p) / ln(2)²
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // one-row scalar aggregate (documented driver-side .head() pattern);
+    // an empty key side aggregates to NULL → skip the prefilter (the
+    // exact semi join below already yields the correct empty result)
+    val bfRow = keys
+      .select(call_function("graft_bloom_agg",
+        xxhash64(col(keyCol)), lit(expectedItems), lit(numBits)).as("bf"))
+      .head()
+    val prefiltered =
+      if (bfRow.isNullAt(0)) large
+      else large.filter(call_function("graft_might_contain",
+        lit(bfRow.getAs[Array[Byte]](0)), xxhash64(col(keyCol))))
     prefiltered.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+  }
+
+  /** Idempotent per-session registration of Spark's built-in (but not
+    * SQL-registered) bloom expressions, the Catalyst pair behind runtime
+    * row-level filtering.
+    */
+  private def registerBloom(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)),
+      "built-in")
   }
 
   /** Bucketed co-located sink: both sides of a recurring join written

@@ -92,11 +92,26 @@ object Extended10 {
     // plus each source's distinct-fp total for a Jaccard overlap. At
     // 100 TB: one hash agg over fingerprints, pair fan-out capped by the
     // source count.
+    //
+    // Source keying: three OVERLAPPING pseudo-feeds (each doc belongs to
+    // the two feeds picked by doc_id % 3 — the overlapping-crawl /
+    // partial-mirror shape). The fixtures' real `source` column has no
+    // cross-source verbatim dups at small SF, which made the battery row
+    // vacuously green (0 = 0 rows); overlapping feeds guarantee shared
+    // fingerprints at EVERY scale factor, so the driver hash-match
+    // exercises the pair fan-out and Jaccard arithmetic on real rows.
     QueryDef(
       "q149_overlap_matrix",
       (s, dir) => {
-        val fps = tbl(s, dir, "documents")
-          .select(Text.fingerprintMd5(col("text")).as("fp"), col("source"))
+        val docs = tbl(s, dir, "documents")
+          .select(Text.fingerprintMd5(col("text")).as("fp"),
+            pmod(col("doc_id"), lit(3)).as("m"))
+        val feeds =
+          when(col("m") === 0, array(lit("feed_a"), lit("feed_c")))
+            .when(col("m") === 1, array(lit("feed_a"), lit("feed_b")))
+            .when(col("m") === 2, array(lit("feed_b"), lit("feed_c")))
+        val fps = docs
+          .select(col("fp"), explode(feeds).as("source"))
           .distinct()
         val perSrc = fps.groupBy("source").agg(count(lit(1)).as("n_fp"))
         val pairs = fps.as("a")
@@ -112,10 +127,14 @@ object Extended10 {
               (col("n1") + col("n2") - col("n_shared")).cast("double"), 6).as("jaccard"))
           .orderBy("s1", "s2")
       },
-      Some(s"""WITH fps AS (SELECT DISTINCT
-              |               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-              |               source
-              |             FROM documents),
+      Some(s"""WITH d AS (SELECT
+              |             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+              |             doc_id % 3 AS m
+              |           FROM documents),
+              |fps AS (SELECT DISTINCT fp, source FROM (
+              |          SELECT fp, 'feed_a' AS source FROM d WHERE m IN (0, 1)
+              |          UNION ALL SELECT fp, 'feed_b' FROM d WHERE m IN (1, 2)
+              |          UNION ALL SELECT fp, 'feed_c' FROM d WHERE m IN (0, 2))),
               |per AS (SELECT source, count(*) AS n_fp FROM fps GROUP BY 1),
               |pr AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
               |       FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source

@@ -31,6 +31,18 @@ object Extended11 {
     */
   private val BfRounds = 6
 
+  /** Best-effort recursive delete for q156's per-invocation scratch dirs
+    * (stream source copy, sink, checkpoint) — they are created fresh each
+    * call and must not accumulate across verify/bench cycles.
+    */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
+    }
+  }
+
   private def bellmanFordSql: String = {
     val rounds = (1 to BfRounds).map { k =>
       s"""d$k AS (
@@ -414,12 +426,19 @@ object Extended11 {
         }
         val latest = org.apache.spark.sql.expressions.Window
           .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
-        s.read.parquet(out)
+        // localCheckpoint(eager) materializes the final state off the sink
+        // files so the scratch dirs can be deleted NOW instead of leaking
+        // one trio per invocation (verify + 2 bench reps = 9 dirs/round).
+        val result = s.read.parquet(out)
           .withColumn("__rn", row_number().over(latest))
           .filter(col("__rn") === 1)
           .select(col("user_id"), col("n_events"),
             R(col("units").cast("double") / 10000.0, 4).as("value_sum_r"))
           .orderBy("user_id")
+          .localCheckpoint(true)
+        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+          .foreach(rmTree)
+        result
       },
       Some(s"""WITH u AS (
               |  SELECT user_id,

@@ -81,8 +81,10 @@ object Extended17 {
       (s, dir) => {
         val cust = tbl(s, dir, "customer").select(
           col("c_custkey").as("cid"),
-          (col("c_custkey") * 37 % 1000).as("cx"),
-          (col("c_custkey") * 91 % 1000).as("cy"))
+          // widen BEFORE the multiply: 32-bit c_custkey*37 wraps silently in
+          // Spark at large SF while DuckDB promotes — a scale-dependent split
+          (col("c_custkey").cast("long") * 37 % 1000).as("cx"),
+          (col("c_custkey").cast("long") * 91 % 1000).as("cy"))
         val supp = tbl(s, dir, "supplier").select(
           col("s_suppkey").cast("long").as("sid"),
           (col("s_suppkey").cast("long") * 53 % 1000).as("sx"),
@@ -109,8 +111,9 @@ object Extended17 {
           .orderBy("cid")
       },
       Some(s"""WITH c AS (
-              |  SELECT c_custkey AS cid, c_custkey*37 % 1000 AS cx,
-              |         c_custkey*91 % 1000 AS cy FROM customer),
+              |  SELECT c_custkey AS cid,
+              |         CAST(c_custkey AS BIGINT)*37 % 1000 AS cx,
+              |         CAST(c_custkey AS BIGINT)*91 % 1000 AS cy FROM customer),
               |s AS (
               |  SELECT CAST(s_suppkey AS BIGINT) AS sid,
               |         CAST(s_suppkey AS BIGINT)*53 % 1000 AS sx,

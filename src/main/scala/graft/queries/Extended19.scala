@@ -148,10 +148,13 @@ object Extended19 {
           .groupBy(col("user_id"))
           .agg(min(unix_micros(col("ts"))).as("smin"))
         val pu = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), unix_micros(col("ts")).as("pt"))
+          .select(col("user_id").as("p_uid"), unix_micros(col("ts")).as("pt"))
         val mx = e.agg(max(unix_micros(col("ts"))).as("mt"))
-        val firstP = su.join(pu, Seq("user_id"), "left")
-          .filter(col("pt").isNull || col("pt") >= col("smin"))
+        // pt >= smin lives in the JOIN condition, not a post-filter: a user
+        // whose every purchase precedes first signup must survive as a
+        // NULL-extended (censored) subject, matching the oracle's ON clause.
+        val firstP = su.join(pu,
+            col("p_uid") === col("user_id") && col("pt") >= col("smin"), "left")
           .groupBy(col("user_id"), col("smin"))
           .agg(min(col("pt")).as("pmin"))
         val subj = firstP.crossJoin(broadcast(mx))

@@ -63,8 +63,9 @@ object Extended23 {
       "q204_hotspots",
       (s, dir) => {
         val pts = tbl(s, dir, "customer").select(
-          ((col("c_custkey") * 37 % 1000) / Cell).cast("long").as("gx"),
-          ((col("c_custkey") * 91 % 1000) / Cell).cast("long").as("gy"))
+          // long BEFORE the multiply: int c_custkey*37 wraps at large SF
+          ((col("c_custkey").cast("long") * 37 % 1000) / Cell).cast("long").as("gx"),
+          ((col("c_custkey").cast("long") * 91 % 1000) / Cell).cast("long").as("gy"))
           .groupBy(col("gx"), col("gy")).agg(count(lit(1)).as("c"))
         val axis = sequence(lit(0), lit(Side - 1))
         val lattice = s.range(1)
@@ -105,8 +106,8 @@ object Extended23 {
           .orderBy("rank")
       },
       Some(s"""WITH pts AS (
-              |  SELECT (c_custkey*37 % 1000) // $Cell AS gx,
-              |         (c_custkey*91 % 1000) // $Cell AS gy, count(*) AS c
+              |  SELECT (CAST(c_custkey AS BIGINT)*37 % 1000) // $Cell AS gx,
+              |         (CAST(c_custkey AS BIGINT)*91 % 1000) // $Cell AS gy, count(*) AS c
               |  FROM customer GROUP BY 1, 2),
               |lattice AS (
               |  SELECT CAST(x.x AS BIGINT) AS gx, CAST(y.y AS BIGINT) AS gy

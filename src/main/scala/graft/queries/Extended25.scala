@@ -50,12 +50,25 @@ object Extended25 {
       "q209_column_profile",
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
-        // timestamps render through the house date format; everything else
-        // through the engine-shared plain cast
+        // timestamps render through the house date format; FLOATING-POINT
+        // columns through an explicit shared %.6f (Java's Double.toString
+        // flips to E-notation for |x| >= 1e7 or < 1e-3 while DuckDB's
+        // VARCHAR cast does not — an engine-native cast would silently
+        // break parity on wide-range columns). %.6f of the same IEEE
+        // double is identical across Java and C printf (an exact tie at
+        // the 6th decimal would need a 5/10^7 tail, unrepresentable in
+        // binary). Precondition: finite values (NaN/Inf spell differently).
+        // Everything else renders via the engine-shared plain cast.
         val rendered = ProfCols.map { c =>
-          struct(lit(c).as("cn"),
-            (if (c == "l_shipdate") date_format(col(c), "yyyy-MM-dd HH:mm:ss")
-            else col(c).cast("string")).as("v"))
+          val v =
+            if (c == "l_shipdate") date_format(col(c), "yyyy-MM-dd HH:mm:ss")
+            else li.schema(c).dataType match {
+              case org.apache.spark.sql.types.DoubleType |
+                   org.apache.spark.sql.types.FloatType =>
+                when(col(c).isNotNull, format_string("%.6f", col(c)))
+              case _ => col(c).cast("string")
+            }
+          struct(lit(c).as("cn"), v.as("v"))
         }
         val pairs = li.select(explode(array(rendered: _*)).as("p"))
           .select(col("p.cn").as("cn"), col("p.v").as("v"))
@@ -80,9 +93,15 @@ object Extended25 {
           .orderBy("column_name")
       },
       Some {
+        // mirror of the Spark rendering: fixture doubles go through the
+        // same explicit %.6f (l_quantity/l_discount are DOUBLE in the
+        // parquet schema; extend this set if ProfCols grows)
+        val doubleCols = Set("l_quantity", "l_discount", "l_extendedprice", "l_tax")
         val armSql = ProfCols.map { c =>
           val v =
             if (c == "l_shipdate") s"strftime($c, '%Y-%m-%d %H:%M:%S')"
+            else if (doubleCols(c))
+              s"CASE WHEN $c IS NOT NULL THEN printf('%.6f', $c) END"
             else s"CAST($c AS STRING)"
           s"SELECT '$c' AS cn, $v AS v FROM lineitem"
         }.mkString("\nUNION ALL\n")

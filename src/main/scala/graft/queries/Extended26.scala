@@ -162,8 +162,8 @@ object Extended26 {
       },
       Some(s"""WITH n AS (
               |  SELECT CAST(n_nationkey AS BIGINT) AS nk,
-              |    radians(CAST(n_nationkey * 37 % 1000 AS DOUBLE) / 1000.0 * 160.0 - 80.0) AS la,
-              |    radians(CAST(n_nationkey * 91 % 1000 AS DOUBLE) / 1000.0 * 360.0 - 180.0) AS lo
+              |    radians(CAST(CAST(n_nationkey AS BIGINT) * 37 % 1000 AS DOUBLE) / 1000.0 * 160.0 - 80.0) AS la,
+              |    radians(CAST(CAST(n_nationkey AS BIGINT) * 91 % 1000 AS DOUBLE) / 1000.0 * 360.0 - 180.0) AS lo
               |  FROM nation),
               |pairs AS (
               |  SELECT a.nk, b.nk AS mk,

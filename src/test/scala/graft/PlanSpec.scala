@@ -106,16 +106,16 @@ class PlanSpec extends SparkSuite {
       l.contains("keys") && l.contains("o_custkey") && l.contains("__salt")))
   }
 
-  test("q74: bloom prefilter runs below the semi join (scan-side, pre-shuffle)") {
-    // the BatchEvalPython-free UDF filter must sit between the lineitem
-    // scan and the join — rows rejected by the sketch never reach the
-    // exchange. In the formatted plan the Filter node referencing the UDF
-    // appears in the join's left subtree (a lower node id than the join).
+  test("q74: bloom prefilter runs below the semi join, codegen'd (no ScalaUDF)") {
+    // the prefilter must sit between the lineitem scan and the join —
+    // rows rejected by the sketch never reach the exchange — and it must
+    // be Spark's NATIVE might_contain expression (inside whole-stage
+    // codegen), never a per-row Scala UDF black box
     val p = plan(q("q74_bloom_semijoin"))
-    // the sketch filter is a Filter CONDITION on the large-side scan
-    // output (UDF(l_orderkey)), and the join stays a semi join
     assert(p.linesIterator.exists(l =>
-      l.contains("Condition") && l.contains("UDF(l_orderkey")), p)
+      l.contains("Condition") && l.contains("might_contain") &&
+        l.contains("xxhash64(l_orderkey")), p)
+    assert(!p.contains("UDF("), p)
     assert(p.contains("Join LeftSemi"), p)
   }
 

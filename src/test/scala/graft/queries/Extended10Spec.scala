@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Semantics pins for the compliance/lakehouse batch (q148–q150).
   *
-  * q149's battery run is vacuous on the sf fixtures (no cross-source
-  * verbatim duplicates exist, so spark_rows == oracle_rows == 0); the
-  * fixture here plants shared content across three sources so the overlap
-  * matrix is pinned on actual rows, including the normalize
-  * (lower/trim/whitespace-collapse) contract.
+  * q149 keys the overlap matrix over three OVERLAPPING pseudo-feeds
+  * (doc_id % 3 picks two of {feed_a, feed_b, feed_c}), so the battery row
+  * is non-vacuous at every SF. The fixture here plants controlled doc_ids
+  * and duplicate content so the matrix is pinned on hand-computed rows,
+  * including the normalize (lower/trim/whitespace-collapse) contract and
+  * the distinct-(fp, feed) collapse.
   */
 class Extended10Spec extends SparkSuite {
   import spark.implicits._
@@ -22,20 +23,22 @@ class Extended10Spec extends SparkSuite {
   private def round6(x: Double): Double =
     math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6 + 0.0
 
-  test("q149: overlap matrix on a fixture WITH cross-source duplicates") {
-    // Shared content (fingerprints compare AFTER normalize):
-    //   alpha: s1, s2 — s2's copy differs by case + extra whitespace, so a
-    //          match proves the normalize step feeds the fingerprint
-    //   beta : s1 (twice — distinct(fp,source) must collapse it), s2, s3
-    //   gamma: s1 only; delta: s3 only
-    // Distinct fps per source: s1={a,b,g}=3, s2={a,b}=2, s3={b,d}=2.
+  test("q149: overlap matrix over overlapping pseudo-feeds, hand-computed") {
+    // Feed membership by doc_id % 3: 0→{a,c}, 1→{a,b}, 2→{b,c}.
+    // Content (fingerprints compare AFTER normalize):
+    //   alpha: docs 1 (m=1 → a,b) and 2 (m=2 → b,c); doc 2's copy differs
+    //          by case + extra whitespace, so a match proves the normalize
+    //          step feeds the fingerprint
+    //   beta : docs 3 and 6 (both m=0 → a,c) — identical (fp, feed) pairs,
+    //          so distinct(fp, source) must collapse them
+    //   gamma: doc 7 (m=1 → a,b); delta: doc 8 (m=2 → b,c)
+    // Distinct fps per feed: a={α,β,γ}=3, b={α,γ,δ}=3, c={α,β,δ}=3.
+    // Shared: (a,b)={α,γ}, (a,c)={α,β}, (b,c)={α,δ} — all 2, J=2/(3+3-2).
     val dir = java.nio.file.Files.createTempDirectory("x10docs").toString
     Seq(
       (1L, "Alpha doc text", "en", "s1"),
       (2L, "  alpha   DOC text ", "en", "s2"),
       (3L, "beta doc", "en", "s1"),
-      (4L, "beta doc", "en", "s1"),
-      (5L, "beta doc", "en", "s2"),
       (6L, "beta doc", "en", "s3"),
       (7L, "gamma only", "en", "s1"),
       (8L, "delta only", "en", "s3"))
@@ -45,9 +48,14 @@ class Extended10Spec extends SparkSuite {
     val got = q("q149_overlap_matrix")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == Seq(
-      ("s1", "s2", 2L, round6(2.0 / 3.0)), // J = 2/(3+2-2)
-      ("s1", "s3", 1L, 0.25), //              J = 1/(3+2-1)
-      ("s2", "s3", 1L, round6(1.0 / 3.0)))) // J = 1/(2+2-1)
+      ("feed_a", "feed_b", 2L, 0.5),
+      ("feed_a", "feed_c", 2L, 0.5),
+      ("feed_b", "feed_c", 2L, 0.5)))
+  }
+
+  test("q149: battery fixture is NON-vacuous (rows exist at sf0.001)") {
+    // the driver-level gate must compare real rows at every SF — pin it
+    assert(q("q149_overlap_matrix")(spark, sf0001).count() > 0)
   }
 
   test("q148: cascade counts match an isin-based replay; zero orphans") {

@@ -19,8 +19,10 @@ class Extended25Spec extends SparkSuite {
   }
 
   test("q209: profile equals a direct per-column replay; top value breaks ties upward") {
+    // doubles render through the query's explicit %.6f contract (engine
+    // casts diverge into E-notation at wide ranges; see q209's scaladoc)
     val rows = spark.read.parquet(s"$sf0001/lineitem.parquet")
-      .select($"l_quantity".cast("string"), $"l_discount".cast("string"),
+      .select(format_string("%.6f", $"l_quantity"), format_string("%.6f", $"l_discount"),
         $"l_returnflag", $"l_linestatus",
         date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss"))
       .collect().map(row => Seq(row.getString(0), row.getString(1),
