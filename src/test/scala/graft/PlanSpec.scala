@@ -730,6 +730,44 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q204/q208/q212: every GLOBAL window runs over an aggregated (bounded) relation") {
+    // these queries use Window.partitionBy() — safe ONLY because the
+    // windowed relation is calendar/lattice-bounded. Pin that invariant
+    // structurally: each empty-partition WindowExec must have an
+    // aggregate beneath it (its input is a grouped rollup, never a
+    // data-sized raw scan), so a future edit can't silently move the
+    // global window onto an unbounded relation.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE wraps finished stages in leaf QueryStageExec nodes, so a plain
+    // collect() stops at stage boundaries — pierce them explicitly
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    def hasAgg(p: SparkPlan): Boolean = nodes(p).exists {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+      case _ => false
+    }
+    for (name <- Seq("q204_hotspots", "q208_waterfall", "q212_cumulative_uniques")) {
+      val df = q(name)
+      df.collect()
+      val all = nodes(df.queryExecution.executedPlan)
+      val globals = all.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(globals.nonEmpty, s"$name: expected a global window in\n${all.head}")
+      globals.foreach { w =>
+        assert(hasAgg(w.child),
+          s"$name: global window over a NON-aggregated relation:\n${w.child}")
+      }
+    }
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
