@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builder-side scale-up generator: `runMain graft.GenScale <srcDir>
+  * <dstDir> [k]` replicates the driver's sf fixture k× (default 10,
+  * sf0.1 → "sf1") with key-offset remapping, for empirical scale smokes
+  * (BENCH_SF1.md) — the correctness battery never reads its output.
+  *
+  * Replication contract:
+  *   - region/nation copy unchanged (fixed dims — real scale-ups hold
+  *     dimension cardinality).
+  *   - every entity key shifts by copy × (max key + 1), and every
+  *     foreign key shifts by ITS referenced domain's base, so join
+  *     fan-outs (orders per customer, lineitems per order) stay exactly
+  *     the source distribution.
+  *   - document text is Caesar-rotated per copy (copy 0 unchanged):
+  *     length, token boundaries, and within-copy duplicate structure are
+  *     preserved exactly, but copies share NO shingles — without this,
+  *     every doc gains k−1 near-verbatim twins and the dedup queries
+  *     measure an artificially k×-denser duplicate graph instead of
+  *     scale. n_chars is recomputed to stay consistent.
+  *   - embeddings are circularly shifted per copy (norm and component
+  *     distribution preserved, cosine-identity across copies broken) for
+  *     the same reason on the ANN/SemDeDup side.
+  *   - events keep their timestamps: 10× the events in the same time
+  *     range models a hotter stream, and time-window state sizes scale
+  *     with user count (shifted), not window count.
+  *   - each table lands as ONE parquet file named `<table>.parquet`
+  *     (the driver fixture's exact layout — q151/q156 stream-copy it as
+  *     a file), written with 8 MB row groups so Spark's byte-range file
+  *     splitting still parallelizes the big single-file scans.
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def base(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+
+    val custB = base(tbl("customer"), "c_custkey")
+    val suppB = base(tbl("supplier"), "s_suppkey")
+    val partB = base(tbl("part"), "p_partkey")
+    val orderB = base(tbl("orders"), "o_orderkey")
+    val userB = base(tbl("events"), "user_id")
+    val eidB = base(tbl("events"), "event_id")
+    val docB = base(tbl("documents"), "doc_id")
+    val vecB = base(tbl("embeddings"), "vec_id")
+
+    /** k copies with per-column key shifts; non-keyed columns pass through. */
+    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
+      val copies = spark.range(k).toDF("__copy")
+      df.crossJoin(copies).select(df.columns.map { c =>
+        shifts.get(c) match {
+          case Some(b) => (col(c) + col("__copy") * b).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+
+    def write(df: DataFrame, name: String): Unit = {
+      val tmp = s"$dst/__tmp_$name"
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 8 * 1024 * 1024)
+        .parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dst/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
+      ()
+    }
+
+    write(tbl("region"), "region")
+    write(tbl("nation"), "nation")
+    write(replicate(tbl("customer"), Map("c_custkey" -> custB)), "customer")
+    write(replicate(tbl("supplier"), Map("s_suppkey" -> suppB)), "supplier")
+    write(replicate(tbl("part"), Map("p_partkey" -> partB)), "part")
+    write(replicate(tbl("orders"),
+      Map("o_orderkey" -> orderB, "o_custkey" -> custB)), "orders")
+    write(replicate(tbl("lineitem"),
+      Map("l_orderkey" -> orderB, "l_partkey" -> partB, "l_suppkey" -> suppB)),
+      "lineitem")
+    write(replicate(tbl("events"),
+      Map("event_id" -> eidB, "user_id" -> userB)), "events")
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rot(s: String, r: Int) = s.drop(r) + s.take(r)
+    val docs = {
+      val copies = spark.range(k).toDF("__copy")
+      val rotText = (1 until k).foldLeft(col("text")) { (acc, i) =>
+        when(col("__copy") === i,
+          translate(col("text"), lower + upper, rot(lower, i % 26) + rot(upper, i % 26)))
+          .otherwise(acc)
+      }
+      tbl("documents").crossJoin(copies)
+        .withColumn("doc_id", col("doc_id") + col("__copy") * docB)
+        .withColumn("text", rotText)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("__copy")
+    }
+    write(docs, "documents")
+    val embs = {
+      val copies = spark.range(k).toDF("__copy")
+      val shifted = (1 until k).foldLeft(col("embedding")) { (acc, i) =>
+        when(col("__copy") === i, expr(
+          s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))"))
+          .otherwise(acc)
+      }
+      tbl("embeddings").crossJoin(copies)
+        .withColumn("vec_id", col("vec_id") + col("__copy") * vecB)
+        .withColumn("embedding", shifted)
+        .drop("__copy")
+    }
+    write(embs, "embeddings")
+
+    println(s"""{"gen":"$dst","k":$k,"lineitem_rows":${spark.read.parquet(s"$dst/lineitem.parquet").count()}}""")
+    spark.stop()
+  }
+}

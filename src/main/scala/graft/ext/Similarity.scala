@@ -188,6 +188,22 @@ object Similarity {
     assignToCells(c, cent)
   }
 
+  /** Corpus-size-aware seed stride for [[ivfTopK]]/[[assignCells]]:
+    * stride ≈ √N seeds ≈ √N cells — the standard IVF nlist rule.
+    *
+    * A FIXED stride makes the cell count grow linearly with the corpus
+    * (C = N/stride), so nearest-centroid assignment — an N × C scan — is
+    * O(N²/stride): quadratic in corpus size. Measured in the round-9 sf1
+    * smoke (BENCH_SF1.md): a 10× corpus ran 16× slower at stride=50
+    * (cells 40→400) but 2.9× at the √N-equivalent stride (cells held at
+    * 40). With stride = √N both factors grow as √N and assignment stays
+    * O(N^1.5) per probe — and per-query probe cost stays O(N/√N · nProbe)
+    * = O(√N · nProbe). Callers pass a count they already know (or an
+    * estimate — the rule is insensitive to 2× error).
+    */
+  def sqrtStride(corpusSize: Long): Int =
+    math.max(1L, math.round(math.sqrt(corpusSize.toDouble))).toInt
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): coarse k-means cells bound the pair search, then
     * within-cell cosine ≥ threshold pairs are clustered (connected
