@@ -768,6 +768,45 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q215: skew advisor plans TakeOrderedAndProject over ONE agg (no global sort)") {
+    val p = plan(q("q215_skew_advisor"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q216/q219: moment profile and feature hash are join-free one-scan aggs") {
+    for (name <- Seq("q216_higher_moments", "q219_feature_hash")) {
+      val p = plan(q(name))
+      assert(!p.contains("Join"), s"$name must not join: $p")
+      assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+        s"$name must read its table exactly once: $p")
+    }
+  }
+
+  test("q217: the calendar-bounded pair self-join broadcasts at runtime") {
+    val df = q("q217_mann_kendall")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin") ||
+      executed.contains("BroadcastExchange"), executed)
+    assert(!executed.contains("CartesianProduct"), executed)
+  }
+
+  test("q218: cardinality prediction comes from per-key aggs, not a cross product") {
+    val p = plan(q("q218_join_cardinality"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row profile aggregates combine via broadcast nested loop —
+    // bounded by construction; the key-count joins stay equi-joins
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q220: position attribution joins entity-keyed with window positions (no cross product)") {
+    val p = plan(q("q220_position_attribution"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
