@@ -807,6 +807,29 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q221: every k-core peel round joins against a broadcast kept-vertex set") {
+    val df = q("q221_kcore")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(!executed.contains("CartesianProduct"), executed)
+    assert(executed.contains("BroadcastHashJoin") ||
+      executed.contains("BroadcastExchange"), executed)
+  }
+
+  test("q222/q223: WoE binning and IPF raking stay equi/broadcast-joined (no cross product)") {
+    for (name <- Seq("q222_woe_iv", "q223_ipf_raking")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+      assert(p.contains("Window"), s"$name: $p")
+    }
+  }
+
+  test("q224: diversity indices are a join-free one-scan shape") {
+    val p = plan(q("q224_diversity"))
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
