@@ -830,6 +830,36 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
   }
 
+  test("q225: basket pair join is an equi-join; item supports broadcast (no item×item cross)") {
+    val p = plan(q("q225_assoc_rules"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // pair counts + item supports + basket distinct are all hash aggs
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
+  }
+
+  test("q226: only the cell agg touches data — pair join runs on the tiny grid, no cross product of docs") {
+    val p = plan(q("q226_js_divergence"))
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one documents scan feeding one partial-then-final cell agg
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+  }
+
+  test("q227: brier calibration is join-free — one user agg, bounded-bin windows") {
+    val p = plan(q("q227_brier_calibration"))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+  }
+
+  test("q228: OLS trend is join-free, two stacked hash aggs over one scan") {
+    val p = plan(q("q228_ols_trend"))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 3, p)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
