@@ -860,6 +860,27 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 3, p)
   }
 
+  test("q229: vocabulary head is TakeOrderedAndProject — never a global sort of the vocab") {
+    val p = plan(q("q229_zipf_fit"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q230: Holt fold is join-free — the recurrence runs inside the per-flag aggregate") {
+    val p = plan(q("q230_holt_smoothing"))
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("q231: NDCG aggregates lineitem BEFORE the catalog join; windows stay brand-partitioned") {
+    val p = plan(q("q231_ndcg"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    // the event-sized relation is reduced to part-keyed counts pre-join
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 3, p)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
