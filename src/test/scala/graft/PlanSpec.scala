@@ -881,6 +881,23 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 3, p)
   }
 
+  test("q232: Theil–Sen pair join broadcasts the day-sized relation at runtime") {
+    val df = q("q232_theil_sen")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastExchange"), executed)
+    assert(!executed.contains("CartesianProduct"), executed)
+  }
+
+  test("q233/q234: CUPED and DiD are join-free — one events agg, bounded-relation windows") {
+    for (name <- Seq("q233_cuped", "q234_did")) {
+      val p = plan(q(name))
+      assert(!p.contains("Join"), s"$name: $p")
+      assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+        s"$name: $p")
+    }
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
