@@ -898,6 +898,18 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q235/q236/q237: power grid, Qini, and kappa keep the data pass to one scan") {
+    // q235/q236 are join-free; q237's only join is the broadcast 1-row median scalar
+    for (name <- Seq("q235_power_mde", "q236_qini_curve")) {
+      val p = plan(q(name))
+      assert(!p.contains("Join"), s"$name: $p")
+      assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+        s"$name: $p")
+    }
+    val pk = plan(q("q237_cohens_kappa"))
+    assert(!pk.contains("CartesianProduct"), pk)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
