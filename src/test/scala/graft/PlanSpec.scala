@@ -910,6 +910,25 @@ class PlanSpec extends SparkSuite {
     assert(!pk.contains("CartesianProduct"), pk)
   }
 
+  test("q238: retrieval metrics broadcast queries and label relations (corpus streams once)") {
+    val p = plan(q("q238_retrieval_metrics"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q239: log-rank joins are entity-keyed; corpus-end scalar broadcasts") {
+    val p = plan(q("q239_logrank"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q240: leakage audit — one documents scan feeds both strategies via explode") {
+    val p = plan(q("q240_split_leakage"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) <= 2, p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
