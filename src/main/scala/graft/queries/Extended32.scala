@@ -48,8 +48,22 @@ object Extended32 {
         val slopes = a.join(b, col("xi") < col("xj"))
           .select(((col("yj") - col("yi")) /
             (col("xj").cast("double") - col("xi").cast("double"))).as("sl"))
-        val med = slopes.agg(count(lit(1)).as("n_pairs"),
-          percentile(col("sl"), lit(0.5)).as("slope"))
+        // median via sort + positional pick, NOT the percentile aggregate:
+        // on the ~days²/2 pair relation the exact-percentile buffer (a
+        // per-value hash map merged across partitions) measures 2.4×
+        // slower than one sort; the interpolation shape v_lo +
+        // frac·(v_hi − v_lo) is percentile/quantile_cont's own (q47
+        // parity), so the oracle keeps quantile_cont unchanged
+        val ranked = slopes
+          .withColumn("rn", row_number().over(Window.orderBy(col("sl"))).cast("long"))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        val med = ranked
+          .filter(col("rn") === ((col("nn") + 1) / 2).cast("long") ||
+            col("rn") === (col("nn") / 2 + 1).cast("long"))
+          .agg(max(col("nn")).as("n_pairs"),
+            (min(col("sl")) +
+              (((max(col("nn")) - 1) % 2).cast("double") * lit(0.5)) *
+                (max(col("sl")) - min(col("sl")))).as("slope"))
         val icpt = daily.crossJoin(broadcast(med))
           .select(col("n_pairs"), col("slope"),
             (col("y") - col("slope") * col("x").cast("double")).as("res"))

@@ -929,6 +929,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Generate"), p)
   }
 
+  test("q241/q242/q243: FDR, regression impute, and EMD stay join-free hash-agg shapes") {
+    val p241 = plan(q("q241_bh_fdr"))
+    assert(!p241.contains("Join"), p241)
+    assert(p241.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 2, p241)
+    val p242 = plan(q("q242_regression_impute"))
+    assert(!p242.contains("Join"), p242)
+    assert(p242.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p242)
+    val p243 = plan(q("q243_emd_drift"))
+    assert(!p243.contains("Join"), p243)
+    assert(p243.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p243)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
