@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Num {
 
+  /** RANGE PRECONDITION: |x|·10ⁿ must stay below 2⁶³ (~9.2e18). Spark's
+    * `floor` returns BIGINT and SATURATES at Long.MaxValue past that,
+    * while DuckDB's `floor` stays DOUBLE — a silent cross-engine
+    * mismatch (observed: an unnormalized N_h·S² term at 6 dp clipped to
+    * 9223372036854.775). Above 2⁵³ both engines floor the same inexact
+    * double, which stays bit-identical — only the 2⁶³ long cliff
+    * diverges. Keep rounded terms normalized (shares, ratios, per-unit
+    * values) or pick n so the product stays under the bound.
+    */
   def roundTo(c: Column, n: Int): Column = {
     val p = math.pow(10, n.toDouble)
     signum(c) * floor(abs(c) * p + lit(0.5)) / p + lit(0.0)

@@ -941,6 +941,21 @@ class PlanSpec extends SparkSuite {
     assert(p243.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p243)
   }
 
+  test("q244/q245/q246: Neyman, bloom advisor, and hash ring keep bounded-dim joins only") {
+    val p244 = plan(q("q244_neyman_allocation"))
+    assert(!p244.contains("CartesianProduct"), p244)
+    assert(p244.contains("BroadcastHashJoin"), p244)
+    val p245 = plan(q("q245_bloom_fpr"))
+    assert(!p245.contains("Join"), p245)
+    // q246: the 256-point ring is a broadcast literal dimension; each key
+    // scans it map-side and min-aggregates immediately (never a shuffle of
+    // a keys×ring product)
+    val p246 = plan(q("q246_consistent_hashing"))
+    assert(!p246.contains("CartesianProduct"), p246)
+    assert(p246.contains("BroadcastNestedLoopJoin"), p246)
+    assert(p246.linesIterator.count(_.contains("HashAggregate")) >= 2, p246)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
