@@ -956,6 +956,23 @@ class PlanSpec extends SparkSuite {
     assert(p246.linesIterator.count(_.contains("HashAggregate")) >= 2, p246)
   }
 
+  test("q247/q248: SRM and mix decomposition are one-scan shapes") {
+    for (name <- Seq("q247_srm_check", "q248_mix_decomposition")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+      assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+        s"$name: $p")
+    }
+  }
+
+  test("q249/q250/q251: SQL-surface shapes broadcast dims; Q22 plans a real anti-join") {
+    assert(plan(q("q249_sql_q7")).contains("BroadcastHashJoin"))
+    val p250 = plan(q("q250_sql_q8"))
+    assert(p250.contains("BroadcastHashJoin") && !p250.contains("CartesianProduct"), p250)
+    val p251 = plan(q("q251_sql_q22"))
+    assert(p251.contains("LeftAnti"), p251)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
