@@ -188,6 +188,43 @@ object Similarity {
     assignToCells(c, cent)
   }
 
+  /** Simplified silhouette (Hruschka et al. 2004 centroid variant): each
+    * point's cohesion a = cosine distance to its OWN centroid and
+    * separation b = distance to the nearest OTHER centroid;
+    * s = (b − a) / max(a, b) ∈ [−1, 1]. The full-pairwise silhouette is
+    * O(N²); the centroid form is one N × C broadcast scan — the only
+    * clustering-quality readout that survives corpus scale, and the
+    * acceptance gate for an IVF/SemDeDup cell layout (low s = cells
+    * don't separate → raise the centroid count before trusting
+    * cell-bounded dedup). Returns the per-point relation
+    * (cid, cent_id, a, b, s); callers aggregate.
+    */
+  def simplifiedSilhouette(
+      corpus: DataFrame, idCol: String, embCol: String,
+      stride: Int, trainIters: Int): DataFrame = {
+    val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
+    val seed = normalizedRel(
+      corpus.filter(pmod(col(idCol), lit(stride)) === 0), idCol, embCol, "cent_id", "cent_e")
+    val cent = if (trainIters > 0) trainCentroids(c, seed, trainIters) else seed
+    val dists = c.crossJoin(broadcast(cent))
+      .select(col("cid"), col("cent_id"),
+        (dot(col("ce"), col("cent_e")) / (col("ce_n") * col("cent_e_n"))).as("cos"))
+    // own cell = assignToCells' exact rule (cos desc, cent_id asc)
+    val w = Window.partitionBy(col("cid")).orderBy(col("cos").desc, col("cent_id").asc)
+    dists.withColumn("rn", row_number().over(w))
+      .withColumn("a", max(when(col("rn") === 1, lit(1.0) - col("cos")))
+        .over(Window.partitionBy(col("cid"))))
+      .withColumn("own", max(when(col("rn") === 1, col("cent_id")))
+        .over(Window.partitionBy(col("cid"))))
+      .filter(col("rn") > 1)
+      .groupBy(col("cid"), col("own").as("cent_id"), col("a"))
+      .agg(min(lit(1.0) - col("cos")).as("b"))
+      .select(col("cid"), col("cent_id"), col("a"), col("b"),
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)).as("s"))
+  }
+
   /** Corpus-size-aware seed stride for [[ivfTopK]]/[[assignCells]]:
     * stride ≈ √N seeds ≈ √N cells — the standard IVF nlist rule.
     *

@@ -17,7 +17,7 @@ object EmbeddingQueries {
   // DuckDB fragments mirroring Similarity's math: per-vector norms from a
   // CTE (ascending-index sum, like the engine's one-fold-per-row norm),
   // pair cosine = raw dot / norm product
-  private val normCte =
+  private[queries] val normCte =
     """n AS (SELECT vec_id,
       |        sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
       |      FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY vec_id)""".stripMargin
@@ -30,7 +30,7 @@ object EmbeddingQueries {
     * order-independent accumulation and single IEEE division the engine
     * performs, so the trained centroids match bit-for-bit.
     */
-  private def lloydIter(prev: String, a: String, m: String, next: String): String =
+  private[queries] def lloydIter(prev: String, a: String, m: String, next: String): String =
     s"""d_$a AS (SELECT cid, cent_id,
        |         sum(CAST(ce[i] AS DOUBLE) * cent_e[i]) / (cn * cent_n) AS d
        |       FROM c CROSS JOIN $prev CROSS JOIN range(1, 65) t(i)

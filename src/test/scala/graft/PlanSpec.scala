@@ -973,6 +973,17 @@ class PlanSpec extends SparkSuite {
     assert(p251.contains("LeftAnti"), p251)
   }
 
+  test("q252/q253: silhouette is an N×C broadcast scan (no pairwise); FD histogram broadcasts scalars") {
+    val p252 = plan(q("q252_silhouette"))
+    // the only nested-loop is the broadcast centroid set — never a
+    // corpus×corpus product
+    assert(p252.contains("BroadcastNestedLoopJoin") || p252.contains("BroadcastExchange"), p252)
+    assert(!p252.contains("SortMergeJoin"), p252)
+    val p253 = plan(q("q253_fd_histogram"))
+    assert(!p253.contains("SortMergeJoin"), p253)
+    assert(p253.contains("BroadcastNestedLoopJoin") || p253.contains("BroadcastExchange"), p253)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
