@@ -984,6 +984,15 @@ class PlanSpec extends SparkSuite {
     assert(p253.contains("BroadcastNestedLoopJoin") || p253.contains("BroadcastExchange"), p253)
   }
 
+  test("q254/q255: weighted reservoir is TakeOrdered; outlier screen broadcasts its scalar") {
+    val p254 = plan(q("q254_weighted_reservoir"))
+    assert(p254.contains("TakeOrderedAndProject"), p254)
+    assert(!p254.contains("Join"), p254)
+    val p255 = plan(q("q255_rate_outliers"))
+    assert(!p255.contains("SortMergeJoin"), p255)
+    assert(p255.contains("BroadcastNestedLoopJoin") || p255.contains("BroadcastExchange"), p255)
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
