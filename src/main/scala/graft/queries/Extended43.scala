@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.Num
+import QueryDef.tbl
+
+/** Round-9 sixteenth batch: multivariate outlier screening and the
+  * cumulative-hazard twin of q189's Kaplan–Meier —
+  *
+  *  - q266 Mahalanobis distance on (quantity, price): the correlation-
+  *    aware outlier screen (q137's MAD is per-column and cannot flag a
+  *    row whose price is wrong FOR ITS quantity). The 2×2 covariance
+  *    inverts in closed form; moments accumulate as exact DECIMAL(38,0)
+  *    integers (q228's recipe), so the quadratic form is bit-identical
+  *    cross-engine. Shape: one moment agg → broadcast scalars → one
+  *    map-side quadratic + TakeOrdered(30).
+  *  - q267 Nelson–Aalen cumulative hazard over q189's exact subject
+  *    table: H(t) = Σ d/n and its Poisson variance Σ d/n² — the additive
+  *    estimator (plots as a straight line under constant hazard, where
+  *    KM's product curves). Increments are 12-dp DECIMAL(24,12) terms so
+  *    the running sums are order-free on both engines.
+  */
+object Extended43 {
+
+  private def R(c: Column, n: Int) = Num.roundTo(c, n)
+  private def rs(e: String, n: Int) = Num.roundSql(e, n)
+
+  /** q267 observation window (q189 parity — 48 h keeps both arms
+    * non-vacuous at every fixture SF).
+    */
+  private val ObsUs = 48L * 3600000000L
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ----- q266: Mahalanobis outliers on (l_quantity, price cents) ------
+    // d²(x) = z' Σ⁻¹ z over the population covariance of the pair;
+    // flag d² beyond 2× the corpus median and surface the top 30. qty and
+    // cents are exact integers; all moments are exact DECIMAL sums; the
+    // per-row quadratic is one shared double shape. Total ORDER BY over
+    // every output column (duplicate lineitem keys exist by fixture
+    // design).
+    QueryDef(
+      "q266_mahalanobis",
+      (s, dir) => {
+        val dec = DecimalType(38, 0)
+        val base = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            R(col("l_quantity"), 0).cast("long").as("qty"),
+            R(col("l_extendedprice") * 100.0, 0).cast("long").as("cents"))
+        val xD = col("qty").cast(dec)
+        val yD = col("cents").cast(dec)
+        val m = base.agg(count(lit(1)).as("n"),
+          sum(xD).as("sx"), sum(yD).as("sy"),
+          sum(xD * xD).as("sxx"), sum(yD * yD).as("syy"),
+          sum(xD * yD).as("sxy"))
+        val d = (c: Column) => c.cast("double")
+        val nD = d(col("n"))
+        val mx = d(col("sx")) / nD
+        val my = d(col("sy")) / nD
+        val vxx = d(col("sxx")) / nD - mx * mx
+        val vyy = d(col("syy")) / nD - my * my
+        val vxy = d(col("sxy")) / nD - mx * my
+        val det = vxx * vyy - vxy * vxy
+        val dx = d(col("qty")) - mx
+        val dy = d(col("cents")) - my
+        val d2 = (dx * dx * vyy - lit(2.0) * dx * dy * vxy + dy * dy * vxx) / det
+        val scored = base.crossJoin(broadcast(m)).withColumn("d2", d2)
+        // the fixture pair is bounded (max d² ≈ 5.9 at every SF), so a
+        // fixed χ² cut is vacuous — flag RELATIVE to the corpus, q255's
+        // pattern: d² beyond twice the exact interpolating median
+        val med = scored.agg(percentile(col("d2"), lit(0.5)).as("med"))
+        val flagged = scored.crossJoin(broadcast(med))
+          .agg(max(col("med")).as("med"),
+            count(when(col("d2") > lit(2.0) * col("med"), 1)).as("n_flagged"))
+        scored.crossJoin(broadcast(flagged))
+          .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+            col("cents"), R(col("d2"), 6).as("d2_r"),
+            R(col("med"), 6).as("med_r"), col("n_flagged"))
+          .orderBy(col("d2_r").desc, col("l_orderkey"), col("l_linenumber"),
+            col("qty"), col("cents"))
+          .limit(30)
+      },
+      Some(s"""WITH base AS (
+              |  SELECT l_orderkey, l_linenumber,
+              |    CAST(${rs("l_quantity", 0)} AS BIGINT) AS qty,
+              |    CAST(${rs("l_extendedprice * 100.0", 0)} AS BIGINT) AS cents
+              |  FROM lineitem),
+              |m AS (
+              |  SELECT count(*) AS n,
+              |    sum(CAST(qty AS HUGEINT)) AS sx,
+              |    sum(CAST(cents AS HUGEINT)) AS sy,
+              |    sum(CAST(qty AS HUGEINT) * CAST(qty AS HUGEINT)) AS sxx,
+              |    sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS syy,
+              |    sum(CAST(qty AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxy
+              |  FROM base),
+              |c AS (
+              |  SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+              |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+              |    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+              |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vxx,
+              |    CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+              |      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vyy,
+              |    CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+              |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vxy
+              |  FROM m),
+              |scored AS (
+              |  SELECT l_orderkey, l_linenumber, qty, cents,
+              |    ((CAST(qty AS DOUBLE) - mx) * (CAST(qty AS DOUBLE) - mx) * vyy
+              |     - 2.0 * (CAST(qty AS DOUBLE) - mx) * (CAST(cents AS DOUBLE) - my) * vxy
+              |     + (CAST(cents AS DOUBLE) - my) * (CAST(cents AS DOUBLE) - my) * vxx)
+              |    / (vxx * vyy - vxy * vxy) AS d2
+              |  FROM base CROSS JOIN c),
+              |md AS (SELECT quantile_cont(d2, 0.5) AS med FROM scored),
+              |f AS (
+              |  SELECT max(med) AS med,
+              |    count(CASE WHEN d2 > 2.0 * med THEN 1 END) AS n_flagged
+              |  FROM scored CROSS JOIN md)
+              |SELECT l_orderkey, l_linenumber, qty, cents,
+              |  ${rs("d2", 6)} AS d2_r, ${rs("med", 6)} AS med_r, n_flagged
+              |FROM scored CROSS JOIN f
+              |ORDER BY d2_r DESC, l_orderkey, l_linenumber, qty, cents
+              |LIMIT 30""".stripMargin),
+    ),
+
+    // ----- q267: Nelson–Aalen cumulative hazard -------------------------
+    // Same subjects as q189 (first signup → first subsequent purchase,
+    // censored at min(48 h, end of observation)); H(t) = Σ_{dur≤t} d/n,
+    // Var(H) = Σ d/n². Hazard increments are pre-rounded DECIMAL(24,12)
+    // so the ordered window sums are exact on both engines.
+    QueryDef(
+      "q267_nelson_aalen",
+      (s, dir) => {
+        val e = tbl(s, dir, "events")
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("smin"))
+        val pu = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_uid"), unix_micros(col("ts")).as("pt"))
+        val mx = e.agg(max(unix_micros(col("ts"))).as("mt"))
+        val firstP = su.join(pu,
+            col("p_uid") === col("user_id") && col("pt") >= col("smin"), "left")
+          .groupBy(col("user_id"), col("smin"))
+          .agg(min(col("pt")).as("pmin"))
+        val subj = firstP.crossJoin(broadcast(mx))
+          .withColumn("oe", least(col("smin") + ObsUs, col("mt")))
+          .withColumn("ev",
+            (col("pmin").isNotNull && col("pmin") < col("oe")).cast("int"))
+          .withColumn("dur",
+            when(col("ev") === 1, (col("pmin") - col("smin")) / 3600000000L)
+              .otherwise((col("oe") - col("smin")) / 3600000000L)
+              .cast("long"))
+        val na = subj.groupBy(col("dur"))
+          .agg(sum(col("ev")).as("d"), sum(lit(1) - col("ev")).as("c"))
+        val wOrd = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prior = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val dd = (c: Column) => c.cast("double")
+        val curve = na
+          .withColumn("total", sum(col("d") + col("c")).over(Window.partitionBy()))
+          .withColumn("nrisk",
+            col("total") - coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+          .withColumn("hterm",
+            R(dd(col("d")) / dd(col("nrisk")), 12).cast(DecimalType(24, 12)))
+          .withColumn("vterm",
+            R(dd(col("d")) / (dd(col("nrisk")) * dd(col("nrisk"))), 12)
+              .cast(DecimalType(24, 12)))
+          .withColumn("hsum", sum(col("hterm")).over(wOrd))
+          .withColumn("vsum", sum(col("vterm")).over(wOrd))
+        curve.filter(col("d") > 0)
+          .select(col("dur").as("dur_hours"), col("nrisk"),
+            col("d").as("n_events"), col("c").as("n_censored"),
+            R(dd(col("hsum")), 6).as("cumhaz_r"),
+            R(dd(col("vsum")), 9).as("var_r"))
+          .orderBy("dur_hours")
+      },
+      Some(s"""WITH su AS (
+              |  SELECT user_id, min(epoch_us(ts)) AS smin FROM events
+              |  WHERE event_type = 'signup' GROUP BY 1),
+              |pu AS (
+              |  SELECT user_id, epoch_us(ts) AS pt FROM events
+              |  WHERE event_type = 'purchase'),
+              |mx AS (SELECT max(epoch_us(ts)) AS mt FROM events),
+              |fp AS (
+              |  SELECT su.user_id, su.smin, min(pu.pt) AS pmin
+              |  FROM su LEFT JOIN pu
+              |    ON pu.user_id = su.user_id AND pu.pt >= su.smin
+              |  GROUP BY 1, 2),
+              |subj AS (
+              |  SELECT fp.*, least(smin + $ObsUs, mt) AS oe,
+              |    CASE WHEN pmin IS NOT NULL AND pmin < least(smin + $ObsUs, mt)
+              |      THEN 1 ELSE 0 END AS ev
+              |  FROM fp CROSS JOIN mx),
+              |subj2 AS (
+              |  SELECT *, CASE WHEN ev = 1 THEN (pmin - smin) // 3600000000
+              |    ELSE (oe - smin) // 3600000000 END AS dur
+              |  FROM subj),
+              |na AS (
+              |  SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+              |    CAST(sum(1 - ev) AS BIGINT) AS c
+              |  FROM subj2 GROUP BY 1),
+              |w1 AS (
+              |  SELECT *, CAST(sum(d + c) OVER () AS BIGINT) AS total,
+              |    CAST(coalesce(sum(d + c) OVER (ORDER BY dur
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              |      AS cum
+              |  FROM na),
+              |w2 AS (SELECT *, total - cum AS nrisk FROM w1),
+              |w3 AS (
+              |  SELECT *,
+              |    CAST(${rs("CAST(d AS DOUBLE) / CAST(nrisk AS DOUBLE)", 12)}
+              |      AS DECIMAL(24,12)) AS hterm,
+              |    CAST(${rs("CAST(d AS DOUBLE) / (CAST(nrisk AS DOUBLE) * CAST(nrisk AS DOUBLE))", 12)}
+              |      AS DECIMAL(24,12)) AS vterm
+              |  FROM w2),
+              |w4 AS (
+              |  SELECT *,
+              |    sum(hterm) OVER (ORDER BY dur
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hsum,
+              |    sum(vterm) OVER (ORDER BY dur
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vsum
+              |  FROM w3)
+              |SELECT dur AS dur_hours, nrisk, d AS n_events, c AS n_censored,
+              |  ${rs("CAST(hsum AS DOUBLE)", 6)} AS cumhaz_r,
+              |  ${rs("CAST(vsum AS DOUBLE)", 9)} AS var_r
+              |FROM w4 WHERE d > 0
+              |ORDER BY dur_hours""".stripMargin),
+    )
+  )
+}
