@@ -67,7 +67,11 @@ object Extended43 {
         val dx = d(col("qty")) - mx
         val dy = d(col("cents")) - my
         val d2 = (dx * dx * vyy - lit(2.0) * dx * dy * vxy + dy * dy * vxx) / det
-        val scored = base.crossJoin(broadcast(m)).withColumn("d2", d2)
+        // materialize the per-row quadratic ONCE — three downstream passes
+        // (median, flag count, top-k) would otherwise re-run the scan +
+        // moment agg + quadratic each
+        val scored = graft.ops.Ckpt(
+          base.crossJoin(broadcast(m)).withColumn("d2", d2))
         // the fixture pair is bounded (max d² ≈ 5.9 at every SF), so a
         // fixed χ² cut is vacuous — flag RELATIVE to the corpus, q255's
         // pattern: d² beyond twice the exact interpolating median
