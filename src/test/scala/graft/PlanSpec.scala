@@ -993,6 +993,54 @@ class PlanSpec extends SparkSuite {
     assert(p255.contains("BroadcastNestedLoopJoin") || p255.contains("BroadcastExchange"), p255)
   }
 
+  test("q257-q262: round-9 TPC-H shapes keep canonical plan structure") {
+    // Q10: star joins broadcast + top-20 as TakeOrdered
+    val p257 = plan(q("q257_sql_q10"))
+    assert(p257.contains("TakeOrderedAndProject") &&
+      p257.contains("BroadcastHashJoin"), p257)
+    // Q13: the ON-filtered outer join survives as an outer join (a WHERE
+    // rewrite would plan Inner)
+    assert(plan(q("q258_sql_q13")).contains("LeftOuter") ||
+      plan(q("q258_sql_q13")).contains("RightOuter"), plan(q("q258_sql_q13")))
+    // Q19: the shared p_partkey conjunct is extracted from the
+    // disjunction — an equi hash join, never a cartesian
+    val p261 = plan(q("q261_sql_q19"))
+    assert((p261.contains("BroadcastHashJoin") || p261.contains("ShuffledHashJoin") ||
+      p261.contains("SortMergeJoin")) && !p261.contains("CartesianProduct"), p261)
+    // Q21: EXISTS/NOT EXISTS decorrelate to semi/anti joins on l_orderkey
+    val p262 = plan(q("q262_sql_q21"))
+    assert(p262.contains("LeftSemi") && p262.contains("LeftAnti") &&
+      !p262.contains("CartesianProduct"), p262)
+  }
+
+  test("q264/q265/q268: bounded-relation iteration plans stay join-sane") {
+    // isotonic: the O(B²)/O(B³) work joins 20-row frames — broadcast,
+    // never a shuffled corpus join
+    val p264 = plan(q("q264_isotonic"))
+    assert(!p264.contains("SortMergeJoin"), p264)
+    // changepoint: one ordered window + broadcast totals, no self-join
+    // of the daily series
+    val p265 = plan(q("q265_changepoint"))
+    assert(!p265.contains("SortMergeJoin") && !p265.contains("CartesianProduct"),
+      p265)
+    // markov attribution: the 24-step absorption is ONE aggregate HOF
+    // over ≤5 rows — no per-iteration join chain (the step sequence
+    // constant-folds to an UnsafeArrayData literal in the plan text)
+    val p268 = plan(q("q268_markov_attribution"))
+    assert(p268.contains("element_at(aggregate("), p268.take(2000))
+  }
+
+  test("q270/q272/q273: sequential walks run as HOF folds, not driver loops") {
+    // each plans exactly one aggregate(...) fold over a per-group array;
+    // no iterative join scaffolding, no recursion in the physical plan
+    Seq("q270_ffd_compaction", "q272_capped_balance", "q273_order_matching")
+      .foreach { name =>
+        val p = plan(q(name))
+        assert(p.contains("aggregate("), s"$name: $p")
+        assert(!p.contains("CartesianProduct"), s"$name: $p")
+      }
+  }
+
   test("q186: the calendar-bounded daily self-join broadcasts at runtime") {
     val df = q("q186_autocorr")
     df.collect()
