@@ -1048,4 +1048,55 @@ class PlanSpec extends SparkSuite {
     assert(executed.contains("BroadcastHashJoin") ||
       executed.contains("BroadcastExchange"), executed)
   }
+
+  test("q275-q282: the closing TPC-H shapes keep canonical plan structure") {
+    // Q1: one partial-aggregated scan, no join anywhere
+    val p275 = plan(q("q275_sql_q1"))
+    assert(p275.contains("HashAggregate") && !p275.contains("Join"), p275)
+    // Q6: the shipdate/discount/quantity predicates reach the parquet scan
+    val p277 = plan(q("q277_sql_q6"))
+    assert(p277.contains("PushedFilters") && p277.contains("l_shipdate"), p277)
+    assert(!p277.contains("Join"), p277)
+    // Q2: the correlated MIN subquery decorrelates — equi joins only
+    val p276 = plan(q("q276_sql_q2"))
+    assert(!p276.contains("CartesianProduct"), p276)
+    // Q9: the dim chain broadcasts; never a cartesian
+    val p278 = plan(q("q278_sql_q9"))
+    assert(p278.contains("BroadcastHashJoin") &&
+      !p278.contains("CartesianProduct"), p278)
+    // Q11: the global threshold is a scalar subquery evaluated once
+    val p279 = plan(q("q279_sql_q11"))
+    assert(p279.contains("Subquery") && !p279.contains("CartesianProduct"), p279)
+    // Q16: the NOT IN blocklist plans as an anti join
+    val p281 = plan(q("q281_sql_q16"))
+    assert(p281.contains("LeftAnti"), p281)
+    // Q20: both nested INs decorrelate to semi joins
+    val p282 = plan(q("q282_sql_q20"))
+    assert(p282.contains("LeftSemi") && !p282.contains("CartesianProduct"), p282)
+  }
+
+  test("q283-q288: rank/CF/link-prediction/jackknife shapes stay keyed") {
+    // Spearman: windows + one aggregate, no join at all
+    val p283 = plan(q("q283_spearman"))
+    assert(!p283.contains("Join"), p283)
+    // item CF: every join is equi (u, then pa/pb); the per-part top-k is
+    // a window, and nothing degenerates to a cartesian
+    val p284 = plan(q("q284_item_cf"))
+    assert(!p284.contains("CartesianProduct") &&
+      !p284.contains("BroadcastNestedLoopJoin"), p284)
+    assert(p284.contains("RunningWindowFunction") || p284.contains("Window"), p284)
+    // Adamic-Adar: candidates only through the df-bounded part join
+    val p285 = plan(q("q285_adamic_adar"))
+    assert(!p285.contains("CartesianProduct") &&
+      !p285.contains("BroadcastNestedLoopJoin"), p285)
+    // jackknife: the 3-row group-totals relation broadcasts back to rows
+    val p286 = plan(q("q286_jackknife"))
+    assert(p286.contains("BroadcastHashJoin"), p286)
+    // streaks: distinct + window + aggregate, top-50 as TakeOrdered
+    val p287 = plan(q("q287_streaks"))
+    assert(p287.contains("TakeOrderedAndProject") && !p287.contains("Join"), p287)
+    // confusion: the only nested-loop is the broadcast 1-row macro scalar
+    val p288 = plan(q("q288_confusion"))
+    assert(!p288.contains("CartesianProduct"), p288)
+  }
 }
