@@ -1099,4 +1099,22 @@ class PlanSpec extends SparkSuite {
     val p288 = plan(q("q288_confusion"))
     assert(!p288.contains("CartesianProduct"), p288)
   }
+
+  test("q289-q292: attribution/CV/tau/session shapes stay bounded") {
+    // Shapley: all lattice work on broadcast ≤16-row relations; the only
+    // data-sized operations are the user aggregates
+    val p289 = plan(q("q289_shapley_attribution"))
+    assert(!p289.contains("CartesianProduct") &&
+      !p289.contains("SortMergeJoin"), p289)
+    // CV: one moment aggregate + fold windows — no join at all
+    val p290 = plan(q("q290_cv_mse"))
+    assert(!p290.contains("Join"), p290)
+    // Kendall: the month-pair join broadcasts the calendar-bounded side
+    val p291 = plan(q("q291_kendall_tau"))
+    assert(p291.contains("BroadcastHashJoin") &&
+      !p291.contains("CartesianProduct"), p291)
+    // sessions: one user-keyed window chain, no join
+    val p292 = plan(q("q292_bounce_sessions"))
+    assert(!p292.contains("Join"), p292)
+  }
 }
