@@ -1117,4 +1117,20 @@ class PlanSpec extends SparkSuite {
     val p292 = plan(q("q292_bounce_sessions"))
     assert(!p292.contains("Join"), p292)
   }
+
+  test("q293-q295: Croston fold, PCA scan-to-scalar, burstiness stay shaped") {
+    // Croston: the walk is one aggregate HOF over per-part arrays —
+    // no per-step joins, no driver loop
+    val p293 = plan(q("q293_croston"))
+    assert(p293.contains("aggregate(") && !p293.contains("CartesianProduct"), p293)
+    // PCA: one moment aggregate to a single row; the 16 iterations fold
+    // inside the row (no iteration joins of any kind)
+    val p294 = plan(q("q294_pca_power"))
+    assert(p294.contains("aggregate(") && !p294.contains("SortMergeJoin"), p294)
+    // burstiness: explode → two keyed aggs; the only nested-loop is the
+    // broadcast 1-row doc-count scalar
+    val p295 = plan(q("q295_burstiness"))
+    assert(!p295.contains("CartesianProduct") &&
+      !p295.contains("SortMergeJoin"), p295)
+  }
 }
