@@ -1133,4 +1133,9 @@ class PlanSpec extends SparkSuite {
     assert(!p295.contains("CartesianProduct") &&
       !p295.contains("SortMergeJoin"), p295)
   }
+
+  test("q296: Holt-Winters runs as one fold over the calendar-bounded series") {
+    val p296 = plan(q("q296_holt_winters"))
+    assert(p296.contains("aggregate(") && !p296.contains("Join"), p296)
+  }
 }
