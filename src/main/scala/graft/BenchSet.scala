@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Builder-side scale-smoke driver: run a comma-separated list of battery
+  * queries against one or more fixture dirs in a SINGLE session (the
+  * per-query JVM+session cost of looping BenchOne dominates a 30-query
+  * sweep). Same measurement contract as Bench: noop sink, min over reps.
+  *
+  * Usage: runMain graft.BenchSet q1,q2,... dir1[,dir2,...] [reps]
+  */
+object BenchSet {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val dirs = args(1).split(",").toSeq
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (dir <- dirs; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val secs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, dir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            println(s"[benchset] $name $dir FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[benchset] $name $dir ${secs.min}%.2f s (min of $reps)")
+    }
+    spark.stop()
+  }
+}

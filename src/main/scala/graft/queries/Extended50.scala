@@ -46,6 +46,16 @@ object Extended50 {
     */
   private val MaxBasket = 100
 
+  /** Minimum co-occurrence support for a CF neighbor pair. co = 1 pairs
+    * are cosine noise (1/√(nᵃnᵇ) from a single shared shopper) yet at
+    * 10× scale they were ~90% of the 240M-row symmetrized relation the
+    * top-k window had to sort — the sf1 smoke measured 20× for 10× data
+    * before this prune, 6× after. The standard production-CF support
+    * threshold, applied right after the pair aggregation (it cannot go
+    * earlier — support IS the aggregation's output).
+    */
+  private val MinCo = 2
+
   /** Rare-part bound for Adamic–Adar: only parts bought by 2..MaxDf
     * users generate user pairs, capping the per-part fan-out at
     * MaxDf²/2 and keeping total candidates O(parts · MaxDf²) — the same
@@ -142,6 +152,7 @@ object Extended50 {
           .join(bb.select(col("u"), col("p").as("pb")), Seq("u"))
           .filter(col("pa") < col("pb"))
           .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("co"))
+          .filter(col("co") >= MinCo)
         val sym = pairs.unionByName(pairs.select(
           col("pb").as("pa"), col("pa").as("pb"), col("co")))
         val scored = sym
@@ -167,7 +178,8 @@ object Extended50 {
               |pairs AS (
               |  SELECT a.p AS pa, c.p AS pb, COUNT(*) AS co
               |  FROM bb a JOIN bb c ON a.u = c.u AND a.p < c.p
-              |  GROUP BY a.p, c.p),
+              |  GROUP BY a.p, c.p
+              |  HAVING COUNT(*) >= $MinCo),
               |sym AS (
               |  SELECT pa, pb, co FROM pairs
               |  UNION ALL SELECT pb, pa, co FROM pairs),

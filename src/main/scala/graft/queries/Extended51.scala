@@ -73,7 +73,16 @@ object Extended51 {
         val mk = tb.groupBy(col("user_id")).agg(sum(col("bit")).as("mask"))
         val cm = pm.join(mk, Seq("user_id"), "left")
           .select(coalesce(col("mask"), lit(0L)).cast("int").as("mask"))
-        val cnt = cm.groupBy(col("mask")).agg(count(lit(1)).as("c"))
+        // The mask-count relation is 2^n-bounded (≤16 rows) but its
+        // LINEAGE is the full events aggregation — and the lattice below
+        // references it four times (v twice in φ, twice in the totals).
+        // Materialize it once: the sf1 smoke measured 27× for 10× data
+        // when each reference re-executed the corpus pipeline, ~1× after.
+        // (Bounded-relation collect, the battery's documented scalar
+        // exception — same class as the .head() scalar sites.)
+        val cntRows = cm.groupBy(col("mask")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        val cnt = s.createDataFrame(cntRows).toDF("mask", "c")
         val ss = s.range(16).select(col("id").cast("int").as("S"))
         val v = ss.join(broadcast(cnt),
             (col("mask").bitwiseAND(lit(15) - col("S"))) === 0, "left")

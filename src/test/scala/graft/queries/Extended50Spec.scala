@@ -50,17 +50,20 @@ class Extended50Spec extends SparkSuite {
     dir
   }
 
-  test("q284: cosine neighbors from co-purchase counts, hand-computed") {
-    // u1:{1,2}, u2:{1,2}, u3:{1,3} → n₁=3, n₂=2, n₃=1
-    // cos(1,2)=2/√6, cos(1,3)=1/√3, no (2,3) pair
-    val dir = basketDir(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L)))
+  test("q284: cosine neighbors from co-purchase counts, min-support prune pinned") {
+    // u1:{1,2}, u2:{1,2}, u3:{1,3}, u4:{1,3,4} → n₁=4, n₂=2, n₃=2, n₄=1
+    // co(1,2)=co(1,3)=2 → cos 2/√8 each (tie broken by neighbor key);
+    // co(1,4)=co(3,4)=1 → BELOW MinCo=2, pruned — part 4 emits nothing.
+    val dir = basketDir(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L), (4L, 4L)))
     val got = q("q284_item_cf")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val c = round6(2.0 / math.sqrt(8.0))
     assert(got.toSeq == Seq(
-      (1L, 1, 2L, 2L, round6(2.0 / math.sqrt(6.0))),
-      (1L, 2, 3L, 1L, round6(1.0 / math.sqrt(3.0))),
-      (2L, 1, 1L, 2L, round6(2.0 / math.sqrt(6.0))),
-      (3L, 1, 1L, 1L, round6(1.0 / math.sqrt(3.0)))))
+      (1L, 1, 2L, 2L, c),
+      (1L, 2, 3L, 2L, c),
+      (2L, 1, 1L, 2L, c),
+      (3L, 1, 1L, 2L, c)))
   }
 
   test("q285: Adamic-Adar sums rounded 1/ln(df) over shared rare parts") {
