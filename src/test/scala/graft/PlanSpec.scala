@@ -1138,4 +1138,11 @@ class PlanSpec extends SparkSuite {
     val p296 = plan(q("q296_holt_winters"))
     assert(p296.contains("aggregate(") && !p296.contains("Join"), p296)
   }
+
+  test("q297: triplet mining broadcasts the bounded anchor side") {
+    val p297 = plan(q("q297_triplet_mining"))
+    assert(p297.contains("BroadcastNestedLoopJoin") ||
+      p297.contains("BroadcastExchange"), p297)
+    assert(!p297.contains("SortMergeJoin"), p297)
+  }
 }
