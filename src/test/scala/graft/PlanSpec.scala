@@ -1145,4 +1145,19 @@ class PlanSpec extends SparkSuite {
       p297.contains("BroadcastExchange"), p297)
     assert(!p297.contains("SortMergeJoin"), p297)
   }
+
+  test("q298-q300: blocking/containment/label-noise shapes stay keyed") {
+    // blocking quality: candidate counts from block SIZES — no pair
+    // relation is ever materialized for the RR side
+    val p298 = plan(q("q298_blocking_quality"))
+    assert(!p298.contains("CartesianProduct"), p298)
+    // containment: shared-shingle equi-join only
+    val p299 = plan(q("q299_containment"))
+    assert(!p299.contains("CartesianProduct") &&
+      !p299.contains("BroadcastNestedLoopJoin"), p299)
+    // label noise: bounded anchors broadcast, corpus streams once
+    val p300 = plan(q("q300_label_noise"))
+    assert((p300.contains("BroadcastNestedLoopJoin") ||
+      p300.contains("BroadcastExchange")) && !p300.contains("SortMergeJoin"), p300)
+  }
 }
