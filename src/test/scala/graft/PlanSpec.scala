@@ -1160,4 +1160,10 @@ class PlanSpec extends SparkSuite {
     assert((p300.contains("BroadcastNestedLoopJoin") ||
       p300.contains("BroadcastExchange")) && !p300.contains("SortMergeJoin"), p300)
   }
+
+  test("q301: episode pairs join on (user, hour-bucket) — keyed, never per-user cross") {
+    val p301 = plan(q("q301_episode_mining"))
+    assert(!p301.contains("CartesianProduct"), p301)
+    assert(p301.contains("Generate"), p301) // the two-bucket probe explode
+  }
 }
