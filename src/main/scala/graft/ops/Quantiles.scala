@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT ntile.
+  *
+  * `ntile(n).over(Window.orderBy(...))` with an empty partitionSpec is the
+  * classic 100 TB plan killer: Spark funnels the ENTIRE relation into one
+  * task for the global sort. This helper computes the identical bucket
+  * assignment with no single-task stage:
+  *
+  *   1. one `approxQuantile` pass picks ~`coarseCells` boundary values of
+  *      the (direction-normalized) sort key — approximate is fine here,
+  *      the boundaries only balance load, never decide membership;
+  *   2. every row gets a coarse cell id from those fixed boundaries (a
+  *      codegen'd sum of `when`s — monotone in the sort key, so cells
+  *      partition the total order into contiguous runs);
+  *   3. one tiny `groupBy(cell).count()` (≤ coarseCells rows, the
+  *      documented bounded driver-side collect pattern) yields each
+  *      cell's exact global rank offset;
+  *   4. a per-CELL window (`row_number` partitioned by cell) plus the
+  *      broadcast offset gives the exact global rank, and the standard
+  *      ntile split (first `N mod n` buckets get `⌈N/n⌉` rows) maps rank
+  *      to bucket arithmetically.
+  *
+  * Result is row-identical to the single-partition ntile (QuantilesSpec
+  * asserts equality against Spark's own ntile on asc/desc/tied inputs);
+  * the plan's largest task is ~N/coarseCells rows — raise `coarseCells`
+  * with the data (it only costs boundary-array length; the default 64
+  * matches local[32], a cluster run would use O(cores) or more).
+  *
+  * Preconditions: `value` must be non-null (engines disagree on null
+  * ordering) and numerically castable to double; the double cast is only
+  * used for COARSE placement (monotone, collapse-safe — equal or
+  * collapsed values land in one cell and the in-cell sort uses the
+  * original column), so DECIMAL inputs keep exact ordering.
+  */
+object Quantiles {
+
+  def exactNtile(
+      df: DataFrame, n: Int, value: Column, ascending: Boolean,
+      ties: Seq[Column], out: String, coarseCells: Int = 64): DataFrame = {
+    require(n > 0, s"ntile bucket count must be positive, got $n")
+    val dir = if (ascending) value.cast("double") else negate(value.cast("double"))
+    val keyed = df.withColumn("__qv", dir)
+    // pass 1: coarse boundaries (driver-side doubles; membership-neutral)
+    val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
+    val bounds =
+      if (coarseCells <= 1) Array.empty[Double]
+      else keyed.stat.approxQuantile("__qv", probs, 0.001).distinct.sorted
+    val cellOf =
+      if (bounds.isEmpty) lit(0)
+      else bounds.toSeq.map(b => when(col("__qv") > lit(b), 1).otherwise(0)).reduce(_ + _)
+    val celled = keyed.withColumn("__qc", cellOf)
+    // pass 2: exact per-cell counts → global rank offsets (≤ coarseCells
+    // rows — bounded, never data-sized)
+    val counts = celled.groupBy(col("__qc")).agg(count(lit(1)).as("__qn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2))
+      .map { case (cell, off) => (cell, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__qc", "__qoff")
+    // pass 3: in-cell exact rank (original column order — the double cast
+    // never decides a comparison) + offset = exact global rank
+    val inCell = (if (ascending) value.asc else value.desc) +: ties.map(_.asc)
+    val w = Window.partitionBy(col("__qc")).orderBy(inCell: _*)
+    val ranked = celled
+      .join(broadcast(offDf), Seq("__qc"))
+      .withColumn("__qr", row_number().over(w).cast("long") + col("__qoff"))
+    // standard ntile split: q = N div n, r = N mod n; buckets 1..r hold
+    // q+1 rows, buckets r+1..n hold q
+    val q = total / n
+    val r = total % n
+    // integral `div`, not `/`-then-floor: double division of two exact
+    // longs can round a just-below-integer quotient UP across the floor
+    val bucket =
+      if (q == 0L) col("__qr") // N < n: one row per bucket (SQL ntile rule)
+      else {
+        val cut = (q + 1L) * r
+        expr(
+          s"CASE WHEN __qr <= ${cut}L THEN (__qr - 1L) DIV ${q + 1L}L + 1L " +
+            s"ELSE ${r}L + (__qr - ${cut}L - 1L) DIV ${q}L + 1L END")
+      }
+    ranked
+      .withColumn(out, bucket.cast("bigint"))
+      .drop("__qv", "__qc", "__qoff", "__qr")
+  }
+}

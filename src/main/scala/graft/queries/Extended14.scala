@@ -141,25 +141,28 @@ object Extended14 {
     // integers; monetary = DECIMAL cent-sum), then three ntile(5)
     // windows with total tie-break orders (metric, custkey) make the
     // scores engine-deterministic. Output is per-customer, total ORDER
-    // BY. At 100 TB the agg is one map-side-partial shuffle; ntile needs
-    // a global sort per metric — the documented scale path is quantile
-    // boundaries from approx_percentile broadcast back (one pass), with
-    // ntile kept here for exactness.
+    // BY. The per-customer relation is DATA-SIZED, so each quintile runs
+    // as Quantiles.exactNtile (coarse cells + exact offsets + per-cell
+    // windows — no single-task global sort; identical assignment, pinned
+    // in QuantilesSpec); the agg is Ckpt'd once so the three ntile passes
+    // (boundaries + counts + rank each) don't re-run the orders scan.
     QueryDef(
       "q172_rfm",
       (s, dir) => {
-        val m = tbl(s, dir, "orders")
+        val m = graft.ops.Ckpt(tbl(s, dir, "orders")
           .groupBy(col("o_custkey").as("custkey")).agg(
             min(datediff(lit(RfmRef).cast("date"), col("o_orderdate").cast("date")))
               .cast("bigint").as("recency_days"),
             count(lit(1)).as("frequency"),
-            sum(R(col("o_totalprice"), 2).cast(DecimalType(18, 2))).as("monetary"))
-        m.withColumn("r_score",
-            ntile(5).over(Window.orderBy(col("recency_days"), col("custkey"))).cast("bigint"))
-          .withColumn("f_score",
-            ntile(5).over(Window.orderBy(col("frequency").desc, col("custkey"))).cast("bigint"))
-          .withColumn("m_score",
-            ntile(5).over(Window.orderBy(col("monetary").desc, col("custkey"))).cast("bigint"))
+            sum(R(col("o_totalprice"), 2).cast(DecimalType(18, 2))).as("monetary")))
+        val nt = graft.ops.Quantiles.exactNtile(_: org.apache.spark.sql.DataFrame,
+          5, _: Column, _: Boolean, Seq(col("custkey")), _: String)
+        val scored = nt(
+          nt(
+            nt(m, col("recency_days"), true, "r_score"),
+            col("frequency"), false, "f_score"),
+          col("monetary"), false, "m_score")
+        scored
           .select(col("custkey"), col("recency_days"), col("frequency"),
             col("monetary").cast("double").as("monetary_d"),
             col("r_score"), col("f_score"), col("m_score"),

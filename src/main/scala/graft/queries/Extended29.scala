@@ -135,7 +135,10 @@ object Extended29 {
     // integers; shares and ln enter through one shared float shape;
     // the IV total accumulates ROUNDED-term DECIMALs over the 10-row
     // bin relation (a bounded global window, per the house rule).
-    // Shape: one user-sized agg + one ntile window + 10-row rollup.
+    // Shape: one user-sized agg + one exactNtile (the user relation is
+    // data-sized, so the decile split runs distributed — coarse cells +
+    // exact offsets, no single-task sort; QuantilesSpec pins identity
+    // with the window form) + 10-row rollup.
     QueryDef(
       "q222_woe_iv",
       (s, dir) => {
@@ -143,8 +146,8 @@ object Extended29 {
         val users = e.groupBy(col("user_id"))
           .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
             max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("pos"))
-        val binned = users.withColumn("decile",
-          ntile(10).over(Window.orderBy(col("views"), col("user_id"))).cast("long"))
+        val binned = graft.ops.Quantiles.exactNtile(
+          users, 10, col("views"), ascending = true, Seq(col("user_id")), "decile")
         val bins = binned.groupBy(col("decile"))
           .agg(count(lit(1)).as("n_users"),
             sum(col("pos")).as("n_pos"),

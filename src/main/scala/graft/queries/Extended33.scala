@@ -99,8 +99,10 @@ object Extended33 {
     // for finding converters anywhere; Qini only rewards finding users
     // whose conversion the treatment CAUSES. Exactness: all counts are
     // integers; rates/Qini are shared double shapes over the 10-row
-    // decile relation. Shape: one user agg + one ntile window (q222's
-    // binning template) + bounded-relation windows.
+    // decile relation. Shape: one user agg + one exactNtile (q222's
+    // binning template — the user relation is data-sized, so the decile
+    // split runs distributed, no single-task sort) + bounded-relation
+    // windows.
     QueryDef(
       "q236_qini_curve",
       (s, dir) => {
@@ -109,8 +111,8 @@ object Extended33 {
           .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
             max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
           .withColumn("arm", pmod(col("user_id"), lit(2)))
-        val binned = users.withColumn("decile",
-          ntile(10).over(Window.orderBy(col("views").desc, col("user_id"))).cast("long"))
+        val binned = graft.ops.Quantiles.exactNtile(
+          users, 10, col("views"), ascending = false, Seq(col("user_id")), "decile")
         val dec = binned.groupBy(col("decile"))
           .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
             sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c_t"),

@@ -204,20 +204,24 @@ object Extended7 {
               |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
     // Equi-depth histogram (the ANALYZE statistic behind optimizer
-    // selectivity estimates and skew detection): ntile(8) over a TOTAL
-    // order (value + unique key tie-break — without it bucket membership
-    // at value ties is engine-dependent) → per-bucket count/min/max.
-    // One sort, bucket stats are exact integers/doubles with no
-    // arithmetic at all.
+    // selectivity estimates and skew detection): exact ntile(8) over
+    // (value, key tie-break) → per-bucket count/min/max. The ntile runs
+    // as Quantiles.exactNtile — approx boundaries place rows into coarse
+    // cells, exact per-cell counts recover the global rank, a per-CELL
+    // window assigns it — so the full lineitem relation never funnels
+    // into one task (the round-9 verdict's #1 scale hazard; the old
+    // single-partition form is QuantilesSpec's reference). Bucket stats
+    // are invariant to tie placement (rows tied on every sort column are
+    // interchangeable w.r.t. count/min/max), so the DuckDB oracle's own
+    // ntile hash-matches unchanged.
     QueryDef(
       "q134_equidepth_hist",
       (s, dir) =>
-        tbl(s, dir, "lineitem")
-          .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-          .withColumn("bucket",
-            ntile(8).over(Window.orderBy(
-              col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
-              .cast("bigint"))
+        graft.ops.Quantiles.exactNtile(
+          tbl(s, dir, "lineitem")
+            .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          8, col("l_extendedprice"), ascending = true,
+          Seq(col("l_orderkey"), col("l_linenumber")), "bucket")
           .groupBy(col("bucket"))
           .agg(
             count(lit(1)).as("n_rows"),
