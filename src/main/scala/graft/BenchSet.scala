@@ -23,19 +23,30 @@ object BenchSet {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // A failed rep must NOT contribute its elapsed-until-failure time as a
+    // small, passing-looking measurement (the BENCH_SF1 ratio tables are
+    // derived from these lines) — record it as None and summarize FAILED.
+    var anyFailed = false
     for (dir <- dirs; name <- names) {
       val fn = SparkEntry.queries(name)
-      val secs = (1 to reps).map { _ =>
+      val secs: Seq[Option[Double]] = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, dir).write.format("noop").mode("overwrite").save()
-        catch {
+        try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
-            println(s"[benchset] $name $dir FAILED: ${e.getMessage}")
+            println(s"[benchset] $name $dir rep FAILED: ${e.getMessage}")
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      println(f"[benchset] $name $dir ${secs.min}%.2f s (min of $reps)")
+      val ok = secs.flatten
+      if (ok.size < reps) {
+        anyFailed = true
+        println(s"[benchset] $name $dir FAILED (${reps - ok.size}/$reps reps errored)")
+      } else println(f"[benchset] $name $dir ${ok.min}%.2f s (min of $reps)")
     }
     spark.stop()
+    if (anyFailed) sys.exit(1)
   }
 }

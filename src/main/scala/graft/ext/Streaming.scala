@@ -126,7 +126,24 @@ object Streaming {
     * spark-sql-kafka-0-10 is on the classpath; the file stream
     * exercises the identical downstream plans).
     */
-  def kafkaEvents(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame = {
+  def kafkaEvents(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    decodeKafkaEvents(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load())
+
+  /** The wire-format half of [[kafkaEvents]]: binary `value` (Kafka's
+    * record payload column) → typed event columns. Factored out so the
+    * decode — everything about the Kafka path EXCEPT the socket — has
+    * execution evidence in this sandbox (StreamingSpec runs it over a
+    * batch relation with the connector's exact value schema; the source
+    * itself needs spark-sql-kafka-0-10 on the classpath, not resolvable
+    * offline — see COVERAGE.md).
+    */
+  def decodeKafkaEvents(records: DataFrame): DataFrame = {
     val eventJson = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
@@ -134,12 +151,7 @@ object Streaming {
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load()
+    records
       .select(from_json(col("value").cast("string"), eventJson).as("e"))
       .select("e.*")
   }

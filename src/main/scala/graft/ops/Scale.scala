@@ -69,24 +69,68 @@ object Scale {
     */
   def bloomSemiJoin(
       large: DataFrame, keys: DataFrame, keyCol: String,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
     val spark = large.sparkSession
     registerBloom(spark)
+    // Sizing must track the ACTUAL key cardinality: a fixed guess that
+    // undershoots degrades fpp toward 1 silently — the filter still
+    // "works" but stops discarding anything, so the prefilter stage is
+    // pure cost and the full shuffle comes back. Default (-1) measures
+    // the key side with one approx_count_distinct pass (the key side is
+    // the small side by contract; one extra scalar agg over it is noise
+    // next to the large-side scan it saves) + 10% headroom for the
+    // sketch's ~2% rsd. An explicit expectedItems skips the pass for
+    // callers that persist/reuse the filter across runs.
+    val bf = buildBloom(keys, keyCol, expectedItems, fpp)
+    val prefiltered = bf match {
+      case None => large // empty key side: exact semi join yields empty
+      case Some(bytes) => large.filter(call_function("graft_might_contain",
+        lit(bytes), xxhash64(col(keyCol))))
+    }
+    prefiltered.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+  }
+
+  /** The filter-build half of [[bloomSemiJoin]], exposed so sizing is
+    * testable (ScaleSpec probes the returned filter with disjoint keys
+    * to verify the measured false-positive rate honors `fpp`) and so
+    * pipelines can persist the bytes across runs. Returns None on an
+    * empty key side (the aggregate yields NULL).
+    */
+  private[graft] def buildBloom(
+      keys: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double): Option[Array[Byte]] = {
+    registerBloom(keys.sparkSession)
+    val sizedItems =
+      if (expectedItems > 0) expectedItems
+      else math.max(1L, math.ceil(1.1 * keys
+        .select(approx_count_distinct(col(keyCol)).as("n"))
+        .head().getLong(0)).toLong)
     // standard sizing: m = -n·ln(p) / ln(2)²
     val numBits = math.ceil(
-      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    // one-row scalar aggregate (documented driver-side .head() pattern);
-    // an empty key side aggregates to NULL → skip the prefilter (the
-    // exact semi join below already yields the correct empty result)
+      -sizedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // BloomFilterAggregate silently CLAMPS its inputs to the session caps
+    // (defaults: 4M items / 64M bits) — under the defaults a 10M-key
+    // build measured fpp 0.11 against a requested 0.01. Raise the caps
+    // to cover the derived sizing so the requested fpp actually holds.
+    val conf = keys.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (conf.get(itemsKey).toLong < sizedItems) conf.set(itemsKey, sizedItems)
+    if (conf.get(bitsKey).toLong < numBits) conf.set(bitsKey, numBits)
+    // one-row scalar aggregate (documented driver-side .head() pattern)
     val bfRow = keys
       .select(call_function("graft_bloom_agg",
-        xxhash64(col(keyCol)), lit(expectedItems), lit(numBits)).as("bf"))
+        xxhash64(col(keyCol)), lit(sizedItems), lit(numBits)).as("bf"))
       .head()
-    val prefiltered =
-      if (bfRow.isNullAt(0)) large
-      else large.filter(call_function("graft_might_contain",
-        lit(bfRow.getAs[Array[Byte]](0)), xxhash64(col(keyCol))))
-    prefiltered.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+    if (bfRow.isNullAt(0)) None else Some(bfRow.getAs[Array[Byte]](0))
+  }
+
+  /** Probe column for a [[buildBloom]] filter (test/diagnostic surface). */
+  private[graft] def mightContain(
+      spark: org.apache.spark.sql.SparkSession,
+      bytes: Array[Byte], key: Column): Column = {
+    registerBloom(spark)
+    call_function("graft_might_contain", lit(bytes), xxhash64(key))
   }
 
   /** Idempotent per-session registration of Spark's built-in (but not

@@ -197,8 +197,11 @@ object Core {
           col("l_orderkey"), col("l_linenumber"),
           Cleaning.gateToNull(col("l_extendedprice"), Cleaning.Bounds.closed(1000, 50000))
             .as("price_gated"))
+        // broadcast the 1-row scalar explicitly: without the hint Spark's
+        // size estimate picked the DATA side as the nested-loop build
+        // (fine at sf0.001, an OOM broadcast at scale)
         val med = g.agg(median(col("price_gated")).as("med"))
-        g.crossJoin(med)
+        g.crossJoin(broadcast(med))
           .select(
             col("l_orderkey"), col("l_linenumber"),
             R(coalesce(col("price_gated"), col("med")), 4).as("price_imputed"))

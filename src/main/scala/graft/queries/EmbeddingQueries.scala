@@ -56,9 +56,9 @@ object EmbeddingQueries {
     * q123 (recall measurement) share ONE bit-exact definition. Assumes
     * CTEs `c` (corpus) and `q` (queries) are already defined.
     */
-  private def ivfCtes(nProbe: Int): String =
+  private def ivfCtes(nProbe: Int, seedPred: String = "cid % 50 = 0"): String =
     s"""cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
-       |          FROM c WHERE cid % 50 = 0),
+       |          FROM c WHERE $seedPred),
        |${lloydIter("cent0", "a1", "m1", "cent1")},
        |${lloydIter("cent1", "a2", "m2", "cent2")},
        |d3 AS (SELECT cid, cent_id,
@@ -142,6 +142,39 @@ object EmbeddingQueries {
               |q AS (SELECT e.vec_id qid, e.embedding qe, n.nrm qn
               |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id WHERE e.vec_id < 10),
               |${ivfCtes(nProbe = 3)}
+              |SELECT qid, cid, rn, ${Num.roundSql("cos", 4)} AS cos_r
+              |FROM ivfr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // IVF top-5 at the SCALE-CORRECT parameterization: stride = √N
+    // (Similarity.sqrtStride — the standard nlist rule), so cells AND
+    // cell population both grow as √N and assignment stays O(N^1.5)
+    // instead of the fixed-stride O(N²/stride) that BENCH_SF1 measured
+    // superlinear (16× at 10× data; the √N rule measured back to
+    // ~linear). q40 stays pinned at stride=50 for continuity; THIS query
+    // puts the production rule itself under the full hash gate — the
+    // oracle recomputes √N inside SQL (greatest(1, round(sqrt(count))),
+    // the exact integer rule sqrtStride applies) and unrolls the same
+    // bit-exact seed → Lloyd → probe pipeline. The corpus count is one
+    // driver-side scalar (at 100 TB it comes from table stats).
+    QueryDef(
+      "q302_embed_ivf_sqrt",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val stride = Similarity.sqrtStride(emb.count())
+        Similarity
+          .ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, stride = stride, nProbe = 3, trainIters = 2)
+          .select(col("qid"), col("cid"), col("rn"), Num.roundTo(col("cos"), 4).as("cos_r"))
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH $normCte,
+              |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
+              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
+              |q AS (SELECT e.vec_id qid, e.embedding qe, n.nrm qn
+              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id WHERE e.vec_id < 10),
+              |st AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS sv
+              |       FROM embeddings),
+              |${ivfCtes(nProbe = 3, seedPred = "cid % (SELECT sv FROM st) = 0")}
               |SELECT qid, cid, rn, ${Num.roundSql("cos", 4)} AS cos_r
               |FROM ivfr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 

@@ -218,9 +218,11 @@ object Extended21 {
     // that catches failed ingests and over-eager deletes. The scale
     // design: ids hash into Bucket-sized partitions; WITHIN-bucket gaps
     // come from a PARTITIONED lag window (distributes), CROSS-bucket gaps
-    // from a lag over the buckets relation (|ids|/1024 rows) — no global
-    // row sort anywhere; only the final top-10 ranks globally, over the
-    // gaps relation. Pure integer arithmetic throughout.
+    // from a lag over the buckets relation (|ids|/1024 rows — the one
+    // single-task stage, 1024×-reduced: ~10M rows at 10B ids, a
+    // seconds-scale sort) — no global row sort over raw ids; the final
+    // top-10 runs as TakeOrderedAndProject and only the 10 survivors see
+    // a rank window. Pure integer arithmetic throughout.
     QueryDef(
       "q198_id_gaps",
       (s, dir) => {
@@ -242,11 +244,16 @@ object Extended21 {
           .select((col("pmx") + 1).as("gap_start"), (col("mn") - 1).as("gap_end"))
         val gaps = inGaps.unionAll(xGaps)
           .withColumn("gap_len", col("gap_end") - col("gap_start") + 1)
-        gaps.withColumn("rank", row_number().over(
-            Window.orderBy(col("gap_len").desc, col("gap_start"))))
-          .filter(col("rank") <= 10)
-          .select(col("rank").cast("long").as("rank"), col("gap_start"),
-            col("gap_end"), col("gap_len"))
+        // top-10 via TakeOrderedAndProject FIRST (distributed top-k over
+        // the data-sized gaps relation), THEN rank the 10 survivors —
+        // same total order, so ranks are identical to a global
+        // rank-filter, without a partition-less window over all gaps
+        gaps
+          .orderBy(col("gap_len").desc, col("gap_start"))
+          .limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("gap_len").desc, col("gap_start"))).cast("long"))
+          .select(col("rank"), col("gap_start"), col("gap_end"), col("gap_len"))
           .orderBy("rank")
       },
       Some(s"""WITH kept AS (

@@ -227,15 +227,20 @@ object Extended22 {
     // ranking; the lift curve says what the top 10 %/20 % buys you).
     // Exactness: ntile over a TOTAL order (score desc, doc_id), integer
     // positive counts, cumulative windows over the 10-row decile
-    // relation; divisions happen once per output row.
+    // relation; divisions happen once per output row. The scored
+    // relation is DATA-SIZED, so the decile assignment runs as
+    // Quantiles.exactNtile (identical bucket assignment, no single-task
+    // global sort — QuantilesSpec pins row-identity to window ntile);
+    // the downstream cumulative windows see only the 10-row decile
+    // rollup.
     QueryDef(
       "q203_lift_curve",
       (s, dir) => {
-        val scored = tbl(s, dir, "documents")
-          .select((col("lang") === "en").cast("long").as("y"),
-            col("n_chars"), col("doc_id"))
-          .withColumn("decile", ntile(10).over(
-            Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        val scored = graft.ops.Quantiles.exactNtile(
+          tbl(s, dir, "documents")
+            .select((col("lang") === "en").cast("long").as("y"),
+              col("n_chars"), col("doc_id")),
+          10, col("n_chars"), ascending = false, Seq(col("doc_id")), "decile")
         val dec = scored.groupBy(col("decile"))
           .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
         val wCum = Window.orderBy(col("decile"))

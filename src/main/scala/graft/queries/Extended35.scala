@@ -211,12 +211,14 @@ object Extended35 {
     QueryDef(
       "q243_emd_drift",
       (s, dir) => {
-        val mmW = Window.partitionBy()
-        val base = tbl(s, dir, "documents")
+        // corpus [min, max] via a scalar aggregate broadcast back — NOT a
+        // partition-less window over the raw (data-sized) relation,
+        // which would funnel every document into one task
+        val doc = tbl(s, dir, "documents")
           .select(pmod(col("doc_id"), lit(3)).as("feed"),
             col("n_chars").cast("double").as("v"))
-          .withColumn("mn", min(col("v")).over(mmW))
-          .withColumn("mx", max(col("v")).over(mmW))
+        val mm = doc.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val base = doc.crossJoin(broadcast(mm))
         val bin = least(lit(9L),
           floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / lit(10.0)))
             .cast("long"))

@@ -262,10 +262,15 @@ object Extended50 {
           col("l_returnflag").as("g"),
           R(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("r"),
           col("l_quantity").as("q"))
+        // jackknife is undefined at n=1 (the lone replicate divides by
+        // sq − q = 0, and Spark's null-on-DECIMAL-overflow vs DuckDB's
+        // IEEE Inf would split the engines) — drop singleton groups in
+        // BOTH plans
         val tot = t.groupBy(col("g")).agg(
           count(lit(1)).as("n"),
           sum(col("r").cast(DecimalType(18, 4))).cast("double").as("sr"),
           sum(col("q").cast(DecimalType(18, 4))).cast("double").as("sq"))
+          .filter(col("n") >= 2)
         val dec = DecimalType(28, 12)
         val loo = t.join(broadcast(tot), "g")
           .withColumn("dev",
@@ -295,7 +300,7 @@ object Extended50 {
               |  SELECT g, COUNT(*) AS n,
               |    CAST(SUM(CAST(r AS DECIMAL(18,4))) AS DOUBLE) AS sr,
               |    CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sq
-              |  FROM t GROUP BY g),
+              |  FROM t GROUP BY g HAVING COUNT(*) >= 2),
               |dv AS (
               |  SELECT t.g, tot.n, tot.sr, tot.sq,
               |    (tot.sr - t.r) / (tot.sq - t.q) - tot.sr / tot.sq AS dev

@@ -108,16 +108,32 @@ object Extended55 {
     QueryDef(
       "q299_containment",
       (s, dir) => {
+        // Hot-shingle guard, q36-style (Dedup.ngramJaccardPairs): the
+        // direct self-join only runs over COLD shingles (df ≤ maxDf, so
+        // O(maxDf²) pair rows per key), then candidate pairs rejoin
+        // against the hot-only occurrence relation to RE-ADD hot
+        // intersections — every emitted containment value is exact (the
+        // oracle applies no guard), the guard only bounds recall to pairs
+        // sharing at least one cold shingle.
         val sh = Dedup.shingleRel(tbl(s, dir, "documents"), "doc_id", "text", 3)
           .distinct()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val guard = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
-          .filter(col("sdf") <= Dedup.BatteryMaxDf).select(col("shingle"))
-        val shg = sh.join(guard, "shingle")
-        val inter = shg.select(col("shingle"), col("doc_id").as("a_id"))
-          .join(shg.select(col("shingle"), col("doc_id").as("b_id")), Seq("shingle"))
+        val hotKeys = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+          .filter(col("sdf") > Dedup.BatteryMaxDf).select(col("shingle"))
+        val cold = sh.join(hotKeys, Seq("shingle"), "left_anti")
+        val hot = sh.join(hotKeys, Seq("shingle"))
+        val coldPairs = cold.select(col("shingle"), col("doc_id").as("a_id"))
+          .join(cold.select(col("shingle"), col("doc_id").as("b_id")), Seq("shingle"))
           .filter(col("a_id") =!= col("b_id"))
-          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_cold"))
+        val hotInter = coldPairs.select(col("a_id"), col("b_id"))
+          .join(hot.as("ha"), col("a_id") === col("ha.doc_id"))
+          .join(hot.as("hb"),
+            col("b_id") === col("hb.doc_id") && col("ha.shingle") === col("hb.shingle"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_hot"))
+        val inter = coldPairs.join(hotInter, Seq("a_id", "b_id"), "left")
+          .withColumn("n_inter", col("n_cold") + coalesce(col("n_hot"), lit(0L)))
+          .drop("n_cold", "n_hot")
         inter
           .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
           .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")

@@ -451,10 +451,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("q172: RFM is one agg + three ntile windows — no join") {
+  test("q172: RFM quintiles run as distributed exactNtile (partitioned cells + broadcast offsets)") {
+    // three Quantiles.exactNtile passes: each contributes one CELL-
+    // partitioned window (never partition-less over the data-sized
+    // customer relation — BatteryPlanSpec enforces this globally) and a
+    // broadcast join of the ≤coarseCells offset relation
     val p = plan(q("q172_rfm"))
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 3, p)
-    assert(!p.contains("Join"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("q173: apportionment windows run over the groups-sized relation; totals broadcast") {
@@ -650,12 +656,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("q202/q203: burst and lift are window-over-agg shapes, join-free") {
-    for (name <- Seq("q202_burst_detect", "q203_lift_curve")) {
-      val p = plan(q(name))
-      assert(p.contains("Window"), s"$name: $p")
-      assert(!p.contains("Join"), s"$name must not join: $p")
-    }
+  test("q202/q203: burst is join-free; lift deciles run as distributed exactNtile") {
+    val p202 = plan(q("q202_burst_detect"))
+    assert(p202.contains("Window"), p202)
+    assert(!p202.contains("Join"), p202)
+    // q203's decile assignment is Quantiles.exactNtile (cell-partitioned
+    // window + broadcast offsets — no partition-less window over the
+    // data-sized documents relation); cumulative windows see only the
+    // 10-row decile rollup
+    val p203 = plan(q("q203_lift_curve"))
+    assert(p203.contains("Window"), p203)
+    assert(!p203.contains("SortMergeJoin"), p203)
+    assert(!p203.contains("CartesianProduct"), p203)
+    assert(p203.contains("BroadcastHashJoin"), p203)
   }
 
   test("q204: hotspot neighborhoods come from a lattice equi-join, never a distance cross product") {
@@ -899,13 +912,16 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q235/q236/q237: power grid, Qini, and kappa keep the data pass to one scan") {
-    // q235/q236 are join-free; q237's only join is the broadcast 1-row median scalar
-    for (name <- Seq("q235_power_mde", "q236_qini_curve")) {
-      val p = plan(q(name))
-      assert(!p.contains("Join"), s"$name: $p")
-      assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
-        s"$name: $p")
-    }
+    // q235 is join-free; q236's per-user deciles run as distributed
+    // exactNtile (broadcast offsets join, cell-partitioned window);
+    // q237's only join is the broadcast 1-row median scalar
+    val p235 = plan(q("q235_power_mde"))
+    assert(!p235.contains("Join"), p235)
+    assert(p235.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p235)
+    val p236 = plan(q("q236_qini_curve"))
+    assert(!p236.contains("SortMergeJoin"), p236)
+    assert(!p236.contains("CartesianProduct"), p236)
+    assert(p236.contains("BroadcastHashJoin"), p236)
     val pk = plan(q("q237_cohens_kappa"))
     assert(!pk.contains("CartesianProduct"), pk)
   }
@@ -936,9 +952,14 @@ class PlanSpec extends SparkSuite {
     val p242 = plan(q("q242_regression_impute"))
     assert(!p242.contains("Join"), p242)
     assert(p242.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p242)
+    // q243's shared grid bounds come from a broadcast scalar agg (one
+    // extra documents scan) instead of a partition-less min/max window
+    // over the raw relation — two parallel scans beat one single-task
+    // window at any scale
     val p243 = plan(q("q243_emd_drift"))
-    assert(!p243.contains("Join"), p243)
-    assert(p243.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p243)
+    assert(!p243.contains("SortMergeJoin"), p243)
+    assert(p243.contains("BroadcastNestedLoopJoin") || p243.contains("BroadcastExchange"), p243)
+    assert(p243.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 2, p243)
   }
 
   test("q244/q245/q246: Neyman, bloom advisor, and hash ring keep bounded-dim joins only") {

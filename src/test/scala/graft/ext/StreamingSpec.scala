@@ -28,6 +28,40 @@ class StreamingSpec extends SparkSuite {
     (4L, ts("2024-01-01 10:20:00"), 8L, "view", 4.0, "{}")
   ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("kafka wire decode: binary JSON values → typed event columns (connector-less half)") {
+    // The sandbox cannot resolve spark-sql-kafka-0-10 (offline), so the
+    // kafka SOURCE has no execution path here — but the decode stage is
+    // provider-independent: feed it a batch relation shaped like the
+    // connector's output (value: binary) and pin schema + values.
+    val wire = Seq(
+      """{"event_id":1,"ts":"2024-01-01 10:00:00","user_id":7,"event_type":"click","value":1.5,"props":"{}"}""",
+      """{"event_id":2,"ts":"2024-01-01 10:10:00","user_id":8,"event_type":"view","value":2.5,"props":"{\"k\":1}"}""",
+      "not json at all")
+      .toDF("raw").select(col("raw").cast("binary").as("value"))
+    val out = Streaming.decodeKafkaEvents(wire)
+    assert(out.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "bigint",
+      "event_type" -> "string", "value" -> "double", "props" -> "string"))
+    val rows = out.orderBy(col("event_id").asc_nulls_last).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(3) == "click" &&
+      rows(0).getDouble(4) == 1.5 && rows(0).getTimestamp(1) == ts("2024-01-01 10:00:00"))
+    assert(rows(1).getLong(0) == 2L && rows(1).getString(5) == """{"k":1}""")
+    // malformed payload → null row (PERMISSIVE), never a crash mid-stream
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(3))
+  }
+
+  test("kafka source itself is compile-only offline: provider lookup fails without the connector") {
+    // Pin the documented limitation (COVERAGE.md): constructing the
+    // source plan requires the kafka DataSource provider, which is not
+    // on the offline classpath. If this test ever fails, a connector
+    // jar appeared — promote kafkaEvents to a real round-trip test.
+    val e = intercept[Exception] {
+      Streaming.kafkaEvents(spark, "localhost:9092", "events").schema
+    }
+    assert(String.valueOf(e.getMessage).toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   test("batch sessionize splits on the gap and aggregates per session") {
     val out = Sessions.summarize(
       Sessions.assign(batch.dropDuplicates("event_id"), "user_id", "ts", 1800, Seq($"event_id")),

@@ -61,6 +61,25 @@ class ScaleSpec extends SparkSuite {
     assert(plain.nonEmpty)
   }
 
+  test("bloomSemiJoin derived sizing keeps the requested fpp on a 10M-key side") {
+    // The old fixed expectedItems=1M default silently degraded to fpp≈1
+    // when the key side outgrew the guess — the filter stopped
+    // discarding anything and the full shuffle came back. Derived
+    // sizing (expectedItems = -1 → approx_count_distinct pass) must
+    // hold the requested fpp no matter the key-side size: build over
+    // 10M distinct keys, probe 100k DISJOINT keys, and require the
+    // measured false-positive rate to stay within 3× the requested 1%
+    // (3σ on 100k Bernoulli trials is ±0.1pp; 3× also absorbs the
+    // sketch's rsd and Spark's power-of-two bit rounding).
+    val keys = spark.range(10000000L).select(col("id").as("k"))
+    val bf = Scale.buildBloom(keys, "k", expectedItems = -1L, fpp = 0.01).get
+    val probes = spark.range(10000000L, 10100000L).select(col("id").as("k"))
+    val fps = probes.filter(Scale.mightContain(spark, bf, col("k")))
+      .count()
+    val rate = fps.toDouble / 100000
+    assert(rate <= 0.03, f"measured fp rate $rate%.4f exceeds 3×fpp")
+  }
+
   test("saltedMeans matches plain grouped mean") {
     val df = Seq(("hot", 1.0), ("hot", 3.0), ("hot", 5.0), ("cold", 10.0)).toDF("k", "v")
     val out = Scale.saltedMeans(df, "k", "v", 4)
