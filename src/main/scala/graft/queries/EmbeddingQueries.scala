@@ -190,13 +190,19 @@ object EmbeddingQueries {
     QueryDef(
       "q123_ann_recall",
       (s, dir) => {
+        // recall is graded against the PRODUCTION parameterization
+        // (√N stride, q302's rule): the fixed-stride layout this gate
+        // originally probed is O(N²/stride) at assignment (BENCH_SF1:
+        // 102.9×-family superlinear), so measuring its recall at scale
+        // would grade an index nobody should deploy
         val emb = tbl(s, dir, "embeddings")
         val qs = emb.filter(col("vec_id") < 10)
+        val stride = Similarity.sqrtStride(emb.count())
         val exact = Similarity
           .bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
           .select(col("qid"), col("cid"))
         val appr = Similarity
-          .ivfTopK(emb, qs, "vec_id", "embedding", k = 10, stride = 50, nProbe = 3, trainIters = 2)
+          .ivfTopK(emb, qs, "vec_id", "embedding", k = 10, stride = stride, nProbe = 3, trainIters = 2)
           .select(col("qid"), col("cid"))
         val hit = exact.join(appr, Seq("qid", "cid"))
           .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
@@ -220,7 +226,9 @@ object EmbeddingQueries {
               |         SELECT qid, cid,
               |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
               |         FROM exd) WHERE rn <= 10),
-              |${ivfCtes(nProbe = 3)},
+              |st AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS sv
+              |       FROM embeddings),
+              |${ivfCtes(nProbe = 3, seedPred = "cid % (SELECT sv FROM st) = 0")},
               |ap AS (SELECT qid, cid FROM ivfr WHERE rn <= 10),
               |hit AS (SELECT e.qid, count(*) AS n_hit
               |        FROM ex e JOIN ap a ON a.qid = e.qid AND a.cid = e.cid
@@ -239,17 +247,29 @@ object EmbeddingQueries {
     // so code assignment AND reconstruction error hash-match.
     QueryDef(
       "q125_pq_encode",
-      (s, dir) =>
+      (s, dir) => {
+        // FIXED-size codebook: stride = N div 64 keeps the broadcast
+        // codebook and the per-vector code scan CONSTANT in corpus size
+        // (64 codewords = 6-bit codes; the PQ-standard k*=256 is the
+        // same shape at 4× the encode cost — the codebook SIZE, not its
+        // growth, is the tunable). The old fixed stride=50 made the
+        // codebook N/50 codewords — encode cost O(N²/50), measured
+        // 102.9× for 10× data in the round-10 full-battery scale smoke;
+        // fixed-size sizing re-measured linear (9.3×).
+        val emb = tbl(s, dir, "embeddings")
+        val stride = math.max(1L, emb.count() / 64).toInt
         Similarity
-          .pqEncode(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-            nSub = 4, subDim = 16, stride = 50)
+          .pqEncode(emb, "vec_id", "embedding",
+            nSub = 4, subDim = 16, stride = stride)
           .select(
             col("vid").as("vec_id"),
             col("code_0"), col("code_1"), col("code_2"), col("code_3"),
             Num.roundTo(col("recon"), 4).as("recon_r"))
-          .orderBy("vec_id"),
-      Some(s"""WITH cb AS (SELECT vec_id AS code_id, embedding AS ce
-              |           FROM embeddings WHERE vec_id % 50 = 0),
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH st AS (SELECT greatest(1, count(*) // 64) AS sv FROM embeddings),
+              |cb AS (SELECT vec_id AS code_id, embedding AS ce
+              |           FROM embeddings WHERE vec_id % (SELECT sv FROM st) = 0),
               |d AS (SELECT v.vec_id, sp.s, cb.code_id,
               |        sum((CAST(v.embedding[sp.s*16 + i] AS DOUBLE) -
               |             CAST(cb.ce[sp.s*16 + i] AS DOUBLE)) *
@@ -322,21 +342,52 @@ object EmbeddingQueries {
               |FROM embeddings em LEFT JOIN cl ON cl.node = em.vec_id
               |ORDER BY id""".stripMargin)),
 
-    // Embedding near-dup pairs blocked by label, cosine ≥ 0.4.
+    // Embedding near-dup pairs, cosine ≥ 0.4, blocked on
+    // (label, √N-cell): a raw label block is DATA-SIZED (N/|labels|
+    // members → O(N²/L) pairs — measured 20.5× for 10× data in the
+    // round-10 full-battery smoke), so the battery instance composes
+    // nearDupPairs with assignCells the way its scaladoc prescribes —
+    // same-label candidates only meet inside an IVF cell (seed-only,
+    // √N stride), the SemDeDup candidate-bounding recipe; recall is
+    // bounded to same-cell pairs by construction.
     QueryDef(
       "q41_embed_neardup",
-      (s, dir) =>
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val cells = Similarity
+          .assignCells(emb, "vec_id", "embedding",
+            stride = Similarity.sqrtStride(emb.count()), trainIters = 0)
+          .select(col("cid").as("vec_id"), col("cent_id"))
+        val blocked = emb.join(cells, "vec_id")
+          .withColumn("blk_", concat_ws("#", col("label"), col("cent_id")))
         Similarity
-          .nearDupPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.4)
+          .nearDupPairs(blocked, "vec_id", "embedding", "blk_", 0.4)
           .select(col("a_id"), col("b_id"), Num.roundTo(col("cos"), 4).as("cos_r"))
-          .orderBy("a_id", "b_id"),
+          .orderBy("a_id", "b_id")
+      },
       Some(s"""WITH $normCte,
+              |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
+              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
+              |st AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS sv
+              |       FROM embeddings),
+              |cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
+              |          FROM c WHERE cid % (SELECT sv FROM st) = 0),
+              |d0 AS (SELECT cid, cent_id,
+              |         sum(CAST(ce[i] AS DOUBLE) * cent_e[i]) / (cn * cent_n) AS d
+              |       FROM c CROSS JOIN cent0 CROSS JOIN range(1, 65) t(i)
+              |       GROUP BY cid, cent_id, cn, cent_n),
+              |a0 AS (SELECT cid, cent_id FROM (
+              |         SELECT cid, cent_id,
+              |           row_number() OVER (PARTITION BY cid ORDER BY d DESC, cent_id) rnk
+              |         FROM d0) WHERE rnk = 1),
               |p AS (SELECT a.vec_id a_id, b.vec_id b_id,
               |             a.embedding qe, na.nrm qn, b.embedding ce, nb.nrm cn
               |      FROM embeddings a
               |      JOIN n na ON na.vec_id = a.vec_id
+              |      JOIN a0 ca ON ca.cid = a.vec_id
               |      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-              |      JOIN n nb ON nb.vec_id = b.vec_id),
+              |      JOIN n nb ON nb.vec_id = b.vec_id
+              |      JOIN a0 cb ON cb.cid = b.vec_id AND cb.cent_id = ca.cent_id),
               |d AS (SELECT a_id, b_id, $pairDot AS cos
               |      FROM p CROSS JOIN range(1, 65) t(i) GROUP BY a_id, b_id, qn, cn)
               |SELECT a_id, b_id, ${Num.roundSql("cos", 4)} AS cos_r

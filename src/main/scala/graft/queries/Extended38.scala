@@ -37,9 +37,15 @@ object Extended38 {
     QueryDef(
       "q252_silhouette",
       (s, dir) => {
+        // grade the PRODUCTION cell layout (√N stride, q302's rule): the
+        // old fixed stride=50 grew centroids as N/50, making the N×C
+        // scoring scan O(N²/50) — measured 14.8× for 10× data in the
+        // round-10 full-battery scale smoke; √N cells keep it O(N^1.5),
+        // the accepted IVF assignment cost
+        val emb = tbl(s, dir, "embeddings")
         val pts = Similarity.simplifiedSilhouette(
-          tbl(s, dir, "embeddings"), "vec_id", "embedding",
-          stride = 50, trainIters = 2)
+          emb, "vec_id", "embedding",
+          stride = Similarity.sqrtStride(emb.count()), trainIters = 2)
         val dec = DecimalType(24, 10)
         val cells = pts.groupBy(col("cent_id"))
           .agg(count(lit(1)).as("n_points"),
@@ -66,8 +72,10 @@ object Extended38 {
         s"""WITH $normCte,
            |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
            |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
+           |st AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS sv
+           |       FROM embeddings),
            |cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
-           |          FROM c WHERE cid % 50 = 0),
+           |          FROM c WHERE cid % (SELECT sv FROM st) = 0),
            |$l1,
            |$l2,
            |d3 AS (SELECT cid, cent_id,

@@ -78,7 +78,7 @@ class BatteryPlanSpec extends SparkSuite {
     "q245_bloom_fpr" -> "4-row sizing-config lattice",
     "q246_consistent_hashing" -> "256-vnode ring lattice",
     "q248_mix_decomposition" -> "3-row source rollup",
-    "q252_silhouette" -> "10-centroid rollup",
+    "q252_silhouette" -> "per-cell rollup of the √N-cell layout (sublinear: ~1k cells at 1M vectors)",
     "q254_weighted_reservoir" -> "rank over the 20 TakeOrdered winners (limit beneath)",
     "q264_isotonic" -> "20-bin score lattice (hash-uniform bins, SF-invariant)",
     "q265_changepoint" -> "daily rollup — calendar-bounded",
@@ -93,7 +93,9 @@ class BatteryPlanSpec extends SparkSuite {
     "q40_embed_ivf" -> "query side vec_id < 10; centroid side stride-sampled (fixed stride is the documented small-scale anchor; q302 carries the √N production rule)",
     "q302_embed_ivf_sqrt" -> "query side vec_id < 10; centroid side √N-sampled (sublinear broadcast — the standard IVF nlist rule)",
     "q123_ann_recall" -> "both arms' query sides bounded by vec_id < 10",
-    "q125_pq_encode" -> "codebook stride-sampled (production sizing caps codes at 256 — scaladoc)",
+    "q304_matryoshka_overlap" -> "anchor side bounded by literal filter vec_id < 10",
+    "q41_embed_neardup" -> "√N-cell centroid broadcast for the blocking assignment (sublinear, the q302 rule)",
+    "q125_pq_encode" -> "codebook fixed at ~64 codewords (stride = N div 64 — constant broadcast at any corpus size)",
     "q127_psi_drift" -> "10-bin boundary relation",
     "q128_exact_decontam" -> "5-row benchmark-probe set",
     "q135_jaro_winkler" -> "25-anchor bounded relation",
@@ -102,7 +104,7 @@ class BatteryPlanSpec extends SparkSuite {
     "q213_haversine" -> "25-vertex centroid relation (intentional bounded all-pairs)",
     "q238_retrieval_metrics" -> "20-row judged set",
     "q246_consistent_hashing" -> "256-vnode ring relation",
-    "q252_silhouette" -> "10-centroid relation",
+    "q252_silhouette" -> "√N-cell centroid relation (sublinear broadcast, the q302 rule)",
     "q263_grid_dbscan" -> "occupied-cell rollup (reused exchange hides the agg)",
     "q264_isotonic" -> "20-bin pre relation (non-equi segment join over the bin lattice)",
     "q268_markov_attribution" -> "state-lattice transition matrix (≤16 states)",

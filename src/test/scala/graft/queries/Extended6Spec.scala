@@ -123,7 +123,10 @@ class Extended6Spec extends SparkSuite {
   test("q125 pq encode: codebook vectors encode to themselves with zero error") {
     val out = q("q125_pq_encode")(spark, sf0001).collect()
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
-    val cbIds = emb.filter($"vec_id" % 50 === 0).select($"vec_id")
+    // q125's production sizing: stride = N div 64 (fixed ~64-codeword
+    // codebook) — mirror it to recover the codeword id set
+    val stride = math.max(1L, emb.count() / 64)
+    val cbIds = emb.filter($"vec_id" % stride === 0).select($"vec_id")
       .collect().map(_.getLong(0)).toSet
     assert(out.length == emb.count())
     out.foreach { r =>
