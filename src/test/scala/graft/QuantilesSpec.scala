@@ -72,6 +72,39 @@ class QuantilesSpec extends SparkSuite {
       .collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("exactNtile ≡ window ntile on randomized inputs (negatives, constants, extreme magnitudes)") {
+    // pinned-seed randomized sweep: the fixture checks above are all
+    // positive small-integer values — this drives the direction
+    // negation (ascending=false negates the coarse key), sign mixes,
+    // all-equal relations (every row in one coarse cell), and values
+    // whose double magnitude stresses the approxQuantile boundaries
+    import spark.implicits._
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(12)
+      val cells = 1 + rnd.nextInt(40)
+      val rows = (0 until 500 + rnd.nextInt(1500)).map { i =>
+        val v = rnd.nextInt(5) match {
+          case 0 => rnd.nextInt(20) - 10 // heavy ties, signs mixed
+          case 1 => 0 // constant runs
+          case 2 => rnd.nextInt(Int.MaxValue) - (Int.MaxValue / 2)
+          case 3 => -1000000 + rnd.nextInt(3)
+          case _ => rnd.nextInt(100)
+        }
+        (i.toLong, v.toLong)
+      }
+      val df = rows.toDF("id", "v").repartition(7)
+      val asc = rnd.nextBoolean()
+      val got = Quantiles.exactNtile(df, n, col("v"), asc, Seq(col("id")), "bucket", cells)
+      val ord = (if (asc) col("v").asc else col("v").desc) +: Seq(col("id").asc)
+      val want = df.withColumn("want",
+        ntile(n).over(Window.orderBy(ord: _*)).cast("bigint"))
+      val bad = got.join(want.select(col("id"), col("want")), "id")
+        .filter(col("bucket") =!= col("want")).count()
+      assert(bad == 0L, s"seed=$seed n=$n cells=$cells asc=$asc: $bad rows diverged")
+    }
+  }
+
   test("plan has NO single-partition window (the hazard it exists to remove)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
