@@ -101,6 +101,61 @@ object Extended59 {
               |  leak.n_dup_pairs, leak.n_leaked_pairs
               |FROM spl JOIN cs ON cs.cluster_id = spl.cluster_id CROSS JOIN leak
               |GROUP BY split, leak.n_dup_pairs, leak.n_leaked_pairs
-              |ORDER BY split""".stripMargin))
+              |ORDER BY split""".stripMargin)),
+
+    // ----- q307: cross-source duplication matrix ---------------------
+    // WHERE duplication comes from: near-dup pairs rolled up by
+    // (source_a, source_b) — the provenance readout that separates
+    // within-crawl boilerplate (diagonal) from one feed mirroring
+    // another (off-diagonal), which decides whether to drop a SOURCE
+    // rather than dedup document-by-document. Same guarded q36 pair
+    // machinery + two source lookups; unordered source pairs are
+    // canonicalized least/greatest so the matrix is upper-triangular.
+    // Exact integer counts; share_r is one final rounded division
+    // against the broadcast pair total.
+    QueryDef(
+      "q307_source_dup_matrix",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", 3, 0.5, maxDf = Dedup.BatteryMaxDf)
+          .select(col("a_id"), col("b_id"))
+        val src = docs.select(col("doc_id"), col("source"))
+        val keyed = pairs
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+        val tot = keyed.agg(count(lit(1)).as("n_total"))
+        keyed.groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(tot))
+          .select(col("source_a"), col("source_b"), col("n_pairs"),
+            (col("source_a") =!= col("source_b")).as("is_cross"),
+            R(col("n_pairs").cast("double") / col("n_total").cast("double"), 6)
+              .as("share_r"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH ${TextQueries.shingleCte},
+              |inter AS (
+              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_inter
+              |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2),
+              |p AS (SELECT a_id, b_id FROM inter
+              |      JOIN sizes sa ON sa.doc_id = a_id
+              |      JOIN sizes sb ON sb.doc_id = b_id
+              |      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+              |keyed AS (
+              |  SELECT least(da.source, db.source) AS source_a,
+              |         greatest(da.source, db.source) AS source_b
+              |  FROM p JOIN documents da ON da.doc_id = p.a_id
+              |         JOIN documents db ON db.doc_id = p.b_id),
+              |tot AS (SELECT count(*) AS n_total FROM keyed)
+              |SELECT source_a, source_b, count(*) AS n_pairs,
+              |  source_a <> source_b AS is_cross,
+              |  ${rs("CAST(count(*) AS DOUBLE) / CAST(tot.n_total AS DOUBLE)", 6)} AS share_r
+              |FROM keyed CROSS JOIN tot
+              |GROUP BY source_a, source_b, tot.n_total
+              |ORDER BY source_a, source_b""".stripMargin))
   )
 }

@@ -48,4 +48,23 @@ class Extended59Spec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(h(1L) != h(2L), "near-dup twins have distinct content hashes — doc-level hashing can split them")
   }
+
+  test("q307: within- vs cross-source pairs land on the right matrix cells with exact shares") {
+    val dupA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dupB = "one two three four five six seven eight nine ten eleven"
+    val corpus = Seq(
+      (1L, dupA, "crawlX"), (2L, dupA + " tail", "crawlX"), // within-X pair
+      (3L, dupB, "crawlX"), (4L, dupB + " tail", "crawlY"), // cross X/Y pair
+      (5L, "totally unrelated filler text about gardens and weather", "crawlY"))
+    val dir = java.nio.file.Files.createTempDirectory("x59b").toString
+    corpus.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = q("q307_source_dup_matrix")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      ("crawlX", "crawlX", 1L, false, 0.5),
+      ("crawlX", "crawlY", 1L, true, 0.5)))
+  }
 }
