@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed running aggregates over LOW-CARDINALITY window partitions —
+  * the hazard class one step past the empty partitionSpec: a window
+  * `PARTITION BY source` with ~20 source values over a data-sized relation
+  * funnels N/20 rows into ONE task (100 TB → 5 TB single-task sorts), and
+  * Spark's planner has no countermeasure because the partition count is a
+  * data property, not a plan property.
+  *
+  * Same machinery as [[Quantiles.exactNtile]], generalized from ranks to
+  * running aggregates:
+  *
+  *   1. ONE `approxQuantile` pass over the (direction-normalized) ORDER BY
+  *      key picks ~`coarseCells` GLOBAL boundaries (approximate — they
+  *      only balance load; membership and order never depend on them);
+  *   2. each row gets a coarse cell id (monotone in the sort key, so
+  *      within every partition key the cells are contiguous runs of the
+  *      window order);
+  *   3. per-(key, cell) subtotals — an ordinary hash aggregate — feed a
+  *      window over the SUBTOTAL relation (≤ coarseCells rows per key:
+  *      bounded by construction) that yields each cell's exclusive
+  *      offset; the offsets relation (|keys|·coarseCells rows — the
+  *      low-cardinality contract keeps it broadcastable) is broadcast
+  *      back;
+  *   4. an in-(key, cell) window adds the within-cell running aggregate:
+  *      offset + in-cell prefix = exact global-in-partition prefix. The
+  *      largest task is ~N/(|keys|·coarseCells) rows; `coarseCells` is a
+  *      LOAD parameter — raise it with the cluster (64 matches local[32]).
+  *
+  * Exactness: sums regroup additions, so they are exact for integral and
+  * DECIMAL `value` types (the battery's users sum token counts — longs);
+  * float sums would differ from the sequential window by summation order.
+  * Ordering correctness needs no tie care across cells: equal sort keys
+  * always share a cell, and rows in different cells are strictly ordered
+  * by the key itself. Null sort keys raise (same fail-fast contract as
+  * exactNtile). PrefixSumSpec pins row-identity against Spark's own
+  * window on randomized multi-seed inputs.
+  */
+object PrefixSum {
+
+  /** Exclusive running sum of `value` (and optionally the exact 1-based
+    * `row_number` rank) over `PARTITION BY keys ORDER BY order [dir],
+    * ties...` — row-identical to
+    * `sum(value).over(w.rowsBetween(unboundedPreceding, -1))` (null → 0)
+    * and `row_number().over(w)`, with no task ever seeing a whole
+    * partition. The inclusive sum is `out + value`.
+    */
+  def exclusiveSum(
+      df: DataFrame, keys: Seq[String],
+      order: Column, ascending: Boolean, ties: Seq[Column],
+      value: Column, outSum: String, outRank: Option[String] = None,
+      coarseCells: Int = 64): DataFrame = {
+    require(keys.nonEmpty,
+      "empty partition keys: use Quantiles.exactNtile-style global machinery")
+    val qv = if (ascending) order.cast("double") else negate(order.cast("double"))
+    val keyed = df.withColumn("__pval", value).withColumn("__pv", qv)
+    val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
+    val bounds =
+      if (coarseCells <= 1) Array.empty[Double]
+      else keyed.stat.approxQuantile("__pv", probs, 0.001).distinct.sorted
+    val celled = keyed
+      .withColumn("__pc", Quantiles.cellOf(col("__pv"), bounds, "PrefixSum"))
+      .drop("__pv")
+    val kc = (keys :+ "__pc").map(col)
+    // per-(key, cell) subtotals: data-sized scan → |keys|·cells rows
+    val sub = celled.groupBy(kc: _*)
+      .agg(sum(col("__pval")).as("__psub"), count(lit(1)).as("__pn"))
+    // exclusive cell offsets: a window over the SUBTOTAL relation — every
+    // partition holds ≤ coarseCells rows (bounded by construction, not by
+    // whitelist)
+    val wOff = Window.partitionBy(keys.map(col): _*).orderBy(col("__pc").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sub.select(
+      kc ++ Seq(
+        coalesce(sum(col("__psub")).over(wOff), lit(0L)).as("__poff"),
+        coalesce(sum(col("__pn")).over(wOff), lit(0L)).as("__proff")): _*)
+    val inOrd = (if (ascending) order.asc else order.desc) +: ties.map(_.asc)
+    val wIn = Window.partitionBy(kc: _*).orderBy(inOrd: _*)
+    val joined = celled.join(broadcast(offs), keys :+ "__pc")
+    // inclusive-minus-current instead of an exclusive frame: the inclusive
+    // frame is never null, so no type-widening coalesce enters the sum
+    val incl = sum(col("__pval")).over(wIn.rowsBetween(Window.unboundedPreceding, 0))
+    val summed = joined.withColumn(outSum, col("__poff") + incl - col("__pval"))
+    val ranked = outRank match {
+      case Some(r) =>
+        summed.withColumn(r, col("__proff") + row_number().over(wIn).cast("long"))
+      case None => summed
+    }
+    ranked.drop("__pval", "__pc", "__poff", "__proff")
+  }
+
+  /** Exact per-partition `row_number` alone (q58's rank-derived window
+    * functions) — the rank half of [[exclusiveSum]] with a unit weight.
+    */
+  def rank(
+      df: DataFrame, keys: Seq[String],
+      order: Column, ascending: Boolean, ties: Seq[Column],
+      out: String, coarseCells: Int = 64): DataFrame =
+    exclusiveSum(df, keys, order, ascending, ties, lit(1L), "__prank_sum",
+      Some(out), coarseCells).drop("__prank_sum")
+
+  /** GLOBAL exclusive running max of a LONG `value` ordered by `order`
+    * ascending — `max(value).over(Window.orderBy(order).rowsBetween(
+    * unboundedPreceding, -1))` (null on the first row), with no global
+    * window: per-cell maxes are a ≤`coarseCells`-row bounded collect (the
+    * exactNtile counts pattern), scan-left'ed on the driver into exclusive
+    * cell offsets and broadcast back; an in-cell window finishes the
+    * prefix. q198 uses this for the cross-bucket predecessor max, where
+    * the input is already the 1024×-reduced bucket relation.
+    */
+  def exclusiveMaxLong(
+      df: DataFrame, order: Column, ties: Seq[Column],
+      value: Column, out: String, coarseCells: Int = 64): DataFrame = {
+    val keyed = df.withColumn("__pval", value.cast("long"))
+      .withColumn("__pv", order.cast("double"))
+    val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
+    val bounds =
+      if (coarseCells <= 1) Array.empty[Double]
+      else keyed.stat.approxQuantile("__pv", probs, 0.001).distinct.sorted
+    val celled = keyed
+      .withColumn("__pc", Quantiles.cellOf(col("__pv"), bounds, "PrefixSum"))
+      .drop("__pv")
+    // ≤ coarseCells rows — the documented bounded driver-side collect
+    val cellMax = celled.groupBy(col("__pc")).agg(max(col("__pval")).as("__pm"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offs = cellMax.map(_._1)
+      .zip(cellMax.scanLeft(Option.empty[Long]) { case (acc, (_, m)) =>
+        Some(acc.fold(m)(math.max(_, m)))
+      })
+      .map { case (cell, m) => (cell, m.map(java.lang.Long.valueOf).orNull) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offs.toSeq.toDF("__pc", "__poffm")
+    val wIn = Window.partitionBy(col("__pc"))
+      .orderBy((order.asc +: ties.map(_.asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // greatest skips nulls: null only when BOTH the cell offset (first
+    // cell) and the in-cell prefix (first row in cell) are absent — i.e.
+    // exactly the window lag/prefix-max null contract
+    celled
+      .join(broadcast(offDf), Seq("__pc"))
+      .withColumn(out, greatest(col("__poffm"), max(col("__pval")).over(wIn)))
+      .drop("__pval", "__pc", "__poffm")
+  }
+}

@@ -31,29 +31,70 @@ import org.apache.spark.sql.functions._
   * with the data (it only costs boundary-array length; the default 64
   * matches local[32], a cluster run would use O(cores) or more).
   *
-  * Preconditions: `value` must be non-null (engines disagree on null
-  * ordering) and numerically castable to double; the double cast is only
-  * used for COARSE placement (monotone, collapse-safe — equal or
-  * collapsed values land in one cell and the in-cell sort uses the
-  * original column), so DECIMAL inputs keep exact ordering.
+  * Preconditions: `value` must be non-null — ENFORCED: a null sort key
+  * raises at cell assignment (engines disagree on null ordering, and a
+  * silent null would land in cell 0 yet sort nulls-last in the in-cell
+  * window, producing buckets that diverge from window ntile) — and
+  * numerically castable to double; the double cast is only used for
+  * COARSE placement (monotone, collapse-safe — equal or collapsed values
+  * land in one cell and the in-cell sort uses the original column), so
+  * DECIMAL inputs keep exact ordering.
   */
 object Quantiles {
 
+  /** One ntile sort key: bucket by `value` (asc/desc) into column `out`. */
+  final case class NtileKey(value: Column, ascending: Boolean, out: String)
+
+  /** Coarse-cell id from fixed boundary values: a monotone codegen'd sum
+    * of `when`s, with a fail-fast guard on null sort keys. Shared by
+    * [[exactNtiles]] and [[PrefixSum]] (same machinery, different running
+    * aggregate).
+    */
+  private[ops] def cellOf(qv: Column, bounds: Array[Double], what: String): Column = {
+    val cells =
+      if (bounds.isEmpty) lit(0)
+      else bounds.toSeq.map(b => when(qv > lit(b), 1).otherwise(0)).reduce(_ + _)
+    when(qv.isNotNull, cells).otherwise(
+      raise_error(lit(s"$what: null sort key — filter or impute nulls before bucketing"))
+        .cast("int"))
+  }
+
   def exactNtile(
       df: DataFrame, n: Int, value: Column, ascending: Boolean,
-      ties: Seq[Column], out: String, coarseCells: Int = 64): DataFrame = {
+      ties: Seq[Column], out: String, coarseCells: Int = 64): DataFrame =
+    exactNtiles(df, n, Seq(NtileKey(value, ascending, out)), ties, coarseCells)
+
+  /** Several exact ntiles over the SAME relation (q172's RFM shape —
+    * recency/frequency/monetary quintiles) sharing ONE approxQuantile
+    * scan: the multi-column variant summarizes every sort key in a single
+    * pass, so k score columns cost one boundary scan instead of k.
+    */
+  def exactNtiles(
+      df: DataFrame, n: Int, keys: Seq[NtileKey],
+      ties: Seq[Column], coarseCells: Int = 64): DataFrame = {
     require(n > 0, s"ntile bucket count must be positive, got $n")
-    val dir = if (ascending) value.cast("double") else negate(value.cast("double"))
-    val keyed = df.withColumn("__qv", dir)
-    // pass 1: coarse boundaries (driver-side doubles; membership-neutral)
+    require(keys.nonEmpty, "at least one ntile sort key required")
+    val qvName = keys.indices.map(i => s"__qv$i")
+    val keyed = keys.zipWithIndex.foldLeft(df) { case (d, (k, i)) =>
+      val dir = if (k.ascending) k.value.cast("double") else negate(k.value.cast("double"))
+      d.withColumn(qvName(i), dir)
+    }
+    // pass 1: coarse boundaries for ALL sort keys in one scan
+    // (driver-side doubles; membership-neutral)
     val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
-    val bounds =
-      if (coarseCells <= 1) Array.empty[Double]
-      else keyed.stat.approxQuantile("__qv", probs, 0.001).distinct.sorted
-    val cellOf =
-      if (bounds.isEmpty) lit(0)
-      else bounds.toSeq.map(b => when(col("__qv") > lit(b), 1).otherwise(0)).reduce(_ + _)
-    val celled = keyed.withColumn("__qc", cellOf)
+    val bounds: Seq[Array[Double]] =
+      if (coarseCells <= 1) keys.map(_ => Array.empty[Double])
+      else keyed.stat.approxQuantile(qvName.toArray, probs, 0.001)
+        .toSeq.map(_.distinct.sorted)
+    keys.zipWithIndex.foldLeft(keyed) { case (d, (k, i)) =>
+      oneKey(d, n, k, col(qvName(i)), bounds(i), ties)
+    }.drop(qvName: _*)
+  }
+
+  private def oneKey(
+      df: DataFrame, n: Int, k: NtileKey, qv: Column,
+      bounds: Array[Double], ties: Seq[Column]): DataFrame = {
+    val celled = df.withColumn("__qc", cellOf(qv, bounds, "Quantiles.exactNtile"))
     // pass 2: exact per-cell counts → global rank offsets (≤ coarseCells
     // rows — bounded, never data-sized)
     val counts = celled.groupBy(col("__qc")).agg(count(lit(1)).as("__qn"))
@@ -67,7 +108,7 @@ object Quantiles {
     val offDf = offsets.toSeq.toDF("__qc", "__qoff")
     // pass 3: in-cell exact rank (original column order — the double cast
     // never decides a comparison) + offset = exact global rank
-    val inCell = (if (ascending) value.asc else value.desc) +: ties.map(_.asc)
+    val inCell = (if (k.ascending) k.value.asc else k.value.desc) +: ties.map(_.asc)
     val w = Window.partitionBy(col("__qc")).orderBy(inCell: _*)
     val ranked = celled
       .join(broadcast(offDf), Seq("__qc"))
@@ -87,7 +128,7 @@ object Quantiles {
             s"ELSE ${r}L + (__qr - ${cut}L - 1L) DIV ${q}L + 1L END")
       }
     ranked
-      .withColumn(out, bucket.cast("bigint"))
-      .drop("__qv", "__qc", "__qoff", "__qr")
+      .withColumn(k.out, bucket.cast("bigint"))
+      .drop("__qc", "__qoff", "__qr")
   }
 }
