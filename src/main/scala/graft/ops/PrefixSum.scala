@@ -42,21 +42,52 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  /** Monotone numeric surrogate of an ASCII-ish string's bytes `from..
+    * from+n-1` (1-based, n ≤ 6 keeps the pack exact in a double):
+    * codepoints clamp at 255, so the pack is monotone in the string's
+    * UTF-8 byte order wherever codepoints stay < 255 and COLLAPSES (same
+    * cell — always safe) beyond. Use as [[exclusiveSum]]'s `cellKey` for
+    * string window orders (approxQuantile can't summarize strings).
+    */
+  def packAscii(c: Column, from: Int, n: Int): Column = {
+    require(n >= 1 && n <= 6, s"pack width must be 1..6 bytes, got $n")
+    (0 until n).map { i =>
+      least(ascii(substring(c, from + i, 1)), lit(255)).cast("long") *
+        lit(1L << (8 * (n - 1 - i)))
+    }.reduce(_ + _)
+  }
+
   /** Exclusive running sum of `value` (and optionally the exact 1-based
     * `row_number` rank) over `PARTITION BY keys ORDER BY order [dir],
     * ties...` — row-identical to
     * `sum(value).over(w.rowsBetween(unboundedPreceding, -1))` (null → 0)
     * and `row_number().over(w)`, with no task ever seeing a whole
     * partition. The inclusive sum is `out + value`.
+    *
+    * `cellKey`: optional numeric surrogate used ONLY for coarse-cell
+    * placement — it must be non-null and MONOTONE (non-strictly) in the
+    * window order within every partition; equal surrogates for ordered
+    * rows merely collapse them into one cell (safe). Defaults to the
+    * (direction-normalized) order column itself; pass [[packAscii]] of
+    * the post-partition-prefix bytes for string orders.
+    *
+    * `broadcastOffsets`: the offsets relation is |distinct keys|·cells
+    * rows. Broadcast it (default) for low-cardinality keys; pass false
+    * for HIGH-cardinality keys (q140's SNM blocks) — the offsets join
+    * then shuffles on (keys, cell), which distributes at any key count.
     */
   def exclusiveSum(
       df: DataFrame, keys: Seq[String],
       order: Column, ascending: Boolean, ties: Seq[Column],
       value: Column, outSum: String, outRank: Option[String] = None,
-      coarseCells: Int = 64): DataFrame = {
+      coarseCells: Int = 64, cellKey: Option[Column] = None,
+      broadcastOffsets: Boolean = true): DataFrame = {
     require(keys.nonEmpty,
       "empty partition keys: use Quantiles.exactNtile-style global machinery")
-    val qv = if (ascending) order.cast("double") else negate(order.cast("double"))
+    val qv = cellKey match {
+      case Some(k) => if (ascending) k.cast("double") else negate(k.cast("double"))
+      case None => if (ascending) order.cast("double") else negate(order.cast("double"))
+    }
     val keyed = df.withColumn("__pval", value).withColumn("__pv", qv)
     val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
     val bounds =
@@ -80,7 +111,8 @@ object PrefixSum {
         coalesce(sum(col("__pn")).over(wOff), lit(0L)).as("__proff")): _*)
     val inOrd = (if (ascending) order.asc else order.desc) +: ties.map(_.asc)
     val wIn = Window.partitionBy(kc: _*).orderBy(inOrd: _*)
-    val joined = celled.join(broadcast(offs), keys :+ "__pc")
+    val joined = celled.join(
+      if (broadcastOffsets) broadcast(offs) else offs, keys :+ "__pc")
     // inclusive-minus-current instead of an exclusive frame: the inclusive
     // frame is never null, so no type-widening coalesce enters the sum
     val incl = sum(col("__pval")).over(wIn.rowsBetween(Window.unboundedPreceding, 0))
@@ -99,9 +131,10 @@ object PrefixSum {
   def rank(
       df: DataFrame, keys: Seq[String],
       order: Column, ascending: Boolean, ties: Seq[Column],
-      out: String, coarseCells: Int = 64): DataFrame =
+      out: String, coarseCells: Int = 64, cellKey: Option[Column] = None,
+      broadcastOffsets: Boolean = true): DataFrame =
     exclusiveSum(df, keys, order, ascending, ties, lit(1L), "__prank_sum",
-      Some(out), coarseCells).drop("__prank_sum")
+      Some(out), coarseCells, cellKey, broadcastOffsets).drop("__prank_sum")
 
   /** GLOBAL exclusive running max of a LONG `value` ordered by `order`
     * ascending — `max(value).over(Window.orderBy(order).rowsBetween(

@@ -115,14 +115,25 @@ object Scale {
     val conf = keys.sparkSession.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (conf.get(itemsKey).toLong < sizedItems) conf.set(itemsKey, sizedItems)
-    if (conf.get(bitsKey).toLong < numBits) conf.set(bitsKey, numBits)
-    // one-row scalar aggregate (documented driver-side .head() pattern)
-    val bfRow = keys
-      .select(call_function("graft_bloom_agg",
-        xxhash64(col(keyCol)), lit(sizedItems), lit(numBits)).as("bf"))
-      .head()
-    if (bfRow.isNullAt(0)) None else Some(bfRow.getAs[Array[Byte]](0))
+    // raise the caps only for the duration of THIS build and restore
+    // after (ADVICE r10: a permanent ratchet leaked into Spark's own
+    // injected runtime bloom filters for every later query in the
+    // session). Concurrent builds in one session would race on the conf;
+    // batch pipelines build filters sequentially — documented contract.
+    val (priorItems, priorBits) = (conf.get(itemsKey), conf.get(bitsKey))
+    if (priorItems.toLong < sizedItems) conf.set(itemsKey, sizedItems)
+    if (priorBits.toLong < numBits) conf.set(bitsKey, numBits)
+    try {
+      // one-row scalar aggregate (documented driver-side .head() pattern)
+      val bfRow = keys
+        .select(call_function("graft_bloom_agg",
+          xxhash64(col(keyCol)), lit(sizedItems), lit(numBits)).as("bf"))
+        .head()
+      if (bfRow.isNullAt(0)) None else Some(bfRow.getAs[Array[Byte]](0))
+    } finally {
+      conf.set(itemsKey, priorItems)
+      conf.set(bitsKey, priorBits)
+    }
   }
 
   /** Probe column for a [[buildBloom]] filter (test/diagnostic surface). */

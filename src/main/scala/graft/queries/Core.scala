@@ -132,18 +132,23 @@ object Core {
               |  count(*) AS n_rows
               |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
-    // A1 (literal window form): grouped mean broadcast back to rows —
-    // pandas groupby().transform('mean') ≡ avg OVER (PARTITION BY ...).
+    // A1 (transform form): grouped mean broadcast back to rows — pandas
+    // groupby().transform('mean'). SCALE SHAPE: `avg OVER (PARTITION BY
+    // ship_day)` funnels a full day's rows (100 TB / ~2500 days ≈ 40 GB)
+    // into one task per calendar key; the distributed transform is a hash
+    // aggregate to the calendar-bounded day rollup, broadcast-joined back
+    // (identical values — the 4-dp parity rounding already absorbs
+    // cross-engine summation order).
     QueryDef(
       "q07_window_mean",
-      (s, dir) =>
-        tbl(s, dir, "lineitem")
-          .withColumn("ship_day", dayS)
-          .withColumn(
-            "day_avg_qty",
-            R(avg(col("l_quantity")).over(Window.partitionBy(col("ship_day"))), 4))
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem").withColumn("ship_day", dayS)
+        val dayAvg = li.groupBy(col("ship_day"))
+          .agg(R(avg(col("l_quantity")), 4).as("day_avg_qty"))
+        li.join(broadcast(dayAvg), Seq("ship_day"))
           .select("l_orderkey", "l_linenumber", "ship_day", "day_avg_qty")
-          .orderBy("l_orderkey", "l_linenumber", "ship_day", "day_avg_qty"),
+          .orderBy("l_orderkey", "l_linenumber", "ship_day", "day_avg_qty")
+      },
       Some(s"""SELECT l_orderkey, l_linenumber,
               |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
               |  ${rs("avg(l_quantity) OVER (PARTITION BY strftime(l_shipdate, '%Y-%m-%d'))", 4)}

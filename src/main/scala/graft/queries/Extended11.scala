@@ -31,17 +31,7 @@ object Extended11 {
     */
   private val BfRounds = 6
 
-  /** Best-effort recursive delete for q156's per-invocation scratch dirs
-    * (stream source copy, sink, checkpoint) — they are created fresh each
-    * call and must not accumulate across verify/bench cycles.
-    */
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
-    }
-  }
+  private def rmTree(p: java.nio.file.Path): Unit = QueryDef.rmTree(p)
 
   private def bellmanFordSql: String = {
     val rounds = (1 to BfRounds).map { k =>
@@ -114,12 +104,18 @@ object Extended11 {
           }
           .start()
         q.awaitTermination()
-        s.read.parquet(out)
+        // localCheckpoint(eager) materializes off the sink files so the
+        // scratch trio deletes NOW instead of leaking per invocation
+        val result = s.read.parquet(out)
           .select(
             date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
             col("event_type"), col("n"),
             R(col("__vs").cast("double"), 4).as("value_sum_r"))
           .orderBy("hour_start", "event_type")
+          .localCheckpoint(true)
+        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+          .foreach(rmTree)
+        result
       },
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
               |  event_type, count(*) AS n,
@@ -163,7 +159,7 @@ object Extended11 {
           }
           .start()
         q.awaitTermination()
-        s.read.parquet(out)
+        val result = s.read.parquet(out)
           .select(
             col("user_id"),
             date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
@@ -171,6 +167,10 @@ object Extended11 {
             col("n_events"),
             R(col("__vs").cast("double"), 4).as("value_sum_r"))
           .orderBy("user_id", "start_s")
+          .localCheckpoint(true)
+        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+          .foreach(rmTree)
+        result
       },
       // µs-precision islands: epoch_us avoids the double rounding a
       // fractional epoch() would introduce at session boundaries

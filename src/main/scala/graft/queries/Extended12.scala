@@ -293,7 +293,12 @@ object Extended12 {
     // map-side-partial hash agg — and only the final mean/var division
     // happens in (identically-written) double math, so engine summation
     // order cannot move the result. percent_rank is an exact rational of
-    // two integers. One shuffle on source + one window — scales linearly.
+    // two integers — and because SQL RANK() is 1 + (# rows strictly
+    // below), it is a pure function of the (source, n_chars) FREQUENCY
+    // ROLLUP: a `percent_rank() OVER (PARTITION BY source)` window over
+    // raw docs would funnel N/20 rows into one task at 100 TB, so the
+    // rank comes from PrefixSum over the length-domain-saturating rollup
+    // instead, joined back on (source, n_chars).
     QueryDef(
       "q161_score_calibrate",
       (s, dir) => {
@@ -307,12 +312,19 @@ object Extended12 {
           col("s1").cast("double") * col("s1").cast("double") / col("n").cast("double")) /
           (col("n").cast("double") - lit(1.0))
         val z = (col("n_chars").cast("double") - mean) / sqrt(vr)
+        val cnt = d.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("__c"))
+        val below = graft.ops.PrefixSum.exclusiveSum(
+            cnt, Seq("source"), col("n_chars"), ascending = true, Nil, col("__c"), "__lt")
+          .select(col("source"), col("n_chars"), col("__lt"))
         // per-source stats are |sources| rows — broadcast them; without
         // the hint fixture-scale stats make Spark broadcast the DOCUMENT
         // side (BuildLeft), which is exactly backwards at 100 TB
         d.join(broadcast(stats), "source")
+          .join(below, Seq("source", "n_chars"))
           .withColumn("pct",
-            percent_rank().over(Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+            when(col("n") > 1L,
+              col("__lt").cast("double") / (col("n") - 1L).cast("double"))
+              .otherwise(lit(0.0)))
           .select(col("doc_id"), col("source"), col("n_chars"),
             R(z, 4).as("z_r"), R(col("pct"), 6).as("pct_r"))
           .orderBy("doc_id")

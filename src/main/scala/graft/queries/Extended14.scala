@@ -96,9 +96,12 @@ object Extended14 {
     // Weights accumulate as DECIMAL(18,4) of 4-dp-rounded quantities, so
     // the cumulative and total sums are exact and the 2·cum ≥ tot
     // predicate is integer-exact in both engines. The unweighted exact
-    // percentile (q47) cannot express this; at scale it is one shuffle
-    // on the group key plus one ordered window — same cost class as any
-    // grouped rank.
+    // percentile (q47) cannot express this. SCALE SHAPE: `rf` has THREE
+    // values, so a `PARTITION BY rf` running sum is an N/3 single-task
+    // sort at 100 TB — the cumulative weight goes through
+    // PrefixSum.exclusiveSum (coarse price cells + exact DECIMAL offsets;
+    // largest task ~N/(3·cells)) and the group totals through a 3-row
+    // hash agg broadcast back.
     QueryDef(
       "q171_weighted_median",
       (s, dir) => {
@@ -107,11 +110,12 @@ object Extended14 {
           .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("price"),
             col("l_orderkey"), col("l_linenumber"),
             R(col("l_quantity"), 4).cast(dec4).as("w"))
-        val ord = Window.partitionBy(col("rf"))
-          .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
-        val cum = base
-          .withColumn("cw", sum(col("w")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("rf"))))
+        val tot = base.groupBy(col("rf")).agg(sum(col("w")).as("tw"))
+        val cum = graft.ops.PrefixSum.exclusiveSum(
+            base, Seq("rf"), col("price"), ascending = true,
+            Seq(col("l_orderkey"), col("l_linenumber")), col("w"), "__cwx")
+          .join(broadcast(tot), Seq("rf"))
+          .withColumn("cw", col("__cwx") + col("w"))
         cum.filter(col("cw") * 2 >= col("tw"))
           .groupBy(col("rf")).agg(
             min(col("price")).as("wmedian"),
@@ -142,10 +146,11 @@ object Extended14 {
     // windows with total tie-break orders (metric, custkey) make the
     // scores engine-deterministic. Output is per-customer, total ORDER
     // BY. The per-customer relation is DATA-SIZED, so each quintile runs
-    // as Quantiles.exactNtile (coarse cells + exact offsets + per-cell
+    // as Quantiles.exactNtiles (coarse cells + exact offsets + per-cell
     // windows — no single-task global sort; identical assignment, pinned
-    // in QuantilesSpec); the agg is Ckpt'd once so the three ntile passes
-    // (boundaries + counts + rank each) don't re-run the orders scan.
+    // in QuantilesSpec); the agg is Ckpt'd once and the multi-key variant
+    // shares ONE multi-column approxQuantile scan across all three sort
+    // keys, so the boundary pass costs one scan instead of three.
     QueryDef(
       "q172_rfm",
       (s, dir) => {
@@ -155,13 +160,12 @@ object Extended14 {
               .cast("bigint").as("recency_days"),
             count(lit(1)).as("frequency"),
             sum(R(col("o_totalprice"), 2).cast(DecimalType(18, 2))).as("monetary")))
-        val nt = graft.ops.Quantiles.exactNtile(_: org.apache.spark.sql.DataFrame,
-          5, _: Column, _: Boolean, Seq(col("custkey")), _: String)
-        val scored = nt(
-          nt(
-            nt(m, col("recency_days"), true, "r_score"),
-            col("frequency"), false, "f_score"),
-          col("monetary"), false, "m_score")
+        import graft.ops.Quantiles.NtileKey
+        val scored = graft.ops.Quantiles.exactNtiles(m, 5, Seq(
+          NtileKey(col("recency_days"), ascending = true, "r_score"),
+          NtileKey(col("frequency"), ascending = false, "f_score"),
+          NtileKey(col("monetary"), ascending = false, "m_score")),
+          Seq(col("custkey")))
         scored
           .select(col("custkey"), col("recency_days"), col("frequency"),
             col("monetary").cast("double").as("monetary_d"),

@@ -249,20 +249,27 @@ object Extended18 {
     // score-free rank combiner for multi-signal retrieval. Determinism:
     // both input ranks are total (desc key, doc_id tie-break); RRF scores
     // are sums of reciprocals of identical integers, so the fused order —
-    // also doc_id-tie-broken — is bit-stable on both engines. Shape:
-    // three windows per source partition, no joins; the fused window
-    // ranks only what the per-source partitions already bound.
+    // also doc_id-tie-broken — is bit-stable on both engines. SCALE
+    // SHAPE: the two input ranks are per-SOURCE (~20 keys) over raw docs
+    // — N/20 single-task sorts as plain windows — so both come from
+    // PrefixSum.rank (coarse cells + exact offsets); the fused top-5
+    // window stays native because its `row_number <= k` filter plans a
+    // WindowGroupLimit (per-key input pruned to k per map task before the
+    // final per-key rank).
     QueryDef(
       "q187_rrf_fusion",
       (s, dir) => {
+        import graft.ops.PrefixSum
         val ntok = size(Text.tokensNorm(col("text"))).cast("long")
         val base = tbl(s, dir, "documents")
           .select(col("source"), col("doc_id"), col("n_chars"),
             ntok.as("n_tokens"))
         val bySrc = Window.partitionBy(col("source"))
-        val r1 = row_number().over(bySrc.orderBy(col("n_chars").desc, col("doc_id")))
-        val r2 = row_number().over(bySrc.orderBy(col("n_tokens").desc, col("doc_id")))
-        val fused = base.withColumn("r1", r1).withColumn("r2", r2)
+        val withRanks = PrefixSum.rank(
+          PrefixSum.rank(base, Seq("source"), col("n_chars"), ascending = false,
+            Seq(col("doc_id")), "r1"),
+          Seq("source"), col("n_tokens"), ascending = false, Seq(col("doc_id")), "r2")
+        val fused = withRanks
           .withColumn("rrf",
             lit(1.0) / (lit(RrfK) + col("r1")) + lit(1.0) / (lit(RrfK) + col("r2")))
           .withColumn("rank", row_number().over(

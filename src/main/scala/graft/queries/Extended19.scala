@@ -247,23 +247,26 @@ object Extended19 {
     // corpus's — rank-based quantile normalization, the alignment step
     // that makes heterogeneous sources comparable before mixing (q161's
     // z-score assumes a shape; this one doesn't). Scale shape: the
-    // per-source rank window is PARTITIONED (distributes), each doc maps
-    // to one of 100 quantile cells by integer ceil-rank arithmetic, and
-    // the pooled side is a single percentile() aggregate (mergeable
-    // buffer) posexploded to a 100-row broadcast grid — the output is
-    // bounded by sources × cells at any corpus size. Spark percentile ≡
-    // DuckDB quantile_cont (linear interpolation, parity proven by q47).
+    // per-source rank comes from PrefixSum.rank (a plain `PARTITION BY
+    // source` window would single-task N/20 rows — ~20 sources), each doc
+    // maps to one of 100 quantile cells by integer ceil-rank arithmetic
+    // (per-source sizes are a 20-row broadcast agg, not a partition-only
+    // window), and the pooled side is a single percentile() aggregate
+    // (mergeable buffer) posexploded to a 100-row broadcast grid — the
+    // output is bounded by sources × cells at any corpus size. Spark
+    // percentile ≡ DuckDB quantile_cont (linear interpolation, parity
+    // proven by q47).
     QueryDef(
       "q190_quantile_normalize",
       (s, dir) => {
         val fracs = (1 to Cells).map(_ / 100.0)
         val base = tbl(s, dir, "documents")
           .select(col("source"), col("doc_id"), col("n_chars"))
-        val bySrc = Window.partitionBy(col("source"))
-        val ranked = base
-          .withColumn("r", row_number().over(
-            bySrc.orderBy(col("n_chars"), col("doc_id"))))
-          .withColumn("ns", count(lit(1)).over(bySrc))
+        val sizes = base.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+        val ranked = graft.ops.PrefixSum.rank(
+            base, Seq("source"), col("n_chars"), ascending = true,
+            Seq(col("doc_id")), "r")
+          .join(broadcast(sizes), Seq("source"))
           .withColumn("cell",
             ((col("r") * Cells + col("ns") - 1) / col("ns")).cast("long"))
         val grid = base

@@ -144,22 +144,49 @@ object Extended2 {
     // cume_dist, first/last/nth value. Window ordering is total
     // (o_orderkey unique) so every function is deterministic; the
     // rank-derived doubles are exact integer ratios — identical in both
-    // engines (rounded only as belt-and-braces).
+    // engines (rounded only as belt-and-braces). SCALE SHAPE:
+    // `o_orderpriority` has FIVE values, so native windows would sort
+    // N/5 orders in one task each at 100 TB. With a TOTAL (tie-free)
+    // ordering every one of these functions is a pure function of
+    // (row_number, partition size, boundary keys), so the query rebases
+    // on PrefixSum.rank (distributed exact rank) plus one 5-row
+    // per-priority rollup (count + rank-1/2/N keys via conditional aggs)
+    // broadcast back: percent_rank = (rn−1)/(N−1), cume_dist = rn/N,
+    // ntile = the exactNtile split arithmetic, first/last/nth = the
+    // rollup's boundary keys.
     QueryDef(
       "q58_window_nav",
       (s, dir) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        tbl(s, dir, "orders")
+        val ranked = graft.ops.PrefixSum.rank(
+          tbl(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+          Seq("o_orderpriority"), col("o_totalprice"), ascending = false,
+          Seq(col("o_orderkey")), "__rn")
+        val stats = ranked.groupBy(col("o_orderpriority")).agg(
+          count(lit(1)).as("__n"),
+          max(when(col("__rn") === 1, col("o_orderkey"))).as("top_key"),
+          max(when(col("__rn") === 2, col("o_orderkey"))).as("second_key"),
+          max_by(col("o_orderkey"), col("__rn")).as("bottom_key"))
+        // ntile(4) from rank + partition size — the exactNtile split with
+        // integral DIV (see Quantiles: double division can cross a floor)
+        val q4 = expr("__n DIV 4L")
+        val r4 = col("__n") % 4L
+        val cut = (q4 + 1L) * r4
+        val tile = when(q4 === 0L, col("__rn")).otherwise(
+          when(col("__rn") <= cut,
+            expr("(__rn - 1L) DIV (__n DIV 4L + 1L)") + 1L)
+            .otherwise(r4 + expr("(__rn - (__n DIV 4L + 1L) * (__n % 4L) - 1L) DIV (__n DIV 4L)") + 1L))
+        ranked.join(broadcast(stats), Seq("o_orderpriority"))
           .select(
             col("o_orderkey"), col("o_orderpriority"),
-            ntile(4).over(w).cast("bigint").as("tile"),
-            R(percent_rank().over(w), 8).as("pr"),
-            R(cume_dist().over(w), 8).as("cd"),
-            first(col("o_orderkey")).over(w).as("top_key"),
-            last(col("o_orderkey")).over(wFull).as("bottom_key"),
-            nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+            tile.cast("bigint").as("tile"),
+            R((col("__rn") - 1L).cast("double") /
+              when(col("__n") > 1L, (col("__n") - 1L).cast("double")).otherwise(lit(1.0)),
+              8).as("pr"),
+            R(col("__rn").cast("double") / col("__n").cast("double"), 8).as("cd"),
+            col("top_key"),
+            col("bottom_key"),
+            when(col("__n") >= 2L, col("second_key")).as("second_key"))
           .orderBy(col("o_orderpriority"), col("pr"), col("o_orderkey"))
       },
       Some(s"""SELECT o_orderkey, o_orderpriority,

@@ -217,12 +217,16 @@ object Extended21 {
     // find the largest holes in the event_id space — the sequence audit
     // that catches failed ingests and over-eager deletes. The scale
     // design: ids hash into Bucket-sized partitions; WITHIN-bucket gaps
-    // come from a PARTITIONED lag window (distributes), CROSS-bucket gaps
-    // from a lag over the buckets relation (|ids|/1024 rows — the one
-    // single-task stage, 1024×-reduced: ~10M rows at 10B ids, a
-    // seconds-scale sort) — no global row sort over raw ids; the final
-    // top-10 runs as TakeOrderedAndProject and only the 10 survivors see
-    // a rank window. Pure integer arithmetic throughout.
+    // come from a PARTITIONED lag window (distributes). CROSS-bucket gaps
+    // need each bucket's PREDECESSOR max — and because bucket max ids are
+    // strictly increasing in the bucket id, lag(max) over present buckets
+    // ≡ the exclusive running MAX, which PrefixSum.exclusiveMaxLong
+    // computes with NO single-task stage at all (coarse bucket-id cells +
+    // a ≤64-row driver-side cell rollup + per-cell windows — correct even
+    // when intermediate buckets are entirely deleted, where a naive
+    // `join on b−1` would drop the gap). The final top-10 runs as
+    // TakeOrderedAndProject and only the 10 survivors see a rank window.
+    // Pure integer arithmetic throughout.
     QueryDef(
       "q198_id_gaps",
       (s, dir) => {
@@ -237,9 +241,9 @@ object Extended21 {
           .select((col("p") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
         val bkt = kept.groupBy(col("b"))
           .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
-        val wB = Window.orderBy(col("b"))
-        val xGaps = bkt
-          .withColumn("pmx", lag(col("mx"), 1).over(wB))
+        // mx strictly increases with b, so lag(mx) ≡ exclusive prefix max
+        val xGaps = graft.ops.PrefixSum.exclusiveMaxLong(
+            bkt, col("b"), Nil, col("mx"), "pmx")
           .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
           .select((col("pmx") + 1).as("gap_start"), (col("mn") - 1).as("gap_end"))
         val gaps = inGaps.unionAll(xGaps)

@@ -185,8 +185,12 @@ object Extended31 {
     // an exact integer; each 1/log2(i+1) discount is one shared ln
     // shape; DCG sums accumulate ROUNDED-term DECIMALs over ≤10 rows;
     // one final division. Shape: aggregate-before-join (lineitem →
-    // part-sized count relation) then two catalog-partitioned windows —
-    // the event data is never windowed, only the bounded catalog.
+    // part-sized count relation), then each DCG arm is a `row_number ≤
+    // 10` rank-prune — Spark plans a WindowGroupLimit, so the per-brand
+    // window never sees more than ~10 rows per map task (the catalog is
+    // data-sized in TPC-H: windowing it whole would put every brand's
+    // full part list through one task) — and a ≤10-row-per-brand DECIMAL
+    // sum; the event data is never windowed at all.
     QueryDef(
       "q231_ndcg",
       (s, dir) => {
@@ -198,18 +202,20 @@ object Extended31 {
           .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
             coalesce(col("rel"), lit(0L)).as("rel"))
         val byBrand = Window.partitionBy(col("p_brand"))
-        val pr = row_number().over(byBrand.orderBy(col("p_retailprice").desc, col("p_partkey").asc)).cast("long")
-        val ir = row_number().over(byBrand.orderBy(col("rel").desc, col("p_partkey").asc)).cast("long")
         val dec = DecimalType(28, 10)
         def gain(rank: Column) =
           col("rel").cast("double") / (log(rank.cast("double") + lit(1.0)) / log(lit(2.0)))
-        val ranked = parts.withColumn("pr", pr).withColumn("ir", ir)
-        val agg = ranked.groupBy(col("p_brand").as("brand"))
-          .agg(count(lit(1)).as("n_parts"),
-            sum(when(col("pr") <= 10, R(gain(col("pr")), 10)).otherwise(lit(0.0)).cast(dec))
-              .cast("double").as("dcg"),
-            sum(when(col("ir") <= 10, R(gain(col("ir")), 10)).otherwise(lit(0.0)).cast(dec))
-              .cast("double").as("idcg"))
+        // rank → filter ≤ 10 → aggregate: the WindowGroupLimit pattern
+        def dcgArm(ord: Seq[Column], out: String) =
+          parts.withColumn("__r", row_number().over(byBrand.orderBy(ord: _*)).cast("long"))
+            .filter(col("__r") <= 10)
+            .groupBy(col("p_brand").as("brand"))
+            .agg(sum(R(gain(col("__r")), 10).cast(dec)).cast("double").as(out))
+        val nParts = parts.groupBy(col("p_brand").as("brand"))
+          .agg(count(lit(1)).as("n_parts"))
+        val agg = nParts
+          .join(dcgArm(Seq(col("p_retailprice").desc, col("p_partkey").asc), "dcg"), Seq("brand"))
+          .join(dcgArm(Seq(col("rel").desc, col("p_partkey").asc), "idcg"), Seq("brand"))
         agg.select(col("brand"), col("n_parts"),
             R(col("dcg"), 6).as("dcg_r"),
             R(col("idcg"), 6).as("idcg_r"),

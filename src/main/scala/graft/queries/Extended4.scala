@@ -429,10 +429,13 @@ object Extended4 {
     // source docs are taken best-quality-first (q102's score, doc_id
     // tie-break) until the running token count crosses the quota. The
     // full decision table is emitted, so the SAMPLE ITSELF is
-    // hash-verified, like q107. One window per source computes both the
-    // rank and the running sum; weights go through the q109 pattern
-    // (round-to-8 then DECIMAL-accumulate) so the weight sum is
-    // order-independent in both engines.
+    // hash-verified, like q107. The per-source selection rank AND running
+    // token sum both come from ONE PrefixSum.exclusiveSum pass (coarse
+    // quality cells + exact offsets — `source` is a ~20-value key, so a
+    // plain `PARTITION BY source` window would put N/20 docs in one task
+    // at 100 TB); weights go through the q109 pattern (round-to-8 then
+    // DECIMAL-accumulate) so the weight sum is order-independent in both
+    // engines.
     QueryDef(
       "q113_mix_materialize",
       (s, dir) => {
@@ -447,17 +450,15 @@ object Extended4 {
           weights.agg(
             sum(col("__w").cast(org.apache.spark.sql.types.DecimalType(24, 8)))
               .cast("double").as("__wsum")))
-        val w = Window.partitionBy(col("source")).orderBy(col("__q").desc, col("doc_id").asc)
-        d.join(broadcast(weights), "source")
+        val cum = graft.ops.PrefixSum.exclusiveSum(
+          d.drop("__t"), Seq("source"), col("__q"), ascending = false,
+          Seq(col("doc_id")), col("n_tokens"), "__cum_before", Some("sel_rank"))
+        cum.join(broadcast(weights), "source")
           .crossJoin(broadcast(totals))
           .withColumn("quota", col("__w") / col("__wsum") * col("__tot").cast("double") * 0.25)
-          .withColumn("sel_rank", row_number().over(w).cast("bigint"))
-          .withColumn(
-            "__cum",
-            sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
           .select(
             col("doc_id"), col("source"), col("n_tokens"), col("sel_rank"),
-            ((col("__cum") - col("n_tokens")).cast("double") < col("quota")).as("selected"))
+            (col("__cum_before").cast("double") < col("quota")).as("selected"))
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, source, len(${TextQueries.wsSql}) AS n,

@@ -31,11 +31,7 @@ object Extended46 {
   private def R(c: Column, n: Int) = Num.roundTo(c, n)
   private def rs(e: String, n: Int) = Num.roundSql(e, n)
 
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  private def rmTree(p: java.nio.file.Path): Unit = QueryDef.rmTree(p)
 
   /** q272 ledger cap in cents (500.00). */
   private val Cap = 50000L

@@ -68,11 +68,15 @@ object Extended50 {
     // ----- q283: Spearman rank correlation --------------------------
     // Tie-averaged ranks via rank() + (tie_count-1)/2 (exact half-integer
     // arithmetic), then Pearson over the ranks from exact DECIMAL moment
-    // sums. Shape note for 100 TB: ranking partitions by the 3-value
-    // returnflag — an inherently per-group sort; at cluster scale the
-    // approximate path is binned ranks off q94's GK quantiles, with this
-    // exact form as the verification anchor (the battery's usual
-    // exact/approx pairing).
+    // sums. SCALE SHAPE: `rank() OVER (PARTITION BY g ...)` with the
+    // 3-value returnflag is an N/3 single-task sort at 100 TB. But
+    // SQL rank() is 1 + (# rows strictly below), so tie-averaged ranks
+    // are a pure function of the (g, value) FREQUENCY ROLLUP — which
+    // saturates at the value domain (quantity: 50 distinct; price:
+    // ~100k, the q165 argument): rank = 1 + exclusive prefix sum of the
+    // rollup counts (PrefixSum over the rollup — no data-sized window
+    // anywhere), joined back to rows only to pair rx with ry for the
+    // cross moment.
     QueryDef(
       "q283_spearman",
       (s, dir) => {
@@ -80,13 +84,18 @@ object Extended50 {
           col("l_returnflag").as("g"),
           col("l_quantity").as("x"),
           col("l_extendedprice").as("y"))
-        def arank(v: String) =
-          rank().over(Window.partitionBy(col("g")).orderBy(col(v))) +
-            (count(lit(1)).over(Window.partitionBy(col("g"), col(v))) - lit(1)) / 2.0
+        def ranks(v: String, out: String) = {
+          val cnt = li.groupBy(col("g"), col(v)).agg(count(lit(1)).as("__c"))
+          graft.ops.PrefixSum.exclusiveSum(
+              cnt, Seq("g"), col(v), ascending = true, Nil, col("__c"), "__lt")
+            .select(col("g"), col(v),
+              ((col("__lt") + 1L).cast("double") +
+                (col("__c") - 1L).cast("double") / 2.0).as(out))
+        }
         val dec = DecimalType(38, 4)
         val ranked = li
-          .withColumn("rx", arank("x"))
-          .withColumn("ry", arank("y"))
+          .join(ranks("x", "rx"), Seq("g", "x"))
+          .join(ranks("y", "ry"), Seq("g", "y"))
         val m = ranked.groupBy(col("g")).agg(
           count(lit(1)).as("n"),
           sum(col("rx").cast(dec)).as("sx"),

@@ -54,11 +54,18 @@ object Extended57 {
           }
           .start()
         q.awaitTermination()
-        s.read.parquet(out)
+        // localCheckpoint(eager) materializes off the sink files so the
+        // scratch trio (incl. the events.parquet copy) deletes NOW
+        // instead of leaking one trio per verify/bench invocation
+        val result = s.read.parquet(out)
           .select(
             date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
             col("event_type"), col("n"))
           .orderBy("window_start", "event_type")
+          .localCheckpoint(true)
+        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+          .foreach(QueryDef.rmTree)
+        result
       },
       Some("""WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
              |w AS (

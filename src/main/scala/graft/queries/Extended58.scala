@@ -124,15 +124,22 @@ object Extended58 {
         // anisotropy via the mean-vector identity: Σ_d S_d² sums cos over
         // ALL ordered pairs incl. self; subtract the N self-pairs (=N to
         // rounding) and divide by the N(N−1) cross pairs. 64-row rollup —
-        // no pair join at any scale.
+        // no pair join at any scale. The identity assumes a RECTANGULAR
+        // embedding matrix (every dim has the same row count) — enforced:
+        // ragged input raises instead of silently multiplying the
+        // crossJoin below with inconsistent per-n values (ADVICE r10).
+        val nn0 = col("n").cast("double")
         val aniso = dims.select(col("n"),
             R(col("su").cast("double") * col("su").cast("double"), 6)
               .cast(DecimalType(38, 6)).as("s2"))
-          .groupBy(col("n")).agg(sum(col("s2")).cast("double").as("ssum"))
-          .select(col("n"),
-            R((col("ssum") - col("n").cast("double")) /
-              (col("n").cast("double") * col("n").cast("double") - col("n").cast("double")),
-              6).as("anisotropy_r"))
+          .agg(sum(col("s2")).cast("double").as("ssum"),
+            max(col("n")).as("n"), countDistinct(col("n")).as("__nd"))
+          .select(
+            when(col("__nd") === 1,
+              R((col("ssum") - nn0) / (nn0 * nn0 - nn0), 6))
+              .otherwise(raise_error(lit(
+                "q305: ragged embeddings — per-dim row counts differ")).cast("double"))
+              .as("anisotropy_r"))
         val nn = col("n").cast("double")
         val mean = col("sv").cast("double") / nn
         val variance = col("svv").cast("double") / nn - mean * mean

@@ -80,27 +80,32 @@ object Extended8 {
     // Bigram language-model scoring (add-one smoothed): per-doc mean
     // negative log2-likelihood under the corpus's own bigram counts — the
     // classic perplexity-style quality filter (CCNet uses a 5-gram LM;
-    // the plumbing is identical). Counts attach via two windows over the
-    // SAME shuffle key family; the vocabulary size broadcasts. Docs with
-    // fewer than two tokens have no bigrams and drop (documented
-    // contract). Per-doc sums are rounded-term DECIMAL (exact in any
-    // order), so the hash survives cross-engine summation order.
+    // the plumbing is identical). Docs with fewer than two tokens have no
+    // bigrams and drop (documented contract). Per-doc sums are
+    // rounded-term DECIMAL (exact in any order), so the hash survives
+    // cross-engine summation order. SCALE SHAPE: bigrams come straight
+    // off the token ARRAY (an in-row transform — the old per-doc
+    // lag window put whole documents into single sort groups, and
+    // `count(*) OVER (PARTITION BY p[, t])` put every occurrence of a
+    // head token through one task: the head of a zipf vocabulary is
+    // data-sized); the n-gram counts are now map-side-combinable hash
+    // rollups (vocabulary-saturating) joined back.
     QueryDef(
       "q136_bigram_lm",
       (s, dir) => {
-        val toks = tbl(s, dir, "documents")
-          .select(col("doc_id"), posexplode(Text.tokensNorm(col("text"))).as(Seq("pos", "t")))
-          .filter(col("t") =!= "")
-        val big = toks
-          .withColumn("p",
-            lag(col("t"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-          .filter(col("p").isNotNull)
-        val vocab = toks.agg(countDistinct(col("t")).as("v"))
-        val withC = big
-          .withColumn("cb",
-            count(lit(1)).over(Window.partitionBy(col("p"), col("t"))))
-          .withColumn("cp",
-            count(lit(1)).over(Window.partitionBy(col("p"))))
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(Text.tokensNorm(col("text")), t => t =!= "").as("ts"))
+        val big = docs
+          .select(col("doc_id"), explode(expr(
+            "transform(slice(ts, 2, greatest(size(ts) - 1, 0)), " +
+              "(x, i) -> struct(ts[i] AS p, x AS t))")).as("bg"))
+          .select(col("doc_id"), col("bg.p").as("p"), col("bg.t").as("t"))
+        val vocab = docs.select(explode(col("ts")).as("t"))
+          .agg(countDistinct(col("t")).as("v"))
+        val cb = big.groupBy(col("p"), col("t")).agg(count(lit(1)).as("cb"))
+        val cp = big.groupBy(col("p")).agg(count(lit(1)).as("cp"))
+        val withC = big.join(cb, Seq("p", "t")).join(cp, Seq("p"))
         val nll = (log((col("cb").cast("double") + 1.0) /
           (col("cp").cast("double") + col("v").cast("double"))) / log(lit(2.0))) * lit(-1.0)
         withC.crossJoin(broadcast(vocab))
@@ -261,11 +266,16 @@ object Extended8 {
 
     // Sorted-neighborhood blocking (the OTHER classic dedup candidate
     // generator beside LSH): sort docs by a normalized key inside
-    // hash-blocked partitions, pair each row with its next 3 neighbors
-    // via lead() — candidate count is exactly 3n regardless of skew, no
-    // self-join on shingles at all — then verify with levenshtein on a
-    // fixed prefix. At 100 TB the block prefix bounds every window
-    // partition; one shuffle, no joins until the (tiny) verified output.
+    // hash-blocked partitions, pair each row with its next 3 neighbors —
+    // candidate count is exactly 3n regardless of skew, no self-join on
+    // shingles at all — then verify with levenshtein on a fixed prefix.
+    // SCALE SHAPE: a lead() window `PARTITION BY blk` funnels every doc
+    // sharing a HOT 8-char prefix (boilerplate openings) into one task;
+    // instead the in-block position comes from PrefixSum.rank (coarse
+    // cells over the packed post-prefix bytes split hot blocks across
+    // tasks; shuffled — not broadcast — offsets, since blocks are
+    // high-cardinality) and neighbor i is an equi-join on (blk, pos+i) —
+    // row-identical to lead(i), never a whole block in one task.
     QueryDef(
       "q140_sorted_neighborhood",
       (s, dir) => {
@@ -274,19 +284,24 @@ object Extended8 {
             regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
           .withColumn("key", substring(col("norm"), 1, 24))
           .withColumn("blk", substring(col("norm"), 1, 8))
-        val w = Window.partitionBy(col("blk")).orderBy(col("key"), col("doc_id"))
-        val nbr = d.select(
-          col("doc_id"), col("norm"),
-          array((1 to 3).map(i => struct(
-            lead(col("doc_id"), i).over(w).as("nid"),
-            lead(col("norm"), i).over(w).as("nnorm"))): _*).as("nb"))
-        nbr.select(col("doc_id"), col("norm"), explode(col("nb")).as("x"))
-          .filter(col("x.nid").isNotNull)
+        val ranked = graft.ops.PrefixSum.rank(
+          d, Seq("blk"), col("key"), ascending = true, Seq(col("doc_id")), "__pos",
+          cellKey = Some(graft.ops.PrefixSum.packAscii(col("key"), 9, 6)),
+          broadcastOffsets = false)
+        val offsets = (1 to 3).map(lit(_))
+        val probes = ranked.select(col("doc_id"), col("norm"), col("blk"),
+            explode(array(offsets: _*)).as("__i"),
+            col("__pos"))
+          .select(col("doc_id"), col("norm"), col("blk"),
+            (col("__pos") + col("__i")).as("__npos"))
+        probes
+          .join(ranked.select(col("blk"), col("__pos").as("__npos"),
+            col("doc_id").as("nid"), col("norm").as("nnorm")), Seq("blk", "__npos"))
           .withColumn("dist",
-            levenshtein(substring(col("norm"), 1, 60), substring(col("x.nnorm"), 1, 60))
+            levenshtein(substring(col("norm"), 1, 60), substring(col("nnorm"), 1, 60))
               .cast("bigint"))
           .filter(col("dist") <= 20)
-          .select(col("doc_id"), col("x.nid").as("nbr_id"), col("dist"))
+          .select(col("doc_id"), col("nid").as("nbr_id"), col("dist"))
           .orderBy("doc_id", "nbr_id")
       },
       Some(s"""WITH d AS (SELECT doc_id,
@@ -361,8 +376,12 @@ object Extended8 {
     // kept — the budgeted-selection counterpart of q113's temperature
     // quotas. The keep predicate is exact integer arithmetic
     // (5·cum_before < 4·total), so no float boundary exists; quality
-    // ties break on doc_id. One window per source partition, one
-    // aggregation — linear at any scale.
+    // ties break on doc_id. SCALE SHAPE: `source` has ~20 values, so a
+    // `PARTITION BY source` running sum funnels N/20 docs into one task
+    // at 100 TB — the running sum instead goes through
+    // PrefixSum.exclusiveSum (coarse quality cells + exact offsets:
+    // largest task ~N/(20·cells)) and the per-source token totals through
+    // a hash agg + broadcast join instead of a partition-only window.
     QueryDef(
       "q142_topp_nucleus",
       (s, dir) => {
@@ -371,13 +390,11 @@ object Extended8 {
           .select(col("doc_id"), col("source"),
             size(col("__t")).cast("long").as("n_tok"),
             Text.qualityScoreFromTokens(col("__t")).as("q"))
-        val w = Window.partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))
-        val cum = d
-          .withColumn("cum_before",
-            coalesce(sum(col("n_tok")).over(
-              w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("tot",
-            sum(col("n_tok")).over(Window.partitionBy(col("source"))))
+        val tots = d.groupBy(col("source")).agg(sum(col("n_tok")).as("tot"))
+        val cum = graft.ops.PrefixSum.exclusiveSum(
+            d, Seq("source"), col("q"), ascending = false,
+            Seq(col("doc_id")), col("n_tok"), "cum_before")
+          .join(broadcast(tots), Seq("source"))
           .withColumn("keep", col("cum_before") * 5 < col("tot") * 4)
         cum.groupBy(col("source"))
           .agg(

@@ -146,8 +146,12 @@ object Extended9 {
     // jaro_winkler verify (>= 0.75 on the 60-char prefixes — below every
     // true restoration's score at sf0.01 AND sf0.1) emits surviving
     // pairs WITH their ground-truth label, so the output doubles as the
-    // precision/recall evaluation table. Candidates are 2n via lead() —
-    // no join, no shingle blow-up; the verify is map-side codegen.
+    // precision/recall evaluation table. Candidates are 2n via in-block
+    // adjacency — no shingle blow-up; the verify is map-side codegen.
+    // SCALE SHAPE: q140's hot-block argument — in-block positions come
+    // from PrefixSum.rank (cells over the packed post-prefix skeleton
+    // bytes; shuffled offsets), neighbor i is an equi-join on
+    // (blk, pos+i), row-identical to lead(i) with no whole-block task.
     QueryDef(
       "q145_er_pipeline",
       (s, dir) => {
@@ -161,24 +165,29 @@ object Extended9 {
         val tagged = canon.unionAll(variants)
           .withColumn("skel", substring(regexp_replace(col("nm"), "[aeiou ]", ""), 1, 16))
           .withColumn("blk", substring(col("skel"), 1, 6))
-        val w = Window.partitionBy(col("blk"))
-          .orderBy(col("skel"), col("doc_id"), col("kind"))
-        val nbr = tagged.select(col("doc_id"), col("kind"), col("nm"),
-          array((1 to 2).map(i => struct(
-            lead(col("doc_id"), i).over(w).as("nid"),
-            lead(col("kind"), i).over(w).as("nkind"),
-            lead(col("nm"), i).over(w).as("nnm"))): _*).as("nb"))
-        nbr.select(col("doc_id"), col("kind"), col("nm"), explode(col("nb")).as("x"))
-          .filter(col("x.nid").isNotNull && col("kind") =!= col("x.nkind"))
+        val ranked = graft.ops.PrefixSum.rank(
+          tagged, Seq("blk"), col("skel"), ascending = true,
+          Seq(col("doc_id"), col("kind")), "__pos",
+          cellKey = Some(graft.ops.PrefixSum.packAscii(col("skel"), 7, 6)),
+          broadcastOffsets = false)
+        val probes = ranked.select(col("doc_id"), col("kind"), col("nm"), col("blk"),
+            explode(array(lit(1), lit(2))).as("__i"), col("__pos"))
+          .select(col("doc_id"), col("kind"), col("nm"), col("blk"),
+            (col("__pos") + col("__i")).as("__npos"))
+        probes
+          .join(ranked.select(col("blk"), col("__pos").as("__npos"),
+            col("doc_id").as("nid"), col("kind").as("nkind"), col("nm").as("nnm")),
+            Seq("blk", "__npos"))
+          .filter(col("kind") =!= col("nkind"))
           .withColumn("jw_r", R(graft.functions.StringExpressions.jaroWinkler(
-            substring(col("nm"), 1, 60), substring(col("x.nnm"), 1, 60)), 4))
+            substring(col("nm"), 1, 60), substring(col("nnm"), 1, 60)), 4))
           .filter(col("jw_r") >= 0.75)
           .select(
-            when(col("kind") === "v", col("doc_id")).otherwise(col("x.nid")).as("variant_id"),
-            when(col("kind") === "v", col("x.nid")).otherwise(col("doc_id")).as("canon_id"),
+            when(col("kind") === "v", col("doc_id")).otherwise(col("nid")).as("variant_id"),
+            when(col("kind") === "v", col("nid")).otherwise(col("doc_id")).as("canon_id"),
             col("jw_r"),
-            (when(col("kind") === "v", col("doc_id")).otherwise(col("x.nid")) ===
-              when(col("kind") === "v", col("x.nid")).otherwise(col("doc_id"))).as("is_true"))
+            (when(col("kind") === "v", col("doc_id")).otherwise(col("nid")) ===
+              when(col("kind") === "v", col("nid")).otherwise(col("doc_id"))).as("is_true"))
           .orderBy("variant_id", "canon_id")
       },
       Some(s"""WITH docs AS (SELECT doc_id,

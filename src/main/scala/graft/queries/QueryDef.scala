@@ -22,4 +22,18 @@ final case class QueryDef(
 object QueryDef {
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
+
+  /** Best-effort recursive delete for streaming queries' per-invocation
+    * scratch dirs (stream source copy, sink, checkpoint) — they are
+    * created fresh each call and must not accumulate across verify/bench
+    * cycles (ADVICE r10: q303 leaked a full events.parquet copy per
+    * call). Callers materialize the sink read (localCheckpoint) first.
+    */
+  def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
+    }
+  }
 }

@@ -201,10 +201,14 @@ class PlanSpec extends SparkSuite {
       l.contains("keys") && l.contains("cent_id")), p)
   }
 
-  test("q113: rank and running token sum share ONE Window operator (no second sort)") {
+  test("q113: selection rank and running token sum come from ONE PrefixSum pass (cell-partitioned)") {
     val p = plan(q("q113_mix_materialize"))
-    val nWindows = p.linesIterator.count(_.matches(""".*\+- Window \(\d+\)"""))
-    assert(nWindows == 1, s"expected exactly one Window node, got $nWindows:\n$p")
+    // PrefixSum contributes exactly two windows — the ≤cells-per-key
+    // subtotal-offset window and the in-(source, cell) window — and the
+    // plan never partitions a window by `source` alone
+    val nWindows = p.linesIterator.count(_.matches("""\(\d+\) Window"""))
+    assert(nWindows == 2, s"expected the two PrefixSum windows, got $nWindows:\n$p")
+    assert(p.contains("__pc"), p)
   }
 
   test("q112/q114: passage dedup is equi-joins + hash aggs only — no cartesian, no sort agg") {
@@ -286,13 +290,15 @@ class PlanSpec extends SparkSuite {
       .isAssignableFrom(classOf[graft.functions.JaroWinkler]))
   }
 
-  test("q140/q142: window-only plans — candidate generation without any join") {
+  test("q140/q142: PrefixSum cell windows — no whole-block/source partition; q140's neighbor probe is an equi-join") {
     val p140 = plan(q("q140_sorted_neighborhood"))
-    assert(p140.contains("Window"), p140)
-    assert(!p140.contains("Join"), p140)
+    assert(p140.contains("__pc"), p140) // in-(blk, cell) rank, hot blocks split
+    assert(p140.contains("__npos"), p140) // lead(i) ≡ equi-join on (blk, pos+i)
+    assert(!p140.contains("CartesianProduct"), p140)
     val p142 = plan(q("q142_topp_nucleus"))
-    assert(p142.contains("Window"), p142)
-    assert(!p142.contains("Join"), p142)
+    assert(p142.contains("__pc"), p142)
+    assert(p142.contains("BroadcastHashJoin"), p142) // 20-row per-source totals
+    assert(!p142.contains("CartesianProduct"), p142)
   }
 
   test("q137/q139/q141: per-group stats tables broadcast back (no shuffle join)") {
@@ -310,10 +316,11 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q145: ER capstone generates candidates with windows only — no join anywhere") {
+  test("q145: ER capstone candidates come from PrefixSum positions + an adjacency equi-join") {
     val p = plan(q("q145_er_pipeline"))
-    assert(p.contains("Window"), p)
-    assert(!p.contains("Join"), p)
+    assert(p.contains("__pc"), p) // in-(blk, cell) rank — no whole-block window
+    assert(p.contains("__npos"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q147: each BPE round's argmax is a TakeOrderedAndProject broadcast into the fold") {
@@ -376,12 +383,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q161: per-source stats broadcast back onto rows (BuildRight); one Window") {
+  test("q161: per-source stats broadcast back onto rows; percent_rank from the rollup PrefixSum") {
     val p = plan(q("q161_score_calibrate"))
+    // ranks live on the (source, n_chars) frequency rollup (length-domain
+    // saturating), never on a `PARTITION BY source` window over raw docs
+    assert(p.contains("__pc"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("BuildRight"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1, p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 2, p)
   }
 
   test("q162: FD audit is pure aggregation — no join anywhere in the plan") {
@@ -445,10 +455,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q171: weighted median is two windows over one sort family — no join, no collect") {
+  test("q171: weighted median runs the cumulative weight through PrefixSum; 3-row totals broadcast") {
     val p = plan(q("q171_weighted_median"))
+    // two PrefixSum windows (subtotal offsets + in-(rf, cell)) — never a
+    // `PARTITION BY rf` running sum over raw lineitem (N/3 single task)
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 2, p)
-    assert(!p.contains("Join"), p)
+    assert(p.contains("__pc"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q172: RFM quintiles run as distributed exactNtile (partitioned cells + broadcast offsets)") {
@@ -544,13 +558,20 @@ class PlanSpec extends SparkSuite {
       p.contains("ShuffledHashJoin"), p)
   }
 
-  test("q180/q182/q183/q185/q187: window-over-agg shapes stay join-free") {
+  test("q180/q182/q183/q185: window-over-agg shapes stay join-free") {
     for (name <- Seq("q180_cusum_drift", "q182_event_paths", "q183_welch_ttest",
-        "q185_attribution", "q187_rrf_fusion")) {
+        "q185_attribution")) {
       val p = plan(q(name))
       assert(p.contains("Window"), s"$name: $p")
       assert(!p.contains("Join"), s"$name must not join: $p")
     }
+  }
+
+  test("q187: input ranks via PrefixSum cells; the fused top-5 rank-prunes with WindowGroupLimit") {
+    val p = plan(q("q187_rrf_fusion"))
+    assert(p.contains("__pc"), p) // r1/r2 never window raw docs by `source`
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q181: inverted index is Generate → partial agg; single scan, no join") {
@@ -640,10 +661,12 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 8, p)
   }
 
-  test("q198: gap detection is partitioned lags — no global row sort before the gaps relation") {
+  test("q198: within-bucket lags partition; the cross-bucket predecessor max is PrefixSum — no data-sized global window") {
     val p = plan(q("q198_id_gaps"))
     assert(p.contains("Window"), p)
-    assert(!p.contains("Join"), p)
+    assert(p.contains("__pc"), p) // exclusiveMaxLong cells over the bucket rollup
+    assert(!p.contains("SortMergeJoin"), p) // offsets broadcast (≤cells rows)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q200/q201: calendar-bounded series joins broadcast at runtime") {
@@ -1097,9 +1120,13 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q283-q288: rank/CF/link-prediction/jackknife shapes stay keyed") {
-    // Spearman: windows + one aggregate, no join at all
+    // Spearman: tie-averaged ranks from the (g, value) frequency rollup
+    // through PrefixSum, equi-joined back — never a `PARTITION BY g`
+    // rank window over raw lineitem (N/3 single task)
     val p283 = plan(q("q283_spearman"))
-    assert(!p283.contains("Join"), p283)
+    assert(p283.contains("__pc"), p283)
+    assert(!p283.contains("CartesianProduct") &&
+      !p283.contains("BroadcastNestedLoopJoin"), p283)
     // item CF: every join is equi (u, then pa/pb); the per-part top-k is
     // a window, and nothing degenerates to a cartesian
     val p284 = plan(q("q284_item_cf"))
