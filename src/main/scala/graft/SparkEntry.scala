@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.Extended53.all ++ graft.queries.Extended54.all ++
       graft.queries.Extended55.all ++ graft.queries.Extended56.all ++
       graft.queries.Extended57.all ++ graft.queries.Extended58.all ++
-      graft.queries.Extended59.all ++ graft.queries.Extended60.all
+      graft.queries.Extended59.all ++ graft.queries.Extended60.all ++
+      graft.queries.Extended61.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's daily-aggregate shape (v5_group_project_dag.py:167-172)

@@ -337,6 +337,84 @@ object Similarity {
       .agg(codeCols.head, (codeCols.tail :+ recon): _*)
   }
 
+  /** IVF+PQ search with asymmetric distance computation (ADC — Jégou et
+    * al. 2011 §IV): the billion-vector serving composition of the two
+    * structures above. IVF cells (seed-only coarse quantizer, [[ivfTopK]]'s
+    * layout) prune candidates to `nProbe` cells; candidates are scored NOT
+    * against their raw vectors but against their PQ codes via a per-query
+    * lookup table — `lut(q, s, code) = ⟨q_sub_s, codeword_sub_s⟩` — so the
+    * candidate scan touches `nSub` table lookups per vector (codes are
+    * `nSub` bytes, RAM-resident at any corpus size) and never reads the
+    * float vectors. The ADC top-k survivors are then RERANKED with the
+    * exact cosine — the standard two-stage serving plan (approximate
+    * prune on codes, exact order on the short list).
+    *
+    * Determinism/oracle shape: every stage reuses the bit-exact folds the
+    * q40/q125 oracles already pin (ascending-index dot, id tie-breaks);
+    * the cross-subspace ADC sum accumulates in DECIMAL(38,18) so the
+    * addition of the `nSub` lookup values is order-independent.
+    *
+    * Scale shape: LUT is queries × codewords × nSub (broadcast); the
+    * candidate scan is O(queries · nProbe · N/cells) rows × O(nSub) work;
+    * the rerank reads only k·queries full vectors. No stage touches
+    * O(N·d) floats after the one-off encode/assign passes (at 100 TB both
+    * are persisted artifacts, recomputed here as lazy subplans for the
+    * oracle harness).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int, cellStride: Int, codeStride: Int, nSub: Int, subDim: Int,
+      nProbe: Int): DataFrame = {
+    val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
+    val cells = assignCells(corpus, idCol, embCol, cellStride, trainIters = 0)
+      .select(col("cid"), col("cent_id"))
+    val codes = pqEncode(corpus, idCol, embCol, nSub, subDim, codeStride)
+    // probe: nProbe nearest cells per query against the seed centroids
+    val seed = normalizedRel(
+      corpus.filter(pmod(col(idCol), lit(cellStride)) === 0),
+      idCol, embCol, "cent_id", "cent_e")
+    val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cent_id").asc)
+    val probes = q.crossJoin(broadcast(seed))
+      .select(col("qid"), col("cent_id"),
+        (dot(col("qe"), col("cent_e")) / (col("qe_n") * col("cent_e_n"))).as("d"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cent_id"))
+    // per-query subspace lookup table: raw inner product of the query's
+    // s-th subvector with each codeword's s-th subvector (same ascending
+    // fold as the encode distance — slice preserves element order)
+    val cb = corpus.filter(pmod(col(idCol), lit(codeStride)) === 0)
+      .select(col(idCol).as("code_id"), toDouble(col(embCol)).as("cbe"))
+    val off = (col("s") * subDim + 1).cast("int")
+    val lut = q.select(col("qid"), col("qe"))
+      .withColumn("s", explode(sequence(lit(0), lit(nSub - 1))))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("s"), col("code_id"),
+        dot(slice(col("qe"), off, lit(subDim)), slice(col("cbe"), off, lit(subDim))).as("v"))
+    // candidate scan: probed cells' members, scored by nSub LUT lookups
+    val candCodes = probes.join(cells, "cent_id")
+      .filter(col("cid") =!= col("qid"))
+      .join(codes, col("cid") === col("vid"))
+      .select(col("qid"), col("cid"),
+        explode(array((0 until nSub).map(i =>
+          struct(lit(i).as("s"), col(s"code_$i").as("code_id"))): _*)).as("sc"))
+      .select(col("qid"), col("cid"), col("sc.s").as("s"), col("sc.code_id").as("code_id"))
+    val adc = candCodes.join(broadcast(lut), Seq("qid", "s", "code_id"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double").as("adc"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid").asc)
+    val top = adc.withColumn("rn", row_number().over(wTop).cast("bigint"))
+      .filter(col("rn") <= k)
+    // exact rerank of the short list: k·queries rows read full vectors
+    broadcast(top)
+      .join(c, "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"), col("rn"), col("adc"),
+        (dot(col("qe"), col("ce")) / (col("qe_n") * col("ce_n"))).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `blockCol` (e.g. a
     * label, an LSH bucket, or an IVF cell id) so only same-block pairs
     * are scored.
