@@ -108,6 +108,7 @@ class BatteryPlanSpec extends SparkSuite {
     "q40_embed_ivf" -> "query side vec_id < 10; centroid side stride-sampled (fixed stride is the documented small-scale anchor; q302 carries the √N production rule)",
     "q302_embed_ivf_sqrt" -> "query side vec_id < 10; centroid side √N-sampled (sublinear broadcast — the standard IVF nlist rule)",
     "q310_ivfpq_adc" -> "query side vec_id < 10; centroid side √N-sampled (q302 rule); codebook fixed at ~64 codewords (q125 rule); LUT = queries × 64 × nSub rows",
+    "q315_hybrid_retrieval" -> "dense query side bounded by literal filter vec_id < 5; sparse broadcasts bounded by the 5 probe docs' term set (qt/dfT) and a 1-row stats scalar",
     "q123_ann_recall" -> "both arms' query sides bounded by vec_id < 10",
     "q304_matryoshka_overlap" -> "anchor side bounded by literal filter vec_id < 10",
     "q41_embed_neardup" -> "√N-cell centroid broadcast for the blocking assignment (sublinear, the q302 rule)",
