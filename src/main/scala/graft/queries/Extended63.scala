@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+import graft.ext.Streaming
+import graft.ops.Num
+import QueryDef.tbl
+
+/** Round-11 batch 3: q317 — LEFT OUTER stream-stream join. The join-mode
+  * matrix had inner interval join (q271) but not the outer form, whose
+  * semantics are genuinely different in Structured Streaming: matched
+  * rows emit immediately, but an UNMATCHED left row emits its
+  * null-padded result only when the global watermark passes the point
+  * where a match is provably impossible (s_ts + horizon) — i.e. the
+  * abandonment readout is watermark-DRIVEN state eviction, not a scan.
+  *
+  * Replay mechanics: eviction happens in the batch AFTER the watermark
+  * advances, so a single-file AvailableNow replay would finish with
+  * every unmatched signup still buffered. The query appends two
+  * far-future sentinel files (user_id = −1 on BOTH sides so both
+  * per-side watermarks advance — the global watermark is their min):
+  * batch 2 advances the watermark past every real signup's horizon,
+  * batch 3 evicts and emits the null-padded rows. Distinct mtimes +
+  * lexicographic names pin the file order; sentinels are dropped from
+  * the readout (they exist only in the streaming copy, so the DuckDB
+  * oracle — a plain LEFT JOIN over the fixture — never sees them).
+  */
+object Extended63 {
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q317_stream_outer_join",
+      (s, dir) => {
+        val src = java.nio.file.Files.createTempDirectory("graft_q317_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          src.resolve("events.parquet"))
+        val out = java.nio.file.Files.createTempDirectory("graft_q317_out").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q317_ck").toString
+        // sentinel files: clone one real row per type, substitute a
+        // far-future ts of the SAME physical type the fixture shipped
+        // (nanos-long or timestamp — eventsFileStream's declared-schema
+        // adaptivity must keep working on the mixed directory)
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val tsIsLong = raw.schema("ts").dataType == LongType
+        def sentinelTs(us: Long): Column =
+          if (tsIsLong) lit(us * 1000L) else timestamp_micros(lit(us)).cast(raw.schema("ts").dataType)
+        def writeSentinel(k: Int, us: Long): Unit = {
+          val types = s.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row("signup", -100L * k),
+              org.apache.spark.sql.Row("purchase", -100L * k - 1L)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__t", org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("__id", LongType))))
+          val sent = raw.limit(1).crossJoin(types)
+            .select(col("__id").as("event_id"), sentinelTs(us).as("ts"),
+              lit(-1L).as("user_id"), col("__t").as("event_type"),
+              lit(0.0).as("value"), lit("{}").as("props"))
+          val scratch = java.nio.file.Files.createTempDirectory(s"graft_q317_s$k")
+          sent.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+          val part = java.nio.file.Files.list(scratch).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val dest = src.resolve(f"zz_sentinel_$k.parquet")
+          java.nio.file.Files.copy(part, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + k * 20000L))
+          QueryDef.rmTree(scratch)
+        }
+        // 2027-01-01 / 2027-01-02 UTC — years past the fixture's 2024 span
+        writeSentinel(1, 1798761600000000L)
+        writeSentinel(2, 1798848000000000L)
+        val es = Streaming.eventsFileStream(s, src.toString)
+        val signups = es.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("s_id"))
+          .withWatermark("s_ts", "2 hours")
+        val purchases = es.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val joined = signups.join(purchases,
+          col("p_uid") === col("user_id") &&
+            col("p_ts") >= col("s_ts") &&
+            col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"),
+          "left_outer")
+        val q = joined
+          .select(col("user_id"), col("s_id"),
+            unix_micros(col("s_ts")).as("st"), unix_micros(col("p_ts")).as("pt"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        val result = s.read.parquet(out)
+          .filter(col("user_id") >= 0)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("s_id")).as("n_signups"),
+            count(col("pt")).as("n_matched"),
+            count(when(col("pt").isNull, lit(1))).as("n_abandoned"),
+            min(expr("(pt - st) div 1000000")).as("min_lag_s"),
+            max(expr("(pt - st) div 1000000")).as("max_lag_s"))
+          .orderBy("user_id")
+          .localCheckpoint(true)
+        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+          .foreach(QueryDef.rmTree)
+        result
+      },
+      Some("""WITH su AS (
+             |  SELECT user_id, event_id AS s_id, epoch_us(ts) AS st FROM events
+             |  WHERE event_type = 'signup'),
+             |pu AS (
+             |  SELECT user_id, epoch_us(ts) AS pt FROM events
+             |  WHERE event_type = 'purchase'),
+             |pairs AS (
+             |  SELECT su.user_id, su.s_id, su.st, pu.pt
+             |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+             |   AND pu.pt >= su.st AND pu.pt <= su.st + 7200000000)
+             |SELECT user_id,
+             |  count(*) AS n_rows,
+             |  count(DISTINCT s_id) AS n_signups,
+             |  count(pt) AS n_matched,
+             |  count(CASE WHEN pt IS NULL THEN 1 END) AS n_abandoned,
+             |  CAST(min((pt - st) // 1000000) AS BIGINT) AS min_lag_s,
+             |  CAST(max((pt - st) // 1000000) AS BIGINT) AS max_lag_s
+             |FROM pairs GROUP BY user_id
+             |ORDER BY user_id""".stripMargin))
+  )
+
+  private implicit class JIterOps[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+}
