@@ -83,19 +83,32 @@ object Extended63 {
             col("p_ts") >= col("s_ts") &&
             col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"),
           "left_outer")
-        val q = joined
-          .select(col("user_id"), col("s_id"),
-            unix_micros(col("s_ts")).as("st"), unix_micros(col("p_ts")).as("pt"))
-          .writeStream
-          .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(out)
-            ()
-          }
-          .start()
-        q.awaitTermination()
+        // A stream-stream join opens 4 state stores per shuffle partition
+        // per side in EACH of the 3 replay batches — at local[32]'s 32
+        // partitions that fixed cost dominates (measured 14.5 s → 5.7 s
+        // at 4). The count is baked into this query's EPHEMERAL
+        // checkpoint at batch 0, so it is a per-run deploy knob: a
+        // production cluster sizes it to executors × cores like any
+        // stateful job; 4 fits a single-box 100k-row replay. Restore the
+        // session conf either way (the r10 buildBloom lesson: no conf
+        // ratchets).
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          val q = joined
+            .select(col("user_id"), col("s_id"),
+              unix_micros(col("s_ts")).as("st"), unix_micros(col("p_ts")).as("pt"))
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         val result = s.read.parquet(out)
           .filter(col("user_id") >= 0)
           .groupBy(col("user_id"))

@@ -26,4 +26,14 @@ class DocCountSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("QUERIES.md has exactly one row per battery query") {
+    val rows = read("/root/repo/QUERIES.md").linesIterator
+      .filter(_.startsWith("| q")).map(_.split("\\|")(1).trim).toSet
+    val battery = SparkEntry.queries.keySet
+    val missing = battery -- rows
+    val stale = rows -- battery
+    assert(missing.isEmpty && stale.isEmpty,
+      s"QUERIES.md drift — missing: ${missing.toSeq.sorted.mkString(",")}; stale: ${stale.toSeq.sorted.mkString(",")}")
+  }
 }
