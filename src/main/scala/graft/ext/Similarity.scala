@@ -311,7 +311,7 @@ object Similarity {
     */
   def pqEncode(
       df: DataFrame, idCol: String, embCol: String,
-      nSub: Int, subDim: Int, stride: Int): DataFrame = {
+      nSub: Int, subDim: Int, stride: Long): DataFrame = {
     val v = df.select(col(idCol).as("vid"), toDouble(col(embCol)).as("ve"))
     val cb = df.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("code_id"), toDouble(col(embCol)).as("ce"))
@@ -363,7 +363,7 @@ object Similarity {
     */
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-      k: Int, cellStride: Int, codeStride: Int, nSub: Int, subDim: Int,
+      k: Int, cellStride: Int, codeStride: Long, nSub: Int, subDim: Int,
       nProbe: Int): DataFrame = {
     val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
     val cells = assignCells(corpus, idCol, embCol, cellStride, trainIters = 0)

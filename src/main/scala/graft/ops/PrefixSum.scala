@@ -88,7 +88,11 @@ object PrefixSum {
       case Some(k) => if (ascending) k.cast("double") else negate(k.cast("double"))
       case None => if (ascending) order.cast("double") else negate(order.cast("double"))
     }
-    val keyed = df.withColumn("__pval", value).withColumn("__pv", qv)
+    // null values contribute 0, exactly like the window sum skipping them
+    // (the twin `sum(value).over(...preceding,-1)` ignores nulls; the
+    // inclusive-minus-current trick below would otherwise null the row)
+    val keyed = df.withColumn("__pval", coalesce(value, lit(0)))
+      .withColumn("__pv", qv)
     val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
     val bounds =
       if (coarseCells <= 1) Array.empty[Double]
@@ -158,11 +162,15 @@ object PrefixSum {
       .withColumn("__pc", Quantiles.cellOf(col("__pv"), bounds, "PrefixSum"))
       .drop("__pv")
     // ≤ coarseCells rows — the documented bounded driver-side collect
+    // an all-null cell yields a null max (window max skips nulls) — it
+    // must pass the prior cells' max through, not NPE on getLong
     val cellMax = celled.groupBy(col("__pc")).agg(max(col("__pval")).as("__pm"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
     val offs = cellMax.map(_._1)
       .zip(cellMax.scanLeft(Option.empty[Long]) { case (acc, (_, m)) =>
-        Some(acc.fold(m)(math.max(_, m)))
+        (acc.toSeq ++ m.toSeq).reduceOption((a, b) => math.max(a, b))
       })
       .map { case (cell, m) => (cell, m.map(java.lang.Long.valueOf).orNull) }
     val spark = df.sparkSession

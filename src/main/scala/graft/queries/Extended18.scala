@@ -265,10 +265,14 @@ object Extended18 {
           .select(col("source"), col("doc_id"), col("n_chars"),
             ntok.as("n_tokens"))
         val bySrc = Window.partitionBy(col("source"))
+        // Ckpt between the chained ranks: each PrefixSum.rank runs an
+        // eager approxQuantile + subtotal agg + join over its input, so
+        // without a barrier the second rank re-executes the first's whole
+        // pipeline (incl. per-row tokensNorm sizing) ~4x — the q172 rule
+        val r1d = graft.ops.Ckpt(PrefixSum.rank(base, Seq("source"),
+          col("n_chars"), ascending = false, Seq(col("doc_id")), "r1"))
         val withRanks = PrefixSum.rank(
-          PrefixSum.rank(base, Seq("source"), col("n_chars"), ascending = false,
-            Seq(col("doc_id")), "r1"),
-          Seq("source"), col("n_tokens"), ascending = false, Seq(col("doc_id")), "r2")
+          r1d, Seq("source"), col("n_tokens"), ascending = false, Seq(col("doc_id")), "r2")
         val fused = withRanks
           .withColumn("rrf",
             lit(1.0) / (lit(RrfK) + col("r1")) + lit(1.0) / (lit(RrfK) + col("r2")))

@@ -59,7 +59,8 @@ object Extended61 {
         Similarity
           .ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
             k = 5, cellStride = Similarity.sqrtStride(n),
-            codeStride = math.max(1L, n / 64).toInt,
+            codeStride = math.max(1L, n / 64), // Long: n/64 overflows Int past ~137 B rows
+
             nSub = 4, subDim = 16, nProbe = 3)
           .select(col("qid"), col("cid"), col("rn"),
             R(col("adc"), 4).as("adc_r"), R(col("cos"), 4).as("cos_r"))
@@ -251,7 +252,9 @@ object Extended61 {
             R(col("w"), 6).as("w_r"),
             R(col("target"), 6).as("target_tokens_r"),
             R(col("epochs"), 6).as("epochs_r"),
-            (col("target") / col("t").cast("double") >= lit(4.0)).as("capped"))
+            // capped from the ROUNDED ratio so the emitted pair is
+            // internally consistent: capped ⇔ epochs_r == 4.0 exactly
+            (R(col("target") / col("t").cast("double"), 6) >= lit(4.0)).as("capped"))
           .orderBy("source")
       },
       Some(s"""WITH d AS (SELECT source,
@@ -269,7 +272,7 @@ object Extended61 {
               |    AS target_tokens_r,
               |  ${rs("least(4.0, sqrt(CAST(t AS DOUBLE)) / ww * (CAST(tt AS DOUBLE) * 0.5) / CAST(t AS DOUBLE))", 6)}
               |    AS epochs_r,
-              |  sqrt(CAST(t AS DOUBLE)) / ww * (CAST(tt AS DOUBLE) * 0.5) / CAST(t AS DOUBLE)
+              |  ${rs("sqrt(CAST(t AS DOUBLE)) / ww * (CAST(tt AS DOUBLE) * 0.5) / CAST(t AS DOUBLE)", 6)}
               |    >= 4.0 AS capped
               |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)),
 

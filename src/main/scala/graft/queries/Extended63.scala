@@ -4,9 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.LongType
+import scala.jdk.CollectionConverters._
 import graft.ext.Streaming
-import graft.ops.Num
-import QueryDef.tbl
 
 /** Round-11 batch 3: q317 — LEFT OUTER stream-stream join. The join-mode
   * matrix had inner interval join (q271) but not the outer form, whose
@@ -60,8 +59,10 @@ object Extended63 {
               lit(0.0).as("value"), lit("{}").as("props"))
           val scratch = java.nio.file.Files.createTempDirectory(s"graft_q317_s$k")
           sent.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-          val part = java.nio.file.Files.list(scratch).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val ls = java.nio.file.Files.list(scratch)
+          val part =
+            try ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+            finally ls.close()
           val dest = src.resolve(f"zz_sentinel_$k.parquet")
           java.nio.file.Files.copy(part, dest)
           java.nio.file.Files.setLastModifiedTime(dest,
@@ -145,11 +146,4 @@ object Extended63 {
              |FROM pairs GROUP BY user_id
              |ORDER BY user_id""".stripMargin))
   )
-
-  private implicit class JIterOps[T](it: java.util.Iterator[T]) {
-    def asScala: Iterator[T] = new Iterator[T] {
-      def hasNext: Boolean = it.hasNext
-      def next(): T = it.next()
-    }
-  }
 }

@@ -32,8 +32,10 @@ object QueryDef {
   def rmTree(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
+      finally walk.close() // Files.walk holds a directory fd until closed
     }
   }
 }

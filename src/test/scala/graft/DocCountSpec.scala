@@ -19,7 +19,7 @@ class DocCountSpec extends org.scalatest.funsuite.AnyFunSuite {
       ("README.md", """q01\.\.q(\d+)""".r),
       ("README.md", """sweeps all (\d+) physical plans""".r))
     val failures = checks.flatMap { case (file, re) =>
-      val text = read(s"/root/repo/$file")
+      val text = read(file) // sbt test cwd = repo root; keep it checkout-relative
       val hits = re.findAllMatchIn(text).map(_.group(1).toInt).toSeq
       if (hits.isEmpty) Seq(s"$file: phrase /${re}/ not found — keep the claim (and this check) or drop both")
       else hits.filter(_ != n).map(v => s"$file: claims $v queries via /${re}/, battery has $n")
@@ -28,7 +28,7 @@ class DocCountSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("QUERIES.md has exactly one row per battery query") {
-    val rows = read("/root/repo/QUERIES.md").linesIterator
+    val rows = read("QUERIES.md").linesIterator
       .filter(_.startsWith("| q")).map(_.split("\\|")(1).trim).toSet
     val battery = SparkEntry.queries.keySet
     val missing = battery -- rows
