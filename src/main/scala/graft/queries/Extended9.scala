@@ -60,8 +60,51 @@ object Extended9 {
     * list slices are INCLUSIVE ([:-2] drops the last element) — pinned
     * here because [:-1] silently keeps it.
     */
-  private val BpeIters = 4
-  private def bpeSql: String = {
+  private[graft] val BpeIters = 4
+
+  /** The q147 training loop, shared with q321's corpus encode: returns
+    * (per-iteration best-merge relations, the final word→symbols table).
+    * Everything is lazy — q147 materializes only the merges, q321 only
+    * the final segmentation (which transitively replays the merges).
+    */
+  private[graft] def bpeTrainLoop(
+      s: org.apache.spark.sql.SparkSession, dir: String):
+      (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+    val words = tbl(s, dir, "documents")
+      .select(explode(Text.tokensNorm(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var seq = words
+      .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
+      .transform(graft.ops.Ckpt.apply)
+    val merges = (1 to BpeIters).map { k =>
+      val pairs = seq
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .select(col("p.0").as("pa"), col("p.1").as("pb"), col("freq"))
+        .groupBy("pa", "pb").agg(sum(col("freq")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
+      seq = seq.crossJoin(broadcast(best))
+        .select(col("w"), col("freq"),
+          aggregate(
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            slice(col("syms"), lit(1), lit(1)),
+            (acc, x) => when(
+              element_at(acc, -1) === col("pa") && x === col("pb"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(col("pa"), col("pb")))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+      best.select(lit(k).as("it"), col("pa").as("a"), col("pb").as("b"),
+        col("cnt").as("pair_count"))
+    }
+    (merges, seq)
+  }
+
+  /** The shared CTE chain (tok → w0 → s0 → p1/b1/s1 … p_K/b_K/s_K) for
+    * both BPE oracles — s$BpeIters carries the final segmentation.
+    */
+  private[queries] def bpeCtes: String = {
     val iters = (1 to BpeIters).map { k =>
       s"""p$k AS (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt
          |       FROM (SELECT freq, unnest(syms[:-2]) AS pa, unnest(syms[2:]) AS pb
@@ -75,17 +118,21 @@ object Extended9 {
          |                             ELSE list_append(acc, x[1]) END) AS syms
          |        FROM s${k - 1} CROSS JOIN b$k)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to BpeIters)
-      .map(k => s"SELECT $k AS it, pa AS a, pb AS b, cnt AS pair_count FROM b$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH tok AS (SELECT t FROM (SELECT unnest(${TextQueries.wsSql}) AS t FROM documents)
+    s"""tok AS (SELECT t FROM (SELECT unnest(${TextQueries.wsSql}) AS t FROM documents)
        |             WHERE regexp_full_match(t, '[a-z]+')),
        |w0 AS (SELECT t AS w, count(*) AS freq FROM tok GROUP BY 1),
        |s0 AS (SELECT w, freq,
        |         list_transform(range(1, length(w)+1), i -> substr(w, CAST(i AS INT), 1))
        |           AS syms
        |       FROM w0),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def bpeSql: String = {
+    val sel = (1 to BpeIters)
+      .map(k => s"SELECT $k AS it, pa AS a, pb AS b, cnt AS pair_count FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeCtes
        |$sel
        |ORDER BY it""".stripMargin
   }
@@ -321,34 +368,7 @@ object Extended9 {
     QueryDef(
       "q147_bpe_merges",
       (s, dir) => {
-        val words = tbl(s, dir, "documents")
-          .select(explode(Text.tokensNorm(col("text"))).as("w"))
-          .filter(col("w").rlike("^[a-z]+$"))
-          .groupBy("w").agg(count(lit(1)).as("freq"))
-        var seq = words
-          .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
-          .transform(graft.ops.Ckpt.apply)
-        val merges = (1 to BpeIters).map { k =>
-          val pairs = seq
-            .select(col("freq"), explode(arrays_zip(
-              slice(col("syms"), lit(1), size(col("syms")) - 1),
-              slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
-            .select(col("p.0").as("pa"), col("p.1").as("pb"), col("freq"))
-            .groupBy("pa", "pb").agg(sum(col("freq")).as("cnt"))
-          val best = pairs.orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
-          seq = seq.crossJoin(broadcast(best))
-            .select(col("w"), col("freq"),
-              aggregate(
-                slice(col("syms"), lit(2), size(col("syms")) - 1),
-                slice(col("syms"), lit(1), lit(1)),
-                (acc, x) => when(
-                  element_at(acc, -1) === col("pa") && x === col("pb"),
-                  concat(slice(acc, lit(1), size(acc) - 1),
-                    array(concat(col("pa"), col("pb")))))
-                  .otherwise(concat(acc, array(x)))).as("syms"))
-          best.select(lit(k).as("it"), col("pa").as("a"), col("pb").as("b"),
-            col("cnt").as("pair_count"))
-        }
+        val (merges, _) = bpeTrainLoop(s, dir)
         merges.reduce(_ unionAll _).orderBy("it")
       },
       Some(bpeSql)))
