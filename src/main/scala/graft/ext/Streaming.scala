@@ -371,6 +371,71 @@ object Streaming {
     * Trigger.AvailableNow (process everything currently in the source,
     * then stop). Used by tests and the batch-replay path.
     */
+  /** Append two far-future sentinel files to a file-stream source dir so
+    * an AvailableNow replay flushes watermark-held state (outer-join
+    * eviction, buffered windows). Each file carries one `signup` and one
+    * `purchase` row at `user_id = -1` — rows on BOTH sides of the
+    * q271-family join, because the GLOBAL watermark is the min of the
+    * per-side watermarks. Batch 2 advances the watermark past every real
+    * row's horizon; batch 3 evicts. Ordering is pinned twice (distinct
+    * mtimes AND lexicographic `zz_` names); the sentinel ts is cloned
+    * into the SAME physical type the fixture shipped (nanos-long or
+    * timestamp), with the legacy-nanos conf set BEFORE the probe read so
+    * the helper works in a fresh session on any fixture generation.
+    * Callers exclude `user_id < 0` rows from their readout.
+    */
+  /** First sentinel event time (2027-01-01 UTC, micros) — readouts that
+    * cannot exclude sentinels structurally filter event times below this.
+    */
+  val SentinelEpochUs: Long = 1798761600000000L
+
+  def appendWatermarkSentinels(
+      spark: SparkSession, fixtureEventsPath: String,
+      srcDir: java.nio.file.Path, idBase: Long, scratchPrefix: String,
+      nSentinels: Int = 2): Unit = {
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(fixtureEventsPath)
+    val tsIsLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    def sentinelTs(us: Long) =
+      if (tsIsLong) lit(us * 1000L)
+      else timestamp_micros(lit(us)).cast(raw.schema("ts").dataType)
+    // 2027-01-01 + (k−1) days UTC — years past the fixture's 2024 span.
+    // nSentinels: ONE flush batch per downstream stateful operator —
+    // eviction uses the PREVIOUS batch's watermark, and each chained
+    // stateful operator (join → agg) delays propagation one more batch,
+    // so q317 (one operator) needs 2 and q322 (join + window agg) 3.
+    (1 to nSentinels).map(k => (k, SentinelEpochUs + (k - 1) * 86400000000L))
+      .foreach { case (k, us) =>
+      val types = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("signup", idBase * k),
+          org.apache.spark.sql.Row("purchase", idBase * k - 1L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "__t", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(
+            "__id", org.apache.spark.sql.types.LongType))))
+      val sent = raw.limit(1).crossJoin(types)
+        .select(col("__id").as("event_id"), sentinelTs(us).as("ts"),
+          lit(-1L).as("user_id"), col("__t").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val scratch = java.nio.file.Files.createTempDirectory(s"$scratchPrefix$k")
+      sent.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val ls = java.nio.file.Files.list(scratch)
+      val part =
+        try ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        finally ls.close()
+      val dest = srcDir.resolve(f"zz_sentinel_$k.parquet")
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + k * 20000L))
+      graft.queries.QueryDef.rmTree(scratch)
+    }
+  }
+
   def runAvailableNow(df: DataFrame, queryName: String, outputMode: String = "append"): DataFrame = {
     val q: StreamingQuery = df.writeStream
       .format("memory")

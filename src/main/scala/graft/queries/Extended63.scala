@@ -38,40 +38,8 @@ object Extended63 {
           src.resolve("events.parquet"))
         val out = java.nio.file.Files.createTempDirectory("graft_q317_out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q317_ck").toString
-        // sentinel files: clone one real row per type, substitute a
-        // far-future ts of the SAME physical type the fixture shipped
-        // (nanos-long or timestamp — eventsFileStream's declared-schema
-        // adaptivity must keep working on the mixed directory)
-        val raw = s.read.parquet(s"$dir/events.parquet")
-        val tsIsLong = raw.schema("ts").dataType == LongType
-        def sentinelTs(us: Long): Column =
-          if (tsIsLong) lit(us * 1000L) else timestamp_micros(lit(us)).cast(raw.schema("ts").dataType)
-        def writeSentinel(k: Int, us: Long): Unit = {
-          val types = s.createDataFrame(
-            java.util.Arrays.asList(org.apache.spark.sql.Row("signup", -100L * k),
-              org.apache.spark.sql.Row("purchase", -100L * k - 1L)),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("__t", org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("__id", LongType))))
-          val sent = raw.limit(1).crossJoin(types)
-            .select(col("__id").as("event_id"), sentinelTs(us).as("ts"),
-              lit(-1L).as("user_id"), col("__t").as("event_type"),
-              lit(0.0).as("value"), lit("{}").as("props"))
-          val scratch = java.nio.file.Files.createTempDirectory(s"graft_q317_s$k")
-          sent.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-          val ls = java.nio.file.Files.list(scratch)
-          val part =
-            try ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-            finally ls.close()
-          val dest = src.resolve(f"zz_sentinel_$k.parquet")
-          java.nio.file.Files.copy(part, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + k * 20000L))
-          QueryDef.rmTree(scratch)
-        }
-        // 2027-01-01 / 2027-01-02 UTC — years past the fixture's 2024 span
-        writeSentinel(1, 1798761600000000L)
-        writeSentinel(2, 1798848000000000L)
+        Streaming.appendWatermarkSentinels(
+          s, s"$dir/events.parquet", src, -100L, "graft_q317_s")
         val es = Streaming.eventsFileStream(s, src.toString)
         val signups = es.filter(col("event_type") === "signup")
           .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("s_id"))
@@ -110,21 +78,23 @@ object Extended63 {
             .start()
           q.awaitTermination()
         } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        val result = s.read.parquet(out)
-          .filter(col("user_id") >= 0)
-          .groupBy(col("user_id"))
-          .agg(
-            count(lit(1)).as("n_rows"),
-            countDistinct(col("s_id")).as("n_signups"),
-            count(col("pt")).as("n_matched"),
-            count(when(col("pt").isNull, lit(1))).as("n_abandoned"),
-            min(expr("(pt - st) div 1000000")).as("min_lag_s"),
-            max(expr("(pt - st) div 1000000")).as("max_lag_s"))
-          .orderBy("user_id")
-          .localCheckpoint(true)
-        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+        // localCheckpoint materializes eagerly, so cleanup in the finally
+        // is safe on success AND runs on failure (no leaked events copy)
+        try {
+          s.read.parquet(out)
+            .filter(col("user_id") >= 0)
+            .groupBy(col("user_id"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              countDistinct(col("s_id")).as("n_signups"),
+              count(col("pt")).as("n_matched"),
+              count(when(col("pt").isNull, lit(1))).as("n_abandoned"),
+              min(expr("(pt - st) div 1000000")).as("min_lag_s"),
+              max(expr("(pt - st) div 1000000")).as("max_lag_s"))
+            .orderBy("user_id")
+            .localCheckpoint(true)
+        } finally Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
           .foreach(QueryDef.rmTree)
-        result
       },
       Some("""WITH su AS (
              |  SELECT user_id, event_id AS s_id, epoch_us(ts) AS st FROM events

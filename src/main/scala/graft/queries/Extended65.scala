@@ -83,23 +83,23 @@ object Extended65 {
               |rules AS (
               |  SELECT 'completeness_custkey' AS rule_id,
               |    ${Num.roundSql("CAST(nn_cust AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS metric_r,
-              |    1.0 AS threshold, nn_cust = n AS passed FROM r
+              |    CAST(1.0 AS DOUBLE) AS threshold, nn_cust = n AS passed FROM r
               |  UNION ALL SELECT 'completeness_orderdate',
               |    ${Num.roundSql("CAST(nn_date AS DOUBLE) / CAST(n AS DOUBLE)", 6)},
-              |    1.0, nn_date = n FROM r
+              |    CAST(1.0 AS DOUBLE), nn_date = n FROM r
               |  UNION ALL SELECT 'unique_orderkey',
               |    ${Num.roundSql("CAST(nd_key AS DOUBLE) / CAST(n AS DOUBLE)", 6)},
-              |    1.0, nd_key = n FROM r
+              |    CAST(1.0 AS DOUBLE), nd_key = n FROM r
               |  UNION ALL SELECT 'range_totalprice_min',
-              |    ${Num.roundSql("CAST(min_price AS DOUBLE)", 6)}, 0.0, min_price > 0.0 FROM r
+              |    ${Num.roundSql("CAST(min_price AS DOUBLE)", 6)}, CAST(0.0 AS DOUBLE), min_price > 0.0 FROM r
               |  UNION ALL SELECT 'range_totalprice_max',
-              |    ${Num.roundSql("CAST(max_price AS DOUBLE)", 6)}, 600000.0,
+              |    ${Num.roundSql("CAST(max_price AS DOUBLE)", 6)}, CAST(600000.0 AS DOUBLE),
               |    max_price <= 600000.0 FROM r
               |  UNION ALL SELECT 'set_orderstatus',
               |    ${Num.roundSql("CAST(n_status_ok AS DOUBLE) / CAST(n AS DOUBLE)", 6)},
-              |    1.0, n_status_ok = n FROM r
+              |    CAST(1.0 AS DOUBLE), n_status_ok = n FROM r
               |  UNION ALL SELECT 'fk_custkey_resolves',
-              |    ${Num.roundSql("CAST(n_orphans AS DOUBLE)", 6)}, 0.0, n_orphans = 0 FROM r)
+              |    ${Num.roundSql("CAST(n_orphans AS DOUBLE)", 6)}, CAST(0.0 AS DOUBLE), n_orphans = 0 FROM r)
               |SELECT rule_id, metric_r, threshold, passed
               |FROM rules ORDER BY rule_id""".stripMargin))
   )

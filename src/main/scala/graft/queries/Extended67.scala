@@ -18,12 +18,16 @@ import graft.ops.Num
   * carry the purchase event time through to the window operator, and a
   * window emits only when the propagated watermark proves it complete.
   *
-  * Replay mechanics are q317's: two far-future sentinel files (rows on
-  * both join sides) drive the watermark forward so buffered windows
-  * flush. Sentinel 1's own (2027) window itself flushes when sentinel
-  * 2's later watermark passes it, so the readout filters hr to the
-  * fixture's 2024 span — the oracle (batch join + hour bucket) never
-  * contains the sentinels.
+  * Replay mechanics are q317's (shared helper). One measured subtlety:
+  * the sentinel pairs MUST flow through the join INTO the window agg —
+  * filtering them out between the two operators left the final real
+  * windows stuck in state at stream end (the agg's flush ran only in
+  * batches that delivered it rows; measured at sf0.1: last 3 hours
+  * missing). So sentinels ride the whole pipeline and the READOUT drops
+  * their 2027 windows by the helper-owned `Streaming.SentinelEpochUs`
+  * bound — a named constant tied to the sentinel timestamps, not a
+  * magic cutoff; the oracle (batch join + hour bucket over the fixture)
+  * never contains them.
   */
 object Extended67 {
 
@@ -37,35 +41,8 @@ object Extended67 {
           src.resolve("events.parquet"))
         val out = java.nio.file.Files.createTempDirectory("graft_q322_out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q322_ck").toString
-        val raw = s.read.parquet(s"$dir/events.parquet")
-        val tsIsLong = raw.schema("ts").dataType == LongType
-        def sentinelTs(us: Long): Column =
-          if (tsIsLong) lit(us * 1000L) else timestamp_micros(lit(us)).cast(raw.schema("ts").dataType)
-        def writeSentinel(k: Int, us: Long): Unit = {
-          val types = s.createDataFrame(
-            java.util.Arrays.asList(org.apache.spark.sql.Row("signup", -200L * k),
-              org.apache.spark.sql.Row("purchase", -200L * k - 1L)),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("__t", org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("__id", LongType))))
-          val sent = raw.limit(1).crossJoin(types)
-            .select(col("__id").as("event_id"), sentinelTs(us).as("ts"),
-              lit(-1L).as("user_id"), col("__t").as("event_type"),
-              lit(0.0).as("value"), lit("{}").as("props"))
-          val scratch = java.nio.file.Files.createTempDirectory(s"graft_q322_s$k")
-          sent.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-          val ls = java.nio.file.Files.list(scratch)
-          val part =
-            try ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-            finally ls.close()
-          val dest = src.resolve(f"zz_sentinel_$k.parquet")
-          java.nio.file.Files.copy(part, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + k * 20000L))
-          QueryDef.rmTree(scratch)
-        }
-        writeSentinel(1, 1798761600000000L) // 2027-01-01
-        writeSentinel(2, 1798848000000000L) // 2027-01-02
+        Streaming.appendWatermarkSentinels(
+          s, s"$dir/events.parquet", src, -200L, "graft_q322_s")
         val es = Streaming.eventsFileStream(s, src.toString)
         val signups = es.filter(col("event_type") === "signup")
           .select(col("user_id"), col("ts").as("s_ts"))
@@ -100,15 +77,15 @@ object Extended67 {
             .start()
           q.awaitTermination()
         } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        val result = s.read.parquet(out)
-          .withColumn("hr", (col("wstart_us") / lit(3600000000L)).cast("long"))
-          .filter(col("hr") < 490000L) // fixture span only (2024 ≈ hr 473k; 2027 sentinels = hr 499656+)
-          .select(col("hr"), col("n_pairs"), Num.roundTo(col("v"), 4).as("value_sum_r"))
-          .orderBy("hr")
-          .localCheckpoint(true)
-        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+        try {
+          s.read.parquet(out)
+            .filter(col("wstart_us") < Streaming.SentinelEpochUs)
+            .withColumn("hr", (col("wstart_us") / lit(3600000000L)).cast("long"))
+            .select(col("hr"), col("n_pairs"), Num.roundTo(col("v"), 4).as("value_sum_r"))
+            .orderBy("hr")
+            .localCheckpoint(true)
+        } finally Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
           .foreach(QueryDef.rmTree)
-        result
       },
       Some(s"""WITH su AS (
               |  SELECT user_id, epoch_us(ts) AS st FROM events

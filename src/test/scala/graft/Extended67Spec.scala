@@ -29,8 +29,9 @@ class Extended67Spec extends SparkSuite {
         .filter(!(col("n_pairs") <=> col("w_pairs")) || !(col("value_sum_r") <=> col("w_sum")))
         .count()
       assert(bad == 0L, "streamed join→window rollup diverges from the batch twin")
-      // no sentinel leakage: every emitted hour is in the fixture span
-      assert(got.filter(col("hr") >= 490000L).count() == 0L)
+      // no sentinel leakage: every emitted hour predates the sentinel epoch
+      val sentinelHr = graft.ext.Streaming.SentinelEpochUs / 3600000000L
+      assert(got.filter(col("hr") >= sentinelHr).count() == 0L)
     } finally { got.unpersist(); () }
   }
 }
