@@ -15,15 +15,23 @@ import org.apache.spark.sql.functions._
   *     foreign key shifts by ITS referenced domain's base, so join
   *     fan-outs (orders per customer, lineitems per order) stay exactly
   *     the source distribution.
-  *   - document text is Caesar-rotated per copy (copy 0 unchanged):
-  *     length, token boundaries, and within-copy duplicate structure are
-  *     preserved exactly, but copies share NO shingles — without this,
-  *     every doc gains k−1 near-verbatim twins and the dedup queries
-  *     measure an artificially k×-denser duplicate graph instead of
-  *     scale. n_chars is recomputed to stay consistent.
-  *   - embeddings are circularly shifted per copy (norm and component
-  *     distribution preserved, cosine-identity across copies broken) for
-  *     the same reason on the ANN/SemDeDup side.
+  *   - document text is re-lettered per copy via a SEEDED ALPHABET
+  *     PERMUTATION (copy 0 = identity): length, token boundaries, and
+  *     within-copy duplicate structure are preserved exactly, but copies
+  *     share (statistically) NO shingles — without this, every doc gains
+  *     k−1 near-verbatim twins and the dedup queries measure an
+  *     artificially k×-denser duplicate graph instead of scale. A Caesar
+  *     ROTATION (the pre-round-12 transform) only gives 26 distinct
+  *     classes, so k=100 (sf10) would put ~4 near-verbatim twins in every
+  *     rotation class; independent permutations share a full shingle only
+  *     with probability ~26^-(distinct chars) ≈ 0. n_chars is recomputed
+  *     to stay consistent.
+  *   - embeddings are circularly shifted per copy, and SIGN-FLIPPED for
+  *     copies ≥ dim (norm and component distribution preserved,
+  *     cosine-identity across copies broken) for the same reason on the
+  *     ANN/SemDeDup side. Plain shift alone collides at copy ≥ dim
+  *     (dim=64 < k=100 for sf10: copies i and i+64 would be identical
+  *     vectors); shift+flip is collision-free up to 2×dim = 128 copies.
   *   - events keep their timestamps: 10× the events in the same time
   *     range models a hotter stream, and time-window state sizes scale
   *     with user count (shifted), not window count.
@@ -62,7 +70,7 @@ object GenScale {
     /** k copies with per-column key shifts; non-keyed columns pass through. */
     def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
       val copies = spark.range(k).toDF("__copy")
-      df.crossJoin(copies).select(df.columns.map { c =>
+      df.crossJoin(copies).select(df.columns.toIndexedSeq.map { c =>
         shifts.get(c) match {
           case Some(b) => (col(c) + col("__copy") * b).as(c)
           case None => col(c)
@@ -100,33 +108,47 @@ object GenScale {
       Map("event_id" -> eidB, "user_id" -> userB)), "events")
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    def rot(s: String, r: Int) = s.drop(r) + s.take(r)
-    val docs = {
-      val copies = spark.range(k).toDF("__copy")
-      val rotText = (1 until k).foldLeft(col("text")) { (acc, i) =>
-        when(col("__copy") === i,
-          translate(col("text"), lower + upper, rot(lower, i % 26) + rot(upper, i % 26)))
-          .otherwise(acc)
+    /** Seeded Fisher–Yates permutation of the alphabet for copy i (i=0 →
+      * identity). StringTranslate accepts non-foldable matching/replace
+      * columns (it re-derives its dict when they change), so the per-copy
+      * mapping rides in on a k-row join instead of a k-branch CASE.
+      */
+    def perm(i: Int): String = {
+      if (i == 0) lower
+      else {
+        val a = lower.toCharArray
+        val rnd = new java.util.Random(0xC0FFEEL + i)
+        var j = a.length - 1
+        while (j > 0) { val m = rnd.nextInt(j + 1); val t = a(j); a(j) = a(m); a(m) = t; j -= 1 }
+        new String(a)
       }
-      tbl("documents").crossJoin(copies)
+    }
+    val docCopies = spark.createDataFrame(
+      (0 until k).map { i =>
+        val p = perm(i); (i.toLong, lower + upper, p + p.toUpperCase)
+      }).toDF("__copy", "__from", "__to")
+    val docs =
+      tbl("documents").crossJoin(docCopies)
         .withColumn("doc_id", col("doc_id") + col("__copy") * docB)
-        .withColumn("text", rotText)
+        .withColumn("text", expr("translate(text, __from, __to)"))
         .withColumn("n_chars", length(col("text")).cast("long"))
-        .drop("__copy")
-    }
+        .drop("__copy", "__from", "__to")
     write(docs, "documents")
-    val embs = {
-      val copies = spark.range(k).toDF("__copy")
-      val shifted = (1 until k).foldLeft(col("embedding")) { (acc, i) =>
-        when(col("__copy") === i, expr(
-          s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))"))
-          .otherwise(acc)
-      }
-      tbl("embeddings").crossJoin(copies)
+    val embDim = tbl("embeddings").selectExpr("max(size(embedding))").head().getInt(0)
+    require(k <= 2 * embDim,
+      s"shift+sign-flip is collision-free only up to 2*dim = ${2 * embDim} copies, got k=$k")
+    val embCopies = spark.createDataFrame(
+      (0 until k).map { i => (i.toLong, i % embDim, if (i >= embDim) -1.0f else 1.0f) }
+    ).toDF("__copy", "__shift", "__sign")
+    val embs =
+      tbl("embeddings").crossJoin(embCopies)
         .withColumn("vec_id", col("vec_id") + col("__copy") * vecB)
-        .withColumn("embedding", shifted)
-        .drop("__copy")
-    }
+        .withColumn("embedding", expr(
+          """transform(
+            |  concat(slice(embedding, __shift + 1, size(embedding) - __shift),
+            |         slice(embedding, 1, __shift)),
+            |  x -> x * __sign)""".stripMargin))
+        .drop("__copy", "__shift", "__sign")
     write(embs, "embeddings")
 
     println(s"""{"gen":"$dst","k":$k,"lineitem_rows":${spark.read.parquet(s"$dst/lineitem.parquet").count()}}""")

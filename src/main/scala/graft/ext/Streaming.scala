@@ -402,10 +402,19 @@ object Streaming {
       if (tsIsLong) lit(us * 1000L)
       else timestamp_micros(lit(us)).cast(raw.schema("ts").dataType)
     // 2027-01-01 + (k−1) days UTC — years past the fixture's 2024 span.
-    // nSentinels: ONE flush batch per downstream stateful operator —
-    // eviction uses the PREVIOUS batch's watermark, and each chained
-    // stateful operator (join → agg) delays propagation one more batch,
-    // so q317 (one operator) needs 2 and q322 (join + window agg) 3.
+    // nSentinels = 2 suffices for ANY stateful-operator chain depth
+    // (join → window agg included): eviction runs against the watermark
+    // computed from the PREVIOUS batch's data, so sentinel batch 1
+    // advances it and sentinel batch 2 evicts under it. Chained
+    // operators do NOT cost one batch each — Spark's WatermarkPropagator
+    // simulates cross-operator propagation within a batch, shifting the
+    // downstream eviction watermark by EVENT-TIME delays (the join
+    // interval + watermark delay, hours), which the DAY-spaced sentinels
+    // dominate. Pinned by StreamingSpec "sentinel-flush contract":
+    // with no-data micro-batches disabled, nSentinels = 1 leaves the
+    // tail windows stuck in state and nSentinels = 2 flushes every real
+    // window of the chained q322 shape — so the flush does not depend on
+    // spark.sql.streaming.noDataMicroBatches.enabled.
     (1 to nSentinels).map(k => (k, SentinelEpochUs + (k - 1) * 86400000000L))
       .foreach { case (k, us) =>
       val types = spark.createDataFrame(

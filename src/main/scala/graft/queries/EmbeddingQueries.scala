@@ -115,24 +115,33 @@ object EmbeddingQueries {
               |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
     // IVF approximate top-5 (deterministic centroid seed + 2 Lloyd
-    // iterations, 3-probe) — the 100 TB path: candidates shrink by
-    // ~nProbe/nCells. FULLY hash-oracled: every stage of the engine's IVF
-    // is deterministic (modular seed, cosine assignment with id
-    // tie-breaks, DECIMAL-accumulated cell means, probe ranking), so the
-    // oracle unrolls the SAME computation in SQL — seed → two Lloyd
-    // iterations → cell assignment → 3-probe → in-cell top-5 — and the
-    // doubles match bit-for-bit (same ascending-index dot/norm shape the
-    // q39/q41 oracles already pin). A divergence ANYWHERE in the IVF
-    // pipeline is a hash mismatch, a far stronger check than the old
-    // rows-only status. SimilaritySpec additionally pins exhaustive-probe
-    // ≡ brute force and trained recall ≥ the raw-seed baseline.
+    // iterations, WIDE 5-probe) — the 100 TB path: candidates shrink by
+    // ~nProbe/nCells. Stride follows the √N nlist rule
+    // (Similarity.sqrtStride); q40 probes 5 cells where q302 probes 3,
+    // so the pair puts BOTH ends of the recall/latency knob — the one
+    // production operators actually tune — under the full hash gate.
+    // (Until round 12 q40 was the fixed stride=50 small-scale anchor;
+    // BENCH_SF1 measured that layout O(N²/stride) at assignment — 13.2×
+    // at 10× data, three rounds on the weak list — so it was retired
+    // onto the √N rule rather than carried a fourth time.)
+    // FULLY hash-oracled: every stage of the engine's IVF is
+    // deterministic (modular seed, cosine assignment with id tie-breaks,
+    // DECIMAL-accumulated cell means, probe ranking), so the oracle
+    // unrolls the SAME computation in SQL — √N recomputed in SQL → seed
+    // → two Lloyd iterations → cell assignment → 5-probe → in-cell top-5
+    // — and the doubles match bit-for-bit (same ascending-index dot/norm
+    // shape the q39/q41 oracles already pin). A divergence ANYWHERE in
+    // the IVF pipeline is a hash mismatch. SimilaritySpec additionally
+    // pins exhaustive-probe ≡ brute force and trained recall ≥ the
+    // raw-seed baseline.
     QueryDef(
       "q40_embed_ivf",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
+        val stride = Similarity.sqrtStride(emb.count())
         Similarity
           .ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-            k = 5, stride = 50, nProbe = 3, trainIters = 2)
+            k = 5, stride = stride, nProbe = 5, trainIters = 2)
           .select(col("qid"), col("cid"), col("rn"), Num.roundTo(col("cos"), 4).as("cos_r"))
           .orderBy("qid", "rn")
       },
@@ -141,7 +150,9 @@ object EmbeddingQueries {
               |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
               |q AS (SELECT e.vec_id qid, e.embedding qe, n.nrm qn
               |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id WHERE e.vec_id < 10),
-              |${ivfCtes(nProbe = 3)}
+              |st AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS sv
+              |       FROM embeddings),
+              |${ivfCtes(nProbe = 5, seedPred = "cid % (SELECT sv FROM st) = 0")}
               |SELECT qid, cid, rn, ${Num.roundSql("cos", 4)} AS cos_r
               |FROM ivfr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
@@ -150,8 +161,8 @@ object EmbeddingQueries {
     // cell population both grow as √N and assignment stays O(N^1.5)
     // instead of the fixed-stride O(N²/stride) that BENCH_SF1 measured
     // superlinear (16× at 10× data; the √N rule measured back to
-    // ~linear). q40 stays pinned at stride=50 for continuity; THIS query
-    // puts the production rule itself under the full hash gate — the
+    // ~linear). q40 (since round 12) is the same rule at nProbe=5; THIS
+    // query puts the production rule under the full hash gate — the
     // oracle recomputes √N inside SQL (greatest(1, round(sqrt(count))),
     // the exact integer rule sqrtStride applies) and unrolls the same
     // bit-exact seed → Lloyd → probe pipeline. The corpus count is one

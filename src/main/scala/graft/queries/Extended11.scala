@@ -89,6 +89,9 @@ object Extended11 {
           src.resolve("events.parquet"))
         val out = java.nio.file.Files.createTempDirectory("graft_q151_out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q151_ck").toString
+        // try/finally spans streaming AND readout (localCheckpoint is
+        // eager) so a failed run cannot leak the temp dirs
+        try {
         val agg = Streaming.eventsFileStream(s, src.toString)
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(
@@ -106,16 +109,15 @@ object Extended11 {
         q.awaitTermination()
         // localCheckpoint(eager) materializes off the sink files so the
         // scratch trio deletes NOW instead of leaking per invocation
-        val result = s.read.parquet(out)
+        s.read.parquet(out)
           .select(
             date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
             col("event_type"), col("n"),
             R(col("__vs").cast("double"), 4).as("value_sum_r"))
           .orderBy("hour_start", "event_type")
           .localCheckpoint(true)
-        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+        } finally Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
           .foreach(rmTree)
-        result
       },
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
               |  event_type, count(*) AS n,
@@ -144,6 +146,9 @@ object Extended11 {
           src.resolve("events.parquet"))
         val out = java.nio.file.Files.createTempDirectory("graft_q152_out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q152_ck").toString
+        // try/finally spans streaming AND readout (localCheckpoint is
+        // eager) so a failed run cannot leak the temp dirs
+        try {
         val agg = Streaming.eventsFileStream(s, src.toString)
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(
@@ -159,7 +164,7 @@ object Extended11 {
           }
           .start()
         q.awaitTermination()
-        val result = s.read.parquet(out)
+        s.read.parquet(out)
           .select(
             col("user_id"),
             date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
@@ -168,9 +173,8 @@ object Extended11 {
             R(col("__vs").cast("double"), 4).as("value_sum_r"))
           .orderBy("user_id", "start_s")
           .localCheckpoint(true)
-        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+        } finally Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
           .foreach(rmTree)
-        result
       },
       // µs-precision islands: epoch_us avoids the double rounding a
       // fractional epoch() would introduce at session boundaries
@@ -406,6 +410,9 @@ object Extended11 {
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q156_ck").toString
         val providerKey = "spark.sql.streaming.stateStore.providerClass"
         val prior = s.conf.getOption(providerKey)
+        // outer try/finally spans streaming AND readout (localCheckpoint
+        // is eager) so a failed run cannot leak the temp dirs
+        try {
         try {
           val stream = Streaming.eventsFileStream(s, src.toString)
             .select(col("user_id"),
@@ -429,16 +436,15 @@ object Extended11 {
         // localCheckpoint(eager) materializes the final state off the sink
         // files so the scratch dirs can be deleted NOW instead of leaking
         // one trio per invocation (verify + 2 bench reps = 9 dirs/round).
-        val result = s.read.parquet(out)
+        s.read.parquet(out)
           .withColumn("__rn", row_number().over(latest))
           .filter(col("__rn") === 1)
           .select(col("user_id"), col("n_events"),
             R(col("units").cast("double") / 10000.0, 4).as("value_sum_r"))
           .orderBy("user_id")
           .localCheckpoint(true)
-        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+        } finally Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
           .foreach(rmTree)
-        result
       },
       Some(s"""WITH u AS (
               |  SELECT user_id,

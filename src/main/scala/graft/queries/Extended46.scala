@@ -48,6 +48,9 @@ object Extended46 {
           src.resolve("events.parquet"))
         val out = java.nio.file.Files.createTempDirectory("graft_q271_out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q271_ck").toString
+        // try/finally spans streaming AND readout (localCheckpoint is
+        // eager) so a failed run cannot leak the temp dirs
+        try {
         val es = Streaming.eventsFileStream(s, src.toString)
         val signups = es.filter(col("event_type") === "signup")
           .select(col("user_id"), col("ts").as("s_ts"))
@@ -72,16 +75,15 @@ object Extended46 {
           }
           .start()
         q.awaitTermination()
-        val result = s.read.parquet(out)
+        s.read.parquet(out)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_pairs"),
             min(expr("(pt - st) div 1000000")).as("min_lag_s"),
             max(expr("(pt - st) div 1000000")).as("max_lag_s"))
           .orderBy("user_id")
           .localCheckpoint(true)
-        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+        } finally Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
           .foreach(rmTree)
-        result
       },
       Some("""WITH su AS (
              |  SELECT user_id, epoch_us(ts) AS st FROM events

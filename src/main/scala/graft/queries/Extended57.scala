@@ -41,6 +41,9 @@ object Extended57 {
           src.resolve("events.parquet"))
         val out = java.nio.file.Files.createTempDirectory("graft_q303_out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q303_ck").toString
+        // try/finally spans streaming AND readout (localCheckpoint is
+        // eager) so a failed run cannot leak the temp dirs
+        try {
         val agg = Streaming.slidingCounts(
           Streaming.eventsFileStream(s, src.toString),
           window_ = "1 hour", slide = "15 minutes")
@@ -57,15 +60,14 @@ object Extended57 {
         // localCheckpoint(eager) materializes off the sink files so the
         // scratch trio (incl. the events.parquet copy) deletes NOW
         // instead of leaking one trio per verify/bench invocation
-        val result = s.read.parquet(out)
+        s.read.parquet(out)
           .select(
             date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
             col("event_type"), col("n"))
           .orderBy("window_start", "event_type")
           .localCheckpoint(true)
-        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+        } finally Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
           .foreach(QueryDef.rmTree)
-        result
       },
       Some("""WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
              |w AS (

@@ -46,6 +46,9 @@ object Extended60 {
           src.resolve("events.parquet"))
         val out = java.nio.file.Files.createTempDirectory("graft_q308_out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q308_ck").toString
+        // try/finally spans streaming AND readout (localCheckpoint is
+        // eager) so a failed run cannot leak the temp dirs
+        try {
         val agg = Streaming.eventsFileStream(s, src.toString)
           .select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type")
@@ -61,13 +64,12 @@ object Extended60 {
           }
           .start()
         q.awaitTermination()
-        val result = s.read.parquet(out)
+        s.read.parquet(out)
           .select(col("event_type"), col("n_distinct_users"))
           .orderBy("event_type")
           .localCheckpoint(true)
-        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+        } finally Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
           .foreach(QueryDef.rmTree)
-        result
       },
       Some("""SELECT event_type,
              |  count(DISTINCT user_id) AS n_distinct_users

@@ -144,6 +144,9 @@ object Extended61 {
           src.resolve("events.parquet"))
         val out = java.nio.file.Files.createTempDirectory("graft_q311_out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q311_ck").toString
+        // try/finally spans streaming AND readout (localCheckpoint is
+        // eager) so a failed run cannot leak the temp dirs
+        try {
         val dim = s.read.parquet(s"$dir/customer.parquet")
           .select(col("c_custkey"), col("c_mktsegment"))
         val agg = Streaming.eventsFileStream(s, src.toString)
@@ -160,14 +163,13 @@ object Extended61 {
           }
           .start()
         q.awaitTermination()
-        val result = s.read.parquet(out)
+        s.read.parquet(out)
           .select(col("c_mktsegment"), col("n_events"),
             R(col("value_sum"), 4).as("value_sum_r"))
           .orderBy("c_mktsegment")
           .localCheckpoint(true)
-        Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
+        } finally Seq(src, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt))
           .foreach(QueryDef.rmTree)
-        result
       },
       Some(s"""SELECT c.c_mktsegment,
               |  count(*) AS n_events,

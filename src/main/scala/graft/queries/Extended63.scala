@@ -1,10 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
-import scala.jdk.CollectionConverters._
 import graft.ext.Streaming
 
 /** Round-11 batch 3: q317 — LEFT OUTER stream-stream join. The join-mode
@@ -38,8 +36,11 @@ object Extended63 {
           src.resolve("events.parquet"))
         val out = java.nio.file.Files.createTempDirectory("graft_q317_out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q317_ck").toString
+        // ONE try/finally spans streaming AND readout: a failed streaming
+        // phase must not leak the src/out/ckpt temp dirs either.
+        try {
         Streaming.appendWatermarkSentinels(
-          s, s"$dir/events.parquet", src, -100L, "graft_q317_s")
+          s, s"$dir/events.parquet", src, -100L, "graft_q317_s", nSentinels = 2)
         val es = Streaming.eventsFileStream(s, src.toString)
         val signups = es.filter(col("event_type") === "signup")
           .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("s_id"))
@@ -80,7 +81,6 @@ object Extended63 {
         } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         // localCheckpoint materializes eagerly, so cleanup in the finally
         // is safe on success AND runs on failure (no leaked events copy)
-        try {
           s.read.parquet(out)
             .filter(col("user_id") >= 0)
             .groupBy(col("user_id"))

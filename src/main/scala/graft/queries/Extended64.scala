@@ -30,6 +30,9 @@ object Extended64 {
       "q318_schema_evolution",
       (s, dir) => {
         val root = java.nio.file.Files.createTempDirectory("graft_q318")
+        // try/finally spans writes AND readout (localCheckpoint is eager)
+        // so a failed run cannot leak the scratch dir
+        try {
         val o = tbl(s, dir, "orders")
         // gen 1: the original schema (no priority column), even keys
         o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
@@ -44,15 +47,14 @@ object Extended64 {
           .option("mergeSchema", "true")
           .option("basePath", root.toString)
           .parquet(s"$root/gen=1", s"$root/gen=2")
-        val result = merged
+        merged
           .groupBy(col("gen"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n_orders"),
             Num.roundTo(sum(col("o_totalprice")), 4).as("total_r"),
             count(col("o_orderpriority")).as("n_with_priority"))
           .orderBy(col("gen"), col("o_orderpriority").asc_nulls_first)
           .localCheckpoint(true)
-        QueryDef.rmTree(root)
-        result
+        } finally QueryDef.rmTree(root)
       },
       Some(s"""WITH seam AS (
               |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS gen,
@@ -73,6 +75,9 @@ object Extended64 {
       (s, dir) => {
         import org.apache.spark.sql.types._
         val scratch = java.nio.file.Files.createTempDirectory("graft_q319")
+        // try/finally spans writes AND readout (localCheckpoint is eager)
+        // so a failed run cannot leak the scratch dir
+        try {
         // manufacture the JSONL batch from the fixture: every doc_id
         // divisible by 37 ships a malformed line (truncated JSON)
         val good = to_json(struct(col("doc_id"), col("source"), col("n_chars")))
@@ -93,7 +98,7 @@ object Extended64 {
         // production posture: quarantine rows keep their raw payload; the
         // batch never fails and never silently drops. Readout: per-source
         // good rows + one NULL-source quarantine row with exact counts.
-        val result = read
+        read
           .withColumn("quarantined", col("_bad").isNotNull)
           .groupBy(col("quarantined"),
             when(col("quarantined"), lit(null)).otherwise(col("source")).as("source"))
@@ -102,8 +107,7 @@ object Extended64 {
             count(col("_bad")).as("n_payloads_kept"))
           .orderBy(col("quarantined"), col("source").asc_nulls_first)
           .localCheckpoint(true)
-        QueryDef.rmTree(scratch)
-        result
+        } finally QueryDef.rmTree(scratch)
       },
       Some("""WITH cls AS (
              |  SELECT doc_id, source, n_chars, doc_id % 37 = 0 AS quarantined

@@ -1,10 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
-import scala.jdk.CollectionConverters._
 import graft.ext.Streaming
 import graft.ops.Num
 
@@ -41,8 +39,14 @@ object Extended67 {
           src.resolve("events.parquet"))
         val out = java.nio.file.Files.createTempDirectory("graft_q322_out").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q322_ck").toString
+        // ONE try/finally spans streaming AND readout: a failed streaming
+        // phase must not leak the src/out/ckpt temp dirs either.
+        // nSentinels = 2 covers the CHAINED shape too (propagation is
+        // in-batch, not one-batch-per-operator) — pinned by
+        // StreamingSpec "sentinel-flush contract".
+        try {
         Streaming.appendWatermarkSentinels(
-          s, s"$dir/events.parquet", src, -200L, "graft_q322_s")
+          s, s"$dir/events.parquet", src, -200L, "graft_q322_s", nSentinels = 2)
         val es = Streaming.eventsFileStream(s, src.toString)
         val signups = es.filter(col("event_type") === "signup")
           .select(col("user_id"), col("ts").as("s_ts"))
@@ -77,7 +81,6 @@ object Extended67 {
             .start()
           q.awaitTermination()
         } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        try {
           s.read.parquet(out)
             .filter(col("wstart_us") < Streaming.SentinelEpochUs)
             .withColumn("hr", (col("wstart_us") / lit(3600000000L)).cast("long"))

@@ -105,7 +105,7 @@ class BatteryPlanSpec extends SparkSuite {
     */
   private val nestedLoopBounded: Map[String, String] = Map(
     "q39_embed_topk" -> "query side bounded by literal filter vec_id < 10",
-    "q40_embed_ivf" -> "query side vec_id < 10; centroid side stride-sampled (fixed stride is the documented small-scale anchor; q302 carries the √N production rule)",
+    "q40_embed_ivf" -> "query side vec_id < 10; centroid side √N-sampled (q302 rule; q40 is the WIDE 5-probe arm of the recall/latency knob)",
     "q302_embed_ivf_sqrt" -> "query side vec_id < 10; centroid side √N-sampled (sublinear broadcast — the standard IVF nlist rule)",
     "q310_ivfpq_adc" -> "query side vec_id < 10; centroid side √N-sampled (q302 rule); codebook fixed at ~64 codewords (q125 rule); LUT = queries × 64 × nSub rows",
     "q315_hybrid_retrieval" -> "dense query side bounded by literal filter vec_id < 5; sparse broadcasts bounded by the 5 probe docs' term set (qt/dfT) and a 1-row stats scalar",

@@ -285,6 +285,95 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("sentinel-flush contract: chained join→window-agg flushes with 2 sentinel batches, sticks with 1 (no-data batches OFF)") {
+    // Pins the appendWatermarkSentinels contract the q317/q322 call sites
+    // rely on, WITHOUT the no-data-micro-batch safety net:
+    //   - eviction runs against the watermark computed from the PREVIOUS
+    //     batch's data, so 1 sentinel batch advances the watermark but
+    //     leaves the tail window stuck in state (no batch runs after it);
+    //   - 2 sentinel batches flush EVERY real window even for the CHAINED
+    //     q322 shape (stream-stream join → tumbling window agg), because
+    //     cross-operator watermark propagation happens within a batch
+    //     (event-time-shifted by the join interval, which the day-spaced
+    //     sentinels dominate) — chain depth does NOT cost a batch per
+    //     operator.
+    // The fixture is ADVERSARIAL by construction: its last purchase IS the
+    // global max event time, so the real-data batch's own watermark can
+    // never cover the tail window (the driver fixture happens to have
+    // late non-purchase events that mask the hazard — measured: n=1
+    // flushes everything on sf0.001).
+    def inst(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val fixture = Seq(
+      // early pair: window 2024-01-01 00:00 — flushes even under the
+      // real-data batch's watermark (max − 2h − join delay ≫ 01:00)
+      (1L, inst("2024-01-01T00:00:00Z"), 3L, "signup", 0.0, "{}"),
+      (2L, inst("2024-01-01T00:30:00Z"), 3L, "purchase", 5.0, "{}"),
+      // tail pair: the purchase at 2024-01-02T23:30 is the MAX event, so
+      // its window (23:00) can only flush via sentinel batches
+      (3L, inst("2024-01-02T22:00:00Z"), 1L, "signup", 0.0, "{}"),
+      (4L, inst("2024-01-02T23:30:00Z"), 1L, "purchase", 7.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val earlyUs = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    val tailUs = java.time.Instant.parse("2024-01-02T23:00:00Z").toEpochMilli * 1000L
+    val expected = Set(earlyUs, tailUs)
+    def runChained(n: Int): Set[Long] = {
+      val src = java.nio.file.Files.createTempDirectory(s"graft_sentspec${n}_src")
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_sentspec${n}_ck").toString
+      val outDir = java.nio.file.Files.createTempDirectory(s"graft_sentspec${n}_out").toString
+      try {
+        val scratch = java.nio.file.Files.createTempDirectory(s"graft_sentspec${n}_w")
+        fixture.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = new java.io.File(scratch.toString).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, src.resolve("events.parquet"))
+        graft.queries.QueryDef.rmTree(scratch)
+        Streaming.appendWatermarkSentinels(
+          spark, src.resolve("events.parquet").toString, src, -900L,
+          s"graft_sentspec${n}_s", nSentinels = n)
+        val es = Streaming.eventsFileStream(spark, src.toString)
+        val signups = es.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("s_ts"))
+          .withWatermark("s_ts", "2 hours")
+        val purchases = es.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val agg = signups.join(purchases,
+          col("p_uid") === col("user_id") &&
+            col("p_ts") >= col("s_ts") &&
+            col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
+          .groupBy(window(col("p_ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(unix_micros(col("w.start")).as("wstart_us"), col("n_pairs"))
+        val q = agg.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(outDir)
+          .filter(col("wstart_us") < Streaming.SentinelEpochUs)
+          .collect().map(_.getLong(0)).toSet
+      } finally Seq(src, java.nio.file.Paths.get(ckpt), java.nio.file.Paths.get(outDir))
+        .foreach(graft.queries.QueryDef.rmTree)
+    }
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prior = spark.conf.get(noDataKey)
+    val (one, two) = try {
+      spark.conf.set(noDataKey, "false")
+      (runChained(1), runChained(2))
+    } finally spark.conf.set(noDataKey, prior)
+    assert(two == expected,
+      s"2 sentinels must flush every real window: missing ${expected -- two}")
+    // 1 sentinel: the batch it rides in still evicts under the PREVIOUS
+    // (real-data) watermark — early window out, tail window stuck
+    assert(one == Set(earlyUs),
+      s"1 sentinel must flush the early window and hold the tail; got $one")
+  }
+
   test("session_window streaming agg matches gaps-and-islands session count") {
     val stream = Streaming.eventsFileStream(spark, eventsDir)
     val sess = Streaming.sessionAgg(stream, "30 minutes", "10 minutes")
