@@ -48,6 +48,20 @@ object PrefixSum {
     * UTF-8 byte order wherever codepoints stay < 255 and COLLAPSES (same
     * cell — always safe) beyond. Use as [[exclusiveSum]]'s `cellKey` for
     * string window orders (approxQuantile can't summarize strings).
+    *
+    * ADVERSARIAL COLLAPSE (pinned in PrefixSumSpec): a corpus whose
+    * strings are IDENTICAL through byte `from+n-1` (shared boilerplate
+    * prefix longer than the partition prefix + pack window) packs to ONE
+    * value, so every row of the hot key lands in ONE coarse cell and the
+    * helper degrades to exactly the plain window's single-task cost for
+    * that key — still row-correct (equal surrogates only merge cells),
+    * NEVER worse than the window it replaces, but no longer load-split.
+    * No single-double surrogate can beat this: a double carries 53 bits
+    * ≈ 6.6 bytes of resolution, so widening the pack past 6 bytes gains
+    * nothing. The knob is `from`: move the pack window PAST the known
+    * boilerplate depth (bytes there diverge → cells split again). Use
+    * [[cellLoad]] to MEASURE max-rows-per-cell on real data before
+    * trusting a layout — data-driven, not hoped.
     */
   def packAscii(c: Column, from: Int, n: Int): Column = {
     require(n >= 1 && n <= 6, s"pack width must be 1..6 bytes, got $n")
@@ -55,6 +69,30 @@ object PrefixSum {
       least(ascii(substring(c, from + i, 1)), lit(255)).cast("long") *
         lit(1L << (8 * (n - 1 - i)))
     }.reduce(_ + _)
+  }
+
+  /** Preflight diagnostic for [[exclusiveSum]]/[[rank]] cell layouts: the
+    * per-(key, cell) row counts the given `cellKey` surrogate would
+    * produce — same approxQuantile bounds, same cell assignment, ONE
+    * aggregate scan. Run it (sampled) when choosing a [[packAscii]]
+    * offset for a new corpus: `max(n_rows)` is the largest single-task
+    * window the layout will pay; a hot boilerplate prefix shows up here
+    * as one cell carrying the whole key (see the packAscii scaladoc)
+    * before it shows up as a straggler task in production.
+    */
+  def cellLoad(
+      df: DataFrame, keys: Seq[String], cellKey: Column,
+      coarseCells: Int = 64): DataFrame = {
+    val keyed = df.withColumn("__pv", cellKey.cast("double"))
+    val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
+    val bounds =
+      if (coarseCells <= 1) Array.empty[Double]
+      else keyed.stat.approxQuantile("__pv", probs, 0.001).distinct.sorted
+    keyed
+      .withColumn("__pc", Quantiles.cellOf(col("__pv"), bounds, "PrefixSum"))
+      .groupBy((keys :+ "__pc").map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumnRenamed("__pc", "cell")
   }
 
   /** Exclusive running sum of `value` (and optionally the exact 1-based

@@ -312,18 +312,29 @@ object EmbeddingQueries {
     // semantic-dedup DECISION TABLE (id, cluster_id, keep) matches
     // exactly. The scale shape is the point: the only all-pairs term
     // lives inside a cell, and cells shrink as centroids grow.
+    // Stride follows the √N rule (round 12; was fixed 50): a FIXED
+    // stride makes assignment O(N²/stride) — the q125 hazard class —
+    // while a FIXED cell count makes the within-cell pair term
+    // O(N²/cells); √N balances BOTH terms at O(N^1.5) with the 64-dim
+    // constant. At sf0.1 (2,000 vectors) √N ≈ 45 ≈ the old 50, so the
+    // small-scale decision table barely moves; at 100 TB it is the
+    // difference between a job and a hang.
     QueryDef(
       "q111_semantic_dedup",
-      (s, dir) =>
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
         Similarity
-          .semanticDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-            stride = 50, trainIters = 1, threshold = 0.4)
-          .orderBy("id"),
+          .semanticDedup(emb, "vec_id", "embedding",
+            stride = Similarity.sqrtStride(emb.count()), trainIters = 1, threshold = 0.4)
+          .orderBy("id")
+      },
       Some(s"""WITH RECURSIVE $normCte,
               |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
               |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
+              |st AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS sv
+              |       FROM embeddings),
               |cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
-              |          FROM c WHERE cid % 50 = 0),
+              |          FROM c WHERE cid % (SELECT sv FROM st) = 0),
               |${lloydIter("cent0", "a1", "m1", "cent1")},
               |d_f AS (SELECT cid, cent_id,
               |          sum(CAST(ce[i] AS DOUBLE) * cent_e[i]) / (cn * cent_n) AS d

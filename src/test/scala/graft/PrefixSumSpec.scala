@@ -68,6 +68,43 @@ class PrefixSumSpec extends SparkSuite {
     }
   }
 
+  test("adversarial packAscii collapse: boilerplate prefix funnels ONE cell — still row-correct; offset pack re-splits (cellLoad measures both)") {
+    // The q140 shape under attack: 10⁴ docs sharing one 8-char block
+    // prefix AND identical bytes 9..14 (the q140 pack window), diverging
+    // only from byte 15 — packAscii(key, 9, 6) packs every row to one
+    // value, so the hot block degenerates to ONE (key, cell).
+    val n = 10000
+    val docs = (0 until n).map { i =>
+      // bytes 1-8 "boilerpl" (block), 9-14 "atexxx" (packed window,
+      // identical), 15+ diverge per row
+      (i.toLong, "boilerplatexxx" + f"$i%06d")
+    }.toDF("doc_id", "key").repartition(8)
+    val collapsing = PrefixSum.packAscii(col("key"), 9, 6)
+    val offsetPack = PrefixSum.packAscii(col("key"), 15, 6)
+    // 1. cellLoad SEES the hazard: the collapsing layout puts all N rows
+    //    in one cell; the offset pack (past the boilerplate) splits them
+    val loadBad = PrefixSum.cellLoad(docs.withColumn("blk", substring(col("key"), 1, 8)),
+      Seq("blk"), collapsing)
+      .agg(max(col("n_rows"))).head().getLong(0)
+    val loadGood = PrefixSum.cellLoad(docs.withColumn("blk", substring(col("key"), 1, 8)),
+      Seq("blk"), offsetPack)
+      .agg(max(col("n_rows"))).head().getLong(0)
+    assert(loadBad == n.toLong, s"expected total collapse, got max cell $loadBad")
+    assert(loadGood <= n / 8,
+      s"offset pack must re-split the hot block: max cell $loadGood > ${n / 8}")
+    // 2. the collapsed layout is DEGRADED, NOT WRONG: rank output stays
+    //    row-identical to Spark's own window row_number (the documented
+    //    contract — never worse than the window it replaces)
+    val blocked = docs.withColumn("blk", substring(col("key"), 1, 8))
+    val got = PrefixSum.rank(blocked, Seq("blk"), col("key"), ascending = true,
+      Seq(col("doc_id")), "pos", cellKey = Some(collapsing), broadcastOffsets = false)
+    val w = Window.partitionBy(col("blk")).orderBy(col("key").asc, col("doc_id").asc)
+    val want = blocked.withColumn("pos_w", row_number().over(w).cast("long"))
+    val bad = got.join(want.select(col("doc_id"), col("pos_w")), "doc_id")
+      .filter(col("pos") =!= col("pos_w")).count()
+    assert(bad == 0L, s"$bad rows diverged under total cell collapse")
+  }
+
   test("null order key raises (fail-fast precondition, shared with exactNtile)") {
     val df = Seq((1L, "a", java.lang.Long.valueOf(5L), 1L),
       (2L, "a", null.asInstanceOf[java.lang.Long], 2L))
