@@ -134,7 +134,14 @@ object GenScale {
         .withColumn("n_chars", length(col("text")).cast("long"))
         .drop("__copy", "__from", "__to")
     write(docs, "documents")
-    val embDim = tbl("embeddings").selectExpr("max(size(embedding))").head().getInt(0)
+    // fail fast on ragged/empty embeddings: the shift transform assumes a
+    // uniform dimension (a shorter vector would hand slice() a negative
+    // length mid-write, leaving a half-written dst fixture)
+    val dimRow = tbl("embeddings")
+      .selectExpr("min(size(embedding))", "max(size(embedding))").head()
+    require(!dimRow.isNullAt(0), "embeddings table is empty")
+    val (dimMin, embDim) = (dimRow.getInt(0), dimRow.getInt(1))
+    require(dimMin == embDim, s"ragged embedding dims: min $dimMin != max $embDim")
     require(k <= 2 * embDim,
       s"shift+sign-flip is collision-free only up to 2*dim = ${2 * embDim} copies, got k=$k")
     val embCopies = spark.createDataFrame(

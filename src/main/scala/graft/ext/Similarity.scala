@@ -250,10 +250,19 @@ object Similarity {
     *
     * Scale: the all-pairs term only exists INSIDE a cell (O(Σ cell²)),
     * cells shrink as centroids grow, and everything else is the
-    * pair-relation CC machinery — no corpus-wide quadratic term. At
-    * 100 TB: persist trained centroids, assign in one broadcast pass,
-    * and feed the pair relation straight into [[Dedup.connectedComponents]]
-    * with a durable checkpointDir.
+    * pair-relation CC machinery — no corpus-wide quadratic term. With
+    * stride = √N (the battery's q111 parameterization) BOTH superlinear
+    * terms — N×C assignment and N²/C within-cell pairs — balance at
+    * O(N^1.5), which is the optimum for any EXACT all-within-cell-pairs
+    * scheme: fixed stride is O(N²/s) assignment (measured: DIED at 200k
+    * vectors under an 80 GiB heap), fixed cell count is O(N²/C) pairs.
+    * The sf1→sf10 smoke measured the √N form at 32.9× for 10× data —
+    * the N^1.5 prediction is 31.6×, so the slope IS the design, not an
+    * accident (BENCH_SF1.md round 12). At 100 TB: persist trained
+    * centroids (train on a sample, fixed k sized to the cluster — the
+    * build is then amortized and the recurring cost is one N×k assign
+    * pass), and feed the pair relation straight into
+    * [[Dedup.connectedComponents]] with a durable checkpointDir.
     */
   /** The pair stage of [[semanticDedup]], exposed so its plan shape can
     * be pinned (the CC stage checkpoints eagerly, hiding this subplan

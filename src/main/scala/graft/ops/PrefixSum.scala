@@ -71,6 +71,26 @@ object PrefixSum {
     }.reduce(_ + _)
   }
 
+  /** Tie-splitting cell surrogate for INTEGER window-order keys with a
+    * non-null LONG tie column (the caller's first `ties` entry): `order ±
+    * tie/(maxTie+1)` is STRICTLY monotone in (order direction, tie asc),
+    * so heavy order-key ties — token counts, char counts, integral
+    * scores, where one hot value can hold a data-sized run — spread
+    * across coarse cells instead of funneling one cell per value (cells
+    * must otherwise co-locate equal sort keys). The fraction is +/− by
+    * direction because [[exclusiveSum]] negates the surrogate for
+    * descending orders while ties always order ascending. `maxTie` is a
+    * driver-side scalar (one max() scan, or table stats at scale).
+    * Double rounding may collapse near ties (maxTie past ~2^(53−key
+    * bits)) — safe: collapse is non-strict monotone. Integer order keys
+    * only: a fractional gap smaller than 1 between distinct order values
+    * would break monotonicity.
+    */
+  def tieCell(order: Column, ascending: Boolean, tie: Column, maxTie: Long): Column = {
+    val frac = tie.cast("double") / lit(maxTie.toDouble + 1.0)
+    if (ascending) order.cast("double") + frac else order.cast("double") - frac
+  }
+
   /** Preflight diagnostic for [[exclusiveSum]]/[[rank]] cell layouts: the
     * per-(key, cell) row counts the given `cellKey` surrogate would
     * produce — same approxQuantile bounds, same cell assignment, ONE

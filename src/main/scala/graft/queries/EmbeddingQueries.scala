@@ -56,7 +56,9 @@ object EmbeddingQueries {
     * q123 (recall measurement) share ONE bit-exact definition. Assumes
     * CTEs `c` (corpus) and `q` (queries) are already defined.
     */
-  private def ivfCtes(nProbe: Int, seedPred: String = "cid % 50 = 0"): String =
+  // seedPred has no default: every caller passes the √N rule explicitly
+  // (the retired fixed-50 default would be a silent hash-mismatch trap)
+  private def ivfCtes(nProbe: Int, seedPred: String): String =
     s"""cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
        |          FROM c WHERE $seedPred),
        |${lloydIter("cent0", "a1", "m1", "cent1")},
@@ -124,6 +126,14 @@ object EmbeddingQueries {
     // BENCH_SF1 measured that layout O(N²/stride) at assignment — 13.2×
     // at 10× data, three rounds on the weak list — so it was retired
     // onto the √N rule rather than carried a fourth time.)
+    // Second-decade slope (sf1→sf10): 9.9 s → 571 s ≈ 58× — this query
+    // measures INDEX BUILD + serve end-to-end, and the build (2 Lloyd
+    // iterations = 3 full N×√N assignment passes + an 89M-row ranking
+    // sort at sf10) is the N^1.5 term with a spill residual. Production
+    // never pays it per query: centroids are trained once (on a sample)
+    // and persisted; the per-query serve term is O(√N·nProbe). q310
+    // measures exactly that composition — 6.8× end-to-end including a
+    // train-free build.
     // FULLY hash-oracled: every stage of the engine's IVF is
     // deterministic (modular seed, cosine assignment with id tie-breaks,
     // DECIMAL-accumulated cell means, probe ranking), so the oracle
@@ -318,7 +328,13 @@ object EmbeddingQueries {
     // O(N²/cells); √N balances BOTH terms at O(N^1.5) with the 64-dim
     // constant. At sf0.1 (2,000 vectors) √N ≈ 45 ≈ the old 50, so the
     // small-scale decision table barely moves; at 100 TB it is the
-    // difference between a job and a hang.
+    // difference between a job and a hang. MEASURED at the second decade
+    // (BENCH_SF1 round 12, sf1→sf10): stride=50 DIED (stage failures at
+    // 200k × 4,000 centroids under 80 GiB); the √N form runs 10.2 s →
+    // 334.4 s = 32.9×, i.e. exactly the N^1.5 prediction (31.6×) — the
+    // slope is the documented design optimum for exact SemDeDup, and the
+    // 100 TB posture (sampled training, persisted centroids, fixed k
+    // sized to the cluster) amortizes the build.
     QueryDef(
       "q111_semantic_dedup",
       (s, dir) => {

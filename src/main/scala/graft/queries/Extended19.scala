@@ -263,9 +263,15 @@ object Extended19 {
         val base = tbl(s, dir, "documents")
           .select(col("source"), col("doc_id"), col("n_chars"))
         val sizes = base.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+        // char counts are integers with data-sized tie runs (every
+        // GenScale copy keeps its length): tieCell splits ties by doc_id
+        // so in-cell tasks track N/(keys·cells), not value multiplicity
+        val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
         val ranked = graft.ops.PrefixSum.rank(
             base, Seq("source"), col("n_chars"), ascending = true,
-            Seq(col("doc_id")), "r")
+            Seq(col("doc_id")), "r",
+            cellKey = Some(graft.ops.PrefixSum.tieCell(
+              col("n_chars"), ascending = true, col("doc_id"), maxId)))
           .join(broadcast(sizes), Seq("source"))
           .withColumn("cell",
             ((col("r") * Cells + col("ns") - 1) / col("ns")).cast("long"))

@@ -151,15 +151,29 @@ object Extended50 {
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
           .distinct()
-        val keep = b.groupBy(col("u"))
+        val sizes = b.groupBy(col("u"))
           .agg(count(lit(1)).as("bs"))
           .filter(col("bs") <= MaxBasket)
-          .select(col("u"))
+        val keep = sizes.select(col("u"))
+        // Size the co-occurrence shuffle from basket stats, not the
+        // session default: pair volume is Σ bs·(bs−1)/2 — LINEAR in users
+        // (baskets are capped) but ~10× the input rows, so at a fixed
+        // 32-partition knob each hash-agg partition grows with the data
+        // and spills (measured: 22.2 s at sf1 → 439 s at sf10, 19.8×,
+        // with the JVM in GC/spill churn at 1.03 B pairs). One extra
+        // 1-row scan over the basket-size rollup buys a data-proportional
+        // partition count (~4M pairs/partition, floor 32); the groupBy
+        // reuses the repartition layout, so no second shuffle.
+        val nPairs = sizes
+          .agg(coalesce(sum(expr("bs * (bs - 1) div 2")), lit(0L)))
+          .head().getLong(0)
+        val pairParts = math.max(32L, math.min(4096L, nPairs / 4000000L)).toInt
         val bb = b.join(keep, "u")
         val np = bb.groupBy(col("p")).agg(count(lit(1)).as("np"))
         val pairs = bb.select(col("u"), col("p").as("pa"))
           .join(bb.select(col("u"), col("p").as("pb")), Seq("u"))
           .filter(col("pa") < col("pb"))
+          .repartition(pairParts, col("pa"), col("pb"))
           .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("co"))
           .filter(col("co") >= MinCo)
         val sym = pairs.unionByName(pairs.select(

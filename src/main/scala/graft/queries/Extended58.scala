@@ -63,12 +63,21 @@ object Extended58 {
           .select(col("qid"), col("vec_id").as("cid"),
             (Similarity.dot(col("qe"), col("e")) / (col("qen") * col("en"))).as("cosf"),
             (Similarity.dot(col("qt"), col("t")) / (col("qtn") * col("tn"))).as("cost"))
+        // TWO windows in one projection would defeat InferWindowGroupLimit
+        // (the filter must sit directly on a single rank), leaving each
+        // qid's task to SORT the whole corpus (measured: max rows per key
+        // = N−1, growing 10× per decade in the doc-axis lattice sweep).
+        // Ranked separately, each window carries a WindowGroupLimit that
+        // keeps a 5-row heap per partition instead of a full sort; the
+        // two ≤5-per-qid lists then join on (qid, cid) — identical
+        // semantics (rf ≤ 5 AND rt ≤ 5), bounded plan.
         val wf = Window.partitionBy(col("qid")).orderBy(col("cosf").desc, col("cid"))
         val wt = Window.partitionBy(col("qid")).orderBy(col("cost").desc, col("cid"))
-        val ranked = pairs
-          .withColumn("rf", row_number().over(wf))
-          .withColumn("rt", row_number().over(wt))
-        val ov = ranked.filter(col("rf") <= 5 && col("rt") <= 5)
+        val topF = pairs.withColumn("rf", row_number().over(wf))
+          .filter(col("rf") <= 5).select(col("qid"), col("cid"))
+        val topT = pairs.withColumn("rt", row_number().over(wt))
+          .filter(col("rt") <= 5).select(col("qid"), col("cid"))
+        val ov = topF.join(topT, Seq("qid", "cid"))
           .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
         q.select(col("qid"))
           .join(ov, Seq("qid"), "left")

@@ -285,9 +285,16 @@ object Extended61 {
         val d = tbl(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             size(Text.tokensNorm(col("text"))).cast("long").as("n_tok"))
+        // token counts are small integers with data-sized tie runs — the
+        // default order-as-surrogate co-locates every tie in one cell
+        // (hot-value funnel); tieCell splits ties by doc_id so the
+        // in-cell task bound is N/(keys·cells), not value multiplicity
+        val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
         val sharded = PrefixSum.rank(
             d, Seq("source"), col("n_tok"), ascending = false,
-            Seq(col("doc_id")), "__rnk")
+            Seq(col("doc_id")), "__rnk",
+            cellKey = Some(PrefixSum.tieCell(
+              col("n_tok"), ascending = false, col("doc_id"), maxId)))
           .withColumn("shard", ((col("__rnk") - 1) % 8).cast("int"))
           .drop("__rnk")
         val totals = sharded.groupBy(col("shard"))

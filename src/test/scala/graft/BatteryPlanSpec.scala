@@ -310,43 +310,137 @@ class BatteryPlanSpec extends SparkSuite {
     }
   }
 
+  /** query → why its PrefixSum in-cell window may grow linearly across
+    * the SECOND document decade (sf0.1 → sf1) while staying sound at
+    * 100 TB. The in-cell window's task bound is N/(|keys|·coarseCells) BY
+    * DESIGN (PrefixSum scaladoc): coarseCells is the parallelism knob —
+    * pinned at 64 to match local[32] here, raised with the cluster (4096+
+    * at 1000 executors) in production — so growth at a FIXED knob is the
+    * documented contract, not a plan defect; the base sweep can't see it
+    * because N/(keys·cells) ≪ 1 row at sf0.001. Queries whose order keys
+    * are heavy-tie integers also pass tieCell so the bound really is
+    * N/(keys·cells) and not hot-value multiplicity.
+    */
+  private val latticeDocDecadeBounded: Map[String, String] = Map(
+    "q113_mix_materialize" -> "PrefixSum in-cell window over (source, cell): N/(sources·64) per task, coarseCells is the cluster knob",
+    "q142_topp_nucleus" -> "PrefixSum in-cell window over (source, cell): N/(sources·64) per task, coarseCells is the cluster knob",
+    "q145_er_pipeline" -> "PrefixSum in-cell window over (blk, cell), shuffled offsets: N/(blocks·64) per task, coarseCells is the cluster knob",
+    "q190_quantile_normalize" -> "PrefixSum in-cell window over (source, cell), tieCell-split integer order: N/(sources·64) per task",
+    "q203_lift_curve" -> "Quantiles.exactNtile in-cell window over (cell): N/64 per task — same machinery, coarseCells is the cluster knob",
+    "q309_stratified_sample" -> "PrefixSum in-cell window over (source, cell): N/(sources·64) per task, coarseCells is the cluster knob",
+    "q314_balanced_shards" -> "PrefixSum in-cell window over (source, cell), tieCell-split integer order: N/(sources·64) per task")
+
+  /** Shared measurement loop for both lattice sweeps: max-rows-per-key
+    * growth of every candidate window across (smallDir, bigDir). An empty
+    * window input at the small SF cannot certify anything — if the big SF
+    * is non-empty it is flagged like any hazard (whitelist or fix the
+    * fixture), mirroring the globalWindowBounded degenerate-fixture rule.
+    * Returns (failures, flagged names, report lines).
+    */
+  private def sweepLattices(
+      candidates: Seq[String], smallDir: String, bigDir: String,
+      label: String,
+      whitelist: Map[String, String]): (Seq[String], Set[String], Seq[String]) = {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    val flagged = scala.collection.mutable.Set[String]()
+    val report = scala.collection.mutable.ArrayBuffer[String]()
+    for (name <- candidates) {
+      val small = latticeWindows(name, smallDir).map(maxRowsPerKey)
+      val big = latticeWindows(name, bigDir).map(maxRowsPerKey)
+      if (small.size != big.size)
+        failures += s"$name: candidate window count changed across SFs (${small.size} vs ${big.size}) — plan is SF-dependent, update the sweep"
+      else small.zip(big).zipWithIndex.foreach { case ((s0, s1), i) =>
+        val growth = if (s0 == 0) Double.PositiveInfinity else s1.toDouble / s0
+        report += f"$name%-28s win#$i maxPerKey $s0%7d -> $s1%7d (${growth}%.2fx)"
+        if ((s0 == 0 && s1 > 0) || (s0 > 0 && growth > 5.0)) {
+          flagged += name
+          if (!whitelist.contains(name))
+            failures += f"$name: window #$i funnels ${growth}%.2fx more rows per partition key $label ($s0 -> $s1) — a low-cardinality-key window over a data-sized relation; restructure (PrefixSum/exactNtile) or whitelist with a 100 TB argument"
+        }
+      }
+    }
+    (failures.toSeq, flagged.toSet, report.toSeq)
+  }
+
   test("lattice sweep: no window funnels data-growing row counts into single partition keys") {
     val conf = spark.conf
     val aqeKey = "spark.sql.adaptive.enabled"
     val prior = conf.get(aqeKey)
     conf.set(aqeKey, "false")
     try {
-      val failures = scala.collection.mutable.ArrayBuffer[String]()
-      val flagged = scala.collection.mutable.Set[String]()
-      val report = scala.collection.mutable.ArrayBuffer[String]()
       val names = SparkEntry.queries.keys.toSeq.sorted
       // pass 1 (cheap): which queries even HAVE candidate windows at
       // sf0.001. The growth measurement then spans sf0.001 → sf0.1 (100×
       // on the TPC-H tables, 10× on documents — the 0.001/0.01 document
       // fixtures are both 500 docs, which would hide document-table
       // lattices entirely), so a per-key-saturating window sits well
-      // under the 5× gate while an N/k lattice shows ~10–100×.
+      // under the 5× gate while an N/k lattice shows ~10–100×. The
+      // documents/embeddings axis gets a SECOND decade in the next test.
       val candidates = names.filter(n => latticeWindows(n, sf0001).nonEmpty)
-      for (name <- candidates) {
-        val small = latticeWindows(name, sf0001).map(maxRowsPerKey)
-        val big = latticeWindows(name, sf01).map(maxRowsPerKey)
-        if (small.size != big.size)
-          failures += s"$name: candidate window count changed across SFs (${small.size} vs ${big.size}) — plan is SF-dependent, update the sweep"
-        else small.zip(big).zipWithIndex.foreach { case ((s0, s1), i) =>
-          val growth = if (s0 == 0) Double.PositiveInfinity else s1.toDouble / s0
-          report += f"$name%-28s win#$i maxPerKey $s0%7d -> $s1%7d (${growth}%.2fx)"
-          if (s0 > 0 && growth > 5.0) {
-            flagged += name
-            if (!latticeWindowBounded.contains(name))
-              failures += f"$name: window #$i funnels ${growth}%.2fx more rows per partition key for 10-100x data ($s0 -> $s1) — a low-cardinality-key window over a data-sized relation; restructure (PrefixSum/exactNtile) or whitelist with a 100 TB argument"
-          }
-        }
-      }
-      (latticeWindowBounded.keySet -- flagged).toSeq.sorted.foreach { n =>
-        failures += s"stale latticeWindowBounded entry: $n no longer has a data-growing lattice window"
+      val (failures, flagged, report) =
+        sweepLattices(candidates, sf0001, sf01, "for 10-100x data",
+          latticeWindowBounded)
+      val stale = (latticeWindowBounded.keySet -- flagged).toSeq.sorted.map { n =>
+        s"stale latticeWindowBounded entry: $n no longer has a data-growing lattice window"
       }
       info(report.mkString("\n"))
-      assert(failures.isEmpty, failures.mkString("\n---\n"))
+      assert(failures.isEmpty && stale.isEmpty, (failures ++ stale).mkString("\n---\n"))
+    } finally conf.set(aqeKey, prior)
+  }
+
+  test("lattice sweep, document axis decade 2: sf0.1 → sf1 for document/embedding readers") {
+    // The base sweep's document growth tops out at 10× (500 → 5,000 docs
+    // across sf0.001 → sf0.1) and the embeddings table does not grow AT
+    // ALL below sf0.1 (2,000 vectors at every driver SF), so an
+    // embeddings-keyed lattice shows 1.0× there no matter how it scales.
+    // This pair re-measures every candidate that actually READS
+    // documents/embeddings over a genuine 10× decade on that axis
+    // (5,000 → 50,000 docs, 2,000 → 20,000 vectors in the GenScale sf1
+    // fixture). Builder-side fixture (target/, not in git) — regenerate:
+    //   runMain graft.GenScale /root/testdata/sf0.1 target/sfdata/sf1 10
+    // The assume() CANCELS (loudly, not silently passes) when absent, so
+    // the check runs wherever the scale protocol runs. Whitelisting uses
+    // its OWN map (latticeDocDecadeBounded): the PrefixSum in-cell
+    // windows it admits sit UNDER the base pair's gate (N/(keys·cells)
+    // ≪ 1 row at sf0.001), so base-sweep staleness would reject them.
+    val sf1 = "target/sfdata/sf1"
+    assume(new java.io.File(s"$sf1/documents.parquet").exists(),
+      s"$sf1 absent — generate via GenScale to run the second-decade sweep")
+    val conf = spark.conf
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = conf.get(aqeKey)
+    conf.set(aqeKey, "false")
+    try {
+      val names = SparkEntry.queries.keys.toSeq.sorted
+      // discovery at sf0.001: ONE plan construction per query serves both
+      // the lattice-window and the reads-doc-axis predicate (several
+      // constructions run eager count() scans — don't pay them twice)
+      val candidates = names.filter { n =>
+        val ns = nodes(
+          SparkEntry.queries(n)(spark, sf0001).queryExecution.executedPlan)
+        val hasLattice = ns.exists {
+          case w: WindowExec => w.partitionSpec.nonEmpty && !boundedMain(w.child)
+          case _ => false
+        }
+        def readsDocAxis = ns.exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.exists { p =>
+              val s = p.toString
+              s.contains("documents.parquet") || s.contains("embeddings.parquet")
+            }
+          case _ => false
+        }
+        hasLattice && readsDocAxis
+      }
+      val (failures, flagged, report) =
+        sweepLattices(candidates, sf01, sf1, "across the SECOND document decade",
+          latticeDocDecadeBounded)
+      val stale = (latticeDocDecadeBounded.keySet -- flagged).toSeq.sorted.map { n =>
+        s"stale latticeDocDecadeBounded entry: $n no longer flags on the document decade"
+      }
+      info(s"${candidates.size} document-axis candidates swept at sf0.1 → sf1")
+      info(report.mkString("\n"))
+      assert(failures.isEmpty && stale.isEmpty, (failures ++ stale).mkString("\n---\n"))
     } finally conf.set(aqeKey, prior)
   }
 }
