@@ -143,14 +143,25 @@ object Similarity {
     * force and trained-centroid recall ≥ the raw-sample baseline. At
     * 100 TB the centroid set is trained once and persisted — here it
     * stays a lazy subplan for the oracle harness.
+    *
+    * `trainOn`: optional BOUNDED training relation for the Lloyd
+    * refinement — the production recipe (FAISS trains k-means on a
+    * sample, never the corpus). With a ~c·√N sample, training costs
+    * O(c·√N·√N) = O(c·N) — LINEAR — and the only remaining N×√N pass is
+    * the final corpus→cell assignment, i.e. the one-time index build
+    * that production amortizes by persisting the index. Default (None)
+    * trains on the full corpus: the exact-oracle form q40/q302 pin.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-      k: Int, stride: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
+      k: Int, stride: Int, nProbe: Int, trainIters: Int = 0,
+      trainOn: Option[DataFrame] = None): DataFrame = {
     val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
     val seed = normalizedRel(
       corpus.filter(pmod(col(idCol), lit(stride)) === 0), idCol, embCol, "cent_id", "cent_e")
-    val cent = if (trainIters > 0) trainCentroids(c, seed, trainIters) else seed
+    val trainRel = trainOn
+      .map(t => normalizedRel(t, idCol, embCol, "cid", "ce")).getOrElse(c)
+    val cent = if (trainIters > 0) trainCentroids(trainRel, seed, trainIters) else seed
     val assigned = assignToCells(c, cent)
     // probe: nProbe nearest cells per query
     val q = normalizedRel(queries, idCol, embCol, "qid", "qe")

@@ -107,6 +107,7 @@ class BatteryPlanSpec extends SparkSuite {
     "q39_embed_topk" -> "query side bounded by literal filter vec_id < 10",
     "q40_embed_ivf" -> "query side vec_id < 10; centroid side √N-sampled (q302 rule; q40 is the WIDE 5-probe arm of the recall/latency knob)",
     "q302_embed_ivf_sqrt" -> "query side vec_id < 10; centroid side √N-sampled (sublinear broadcast — the standard IVF nlist rule)",
+    "q323_ivf_sampled_train" -> "query side vec_id < 10; centroid side √N-sampled (q302 rule); Lloyd TRAINING side a ~4√N sample (sublinear) — the production build recipe",
     "q310_ivfpq_adc" -> "query side vec_id < 10; centroid side √N-sampled (q302 rule); codebook fixed at ~64 codewords (q125 rule); LUT = queries × 64 × nSub rows",
     "q315_hybrid_retrieval" -> "dense query side bounded by literal filter vec_id < 5; sparse broadcasts bounded by the 5 probe docs' term set (qt/dfT) and a 1-row stats scalar",
     "q123_ann_recall" -> "both arms' query sides bounded by vec_id < 10",
