@@ -53,7 +53,16 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, k)
+    spark.stop()
+  }
 
+  /** Session-borrowing body of [[main]] — callable from tests (the
+    * BatteryPlanSpec decade-2 sweep generates its sf1 fixture on demand
+    * instead of assume-cancelling when it is absent, ADVICE r12) without
+    * stopping the caller's shared SparkSession.
+    */
+  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def base(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0) + 1L
@@ -159,6 +168,5 @@ object GenScale {
     write(embs, "embeddings")
 
     println(s"""{"gen":"$dst","k":$k,"lineitem_rows":${spark.read.parquet(s"$dst/lineitem.parquet").count()}}""")
-    spark.stop()
   }
 }

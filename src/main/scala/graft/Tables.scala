@@ -24,6 +24,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized row count per (dir, table) — several embedding-query
+    * builders derive their √N parameterization from the corpus size at
+    * DataFrame-CONSTRUCTION time, so plan-only consumers (BatteryPlanSpec
+    * constructs all battery plans, twice per sweep pair) would otherwise
+    * pay a full table-scan count() job per construction (ADVICE r12).
+    * Fixture dirs are immutable for a session's lifetime, so one count
+    * per (dir, table) per JVM is exact; at 100 TB the same scalar comes
+    * from table stats, not a scan.
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  def cachedCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent((dir, name), { case (d, n) =>
+      java.lang.Long.valueOf(load(spark, d, n).count())
+    }).longValue()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

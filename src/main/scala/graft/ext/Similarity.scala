@@ -48,7 +48,7 @@ object Similarity {
     * equivalent but is a trap: CollapseProject inlines the norm into the
     * transform lambda and recomputes sqrt(dot(e,e)) PER ELEMENT.)
     */
-  private def normalizedRel(df: DataFrame, idCol: String, embCol: String, id: String, vec: String): DataFrame = {
+  private[ext] def normalizedRel(df: DataFrame, idCol: String, embCol: String, id: String, vec: String): DataFrame = {
     // register on the frame's OWN session — SparkSession.active may be a
     // different session in multi-session apps
     graft.functions.VectorExpressions.register(df.sparkSession)
@@ -89,7 +89,7 @@ object Similarity {
   /** Nearest-centroid assignment: rank-1 by cosine over the broadcast
     * centroid set, deterministically tie-broken by cent_id.
     */
-  private def assignToCells(c: DataFrame, cent: DataFrame): DataFrame = {
+  private[ext] def assignToCells(c: DataFrame, cent: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("cid")).orderBy(col("d").desc, col("cent_id").asc)
     c.crossJoin(broadcast(cent))
       .select(col("cid"), col("ce"), col("ce_n"), col("cent_id"),
@@ -152,16 +152,32 @@ object Similarity {
     * that production amortizes by persisting the index. Default (None)
     * trains on the full corpus: the exact-oracle form q40/q302 pin.
     */
+  /** The battery-wide coarse-quantizer recipe: modular √N-style seed from
+    * the corpus, optionally Lloyd-refined on `trainOn` (a bounded sample —
+    * the production FAISS recipe) or, by default, on the full corpus (the
+    * exact-oracle form). Shared by [[ivfTopK]], [[assignCells]],
+    * [[simplifiedSilhouette]], and [[IvfIndex.build]] so the lazy and the
+    * persisted index are the same artifact bit-for-bit.
+    */
+  private[ext] def centroidsOf(
+      corpus: DataFrame, idCol: String, embCol: String,
+      stride: Int, trainIters: Int, trainOn: Option[DataFrame]): DataFrame = {
+    val seed = normalizedRel(
+      corpus.filter(pmod(col(idCol), lit(stride)) === 0), idCol, embCol, "cent_id", "cent_e")
+    if (trainIters > 0) {
+      val trainRel = trainOn
+        .map(t => normalizedRel(t, idCol, embCol, "cid", "ce"))
+        .getOrElse(normalizedRel(corpus, idCol, embCol, "cid", "ce"))
+      trainCentroids(trainRel, seed, trainIters)
+    } else seed
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       k: Int, stride: Int, nProbe: Int, trainIters: Int = 0,
       trainOn: Option[DataFrame] = None): DataFrame = {
     val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
-    val seed = normalizedRel(
-      corpus.filter(pmod(col(idCol), lit(stride)) === 0), idCol, embCol, "cent_id", "cent_e")
-    val trainRel = trainOn
-      .map(t => normalizedRel(t, idCol, embCol, "cid", "ce")).getOrElse(c)
-    val cent = if (trainIters > 0) trainCentroids(trainRel, seed, trainIters) else seed
+    val cent = centroidsOf(corpus, idCol, embCol, stride, trainIters, trainOn)
     val assigned = assignToCells(c, cent)
     // probe: nProbe nearest cells per query
     val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
@@ -191,12 +207,10 @@ object Similarity {
     */
   def assignCells(
       corpus: DataFrame, idCol: String, embCol: String,
-      stride: Int, trainIters: Int): DataFrame = {
+      stride: Int, trainIters: Int,
+      trainOn: Option[DataFrame] = None): DataFrame = {
     val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
-    val seed = normalizedRel(
-      corpus.filter(pmod(col(idCol), lit(stride)) === 0), idCol, embCol, "cent_id", "cent_e")
-    val cent = if (trainIters > 0) trainCentroids(c, seed, trainIters) else seed
-    assignToCells(c, cent)
+    assignToCells(c, centroidsOf(corpus, idCol, embCol, stride, trainIters, trainOn))
   }
 
   /** Simplified silhouette (Hruschka et al. 2004 centroid variant): each
@@ -214,9 +228,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, embCol: String,
       stride: Int, trainIters: Int): DataFrame = {
     val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
-    val seed = normalizedRel(
-      corpus.filter(pmod(col(idCol), lit(stride)) === 0), idCol, embCol, "cent_id", "cent_e")
-    val cent = if (trainIters > 0) trainCentroids(c, seed, trainIters) else seed
+    val cent = centroidsOf(corpus, idCol, embCol, stride, trainIters, None)
     val dists = c.crossJoin(broadcast(cent))
       .select(col("cid"), col("cent_id"),
         (dot(col("ce"), col("cent_e")) / (col("ce_n") * col("cent_e_n"))).as("cos"))
@@ -283,8 +295,9 @@ object Similarity {
     */
   def semanticPairs(
       corpus: DataFrame, idCol: String, embCol: String,
-      stride: Int, trainIters: Int, threshold: Double): DataFrame = {
-    val assigned = assignCells(corpus, idCol, embCol, stride, trainIters)
+      stride: Int, trainIters: Int, threshold: Double,
+      trainOn: Option[DataFrame] = None): DataFrame = {
+    val assigned = assignCells(corpus, idCol, embCol, stride, trainIters, trainOn)
     assigned.as("a")
       .join(assigned.as("b"),
         col("a.cent_id") === col("b.cent_id") && col("a.cid") < col("b.cid"))
@@ -294,10 +307,20 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** `trainOn`: optional BOUNDED training relation for the Lloyd
+    * refinement, exactly as on [[ivfTopK]] — the 100 TB posture (train the
+    * coarse cells on a ~c·√N sample, O(c·N) = LINEAR, instead of the
+    * full-corpus O(N^1.5) Lloyd; persist the centroids) made executable
+    * for this family too (q325 pins it under the hash gate; round-12 only
+    * documented it). The remaining superlinear terms — one N×C assignment
+    * pass and the within-cell exact pairs — are the EXACT-SemDeDup
+    * optimum at stride = √N (see above) regardless of how training paid.
+    */
   def semanticDedup(
       corpus: DataFrame, idCol: String, embCol: String,
-      stride: Int, trainIters: Int, threshold: Double): DataFrame = {
-    val pairs = semanticPairs(corpus, idCol, embCol, stride, trainIters, threshold)
+      stride: Int, trainIters: Int, threshold: Double,
+      trainOn: Option[DataFrame] = None): DataFrame = {
+    val pairs = semanticPairs(corpus, idCol, embCol, stride, trainIters, threshold, trainOn)
     val clusters = Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("id"), col("cluster_id"))
     corpus.select(col(idCol).as("id"))

@@ -99,11 +99,18 @@ object PrefixSum {
     * window the layout will pay; a hot boilerplate prefix shows up here
     * as one cell carrying the whole key (see the packAscii scaladoc)
     * before it shows up as a straggler task in production.
+    *
+    * `ascending` must match the [[exclusiveSum]] call being sized:
+    * exclusiveSum negates the surrogate for descending orders, and
+    * without the same normalization the reported cell IDS would be
+    * mirrored relative to the ones exclusiveSum assigns (the load
+    * HISTOGRAM is direction-symmetric, but per-cell drill-down isn't).
     */
   def cellLoad(
       df: DataFrame, keys: Seq[String], cellKey: Column,
-      coarseCells: Int = 64): DataFrame = {
-    val keyed = df.withColumn("__pv", cellKey.cast("double"))
+      coarseCells: Int = 64, ascending: Boolean = true): DataFrame = {
+    val surrogate = if (ascending) cellKey.cast("double") else negate(cellKey.cast("double"))
+    val keyed = df.withColumn("__pv", surrogate)
     val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
     val bounds =
       if (coarseCells <= 1) Array.empty[Double]

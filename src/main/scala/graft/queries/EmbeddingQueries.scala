@@ -21,7 +21,7 @@ object EmbeddingQueries {
     """n AS (SELECT vec_id,
       |        sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
       |      FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY vec_id)""".stripMargin
-  private val pairDot = "sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) / (qn * cn)"
+  private[queries] val pairDot = "sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) / (qn * cn)"
 
   /** One Lloyd iteration as CTE text, mirroring Similarity.trainCentroids
     * exactly: assign every corpus vector to its nearest centroid (cosine
@@ -92,6 +92,64 @@ object EmbeddingQueries {
        |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
        |         FROM srch)""".stripMargin
 
+  /** The CTE prefix shared by every sampled-train build oracle (q323,
+    * q324, q326): corpus/query/norm relations, the √N seed stride `sv`
+    * and ~4√N training stride `tv`, the sampled training relation `cs`,
+    * one Lloyd iteration ON THE SAMPLE (→ `cent1`), and the one full
+    * corpus→cell assignment pass (→ `a3`) — the persisted-index build
+    * recipe, bit-exact in SQL.
+    */
+  private[queries] val sampledTrainBuildCtes: String =
+    s"""WITH $normCte,
+       |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
+       |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
+       |q AS (SELECT e.vec_id qid, e.embedding qe, n.nrm qn
+       |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id WHERE e.vec_id < 10),
+       |st AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS sv,
+       |         greatest(1, count(*) //
+       |           (4 * greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)))) AS tv
+       |       FROM embeddings),
+       |cs AS (SELECT * FROM c WHERE cid % (SELECT tv FROM st) = 0),
+       |cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
+       |          FROM c WHERE cid % (SELECT sv FROM st) = 0),
+       |${lloydIter("cent0", "a1", "m1", "cent1", rel = "cs")},
+       |d3 AS (SELECT cid, cent_id,
+       |         sum(CAST(ce[i] AS DOUBLE) * cent_e[i]) / (cn * cent_n) AS d
+       |       FROM c CROSS JOIN cent1 CROSS JOIN range(1, 65) t(i)
+       |       GROUP BY cid, cent_id, cn, cent_n),
+       |a3 AS (SELECT cid, cent_id FROM (
+       |         SELECT cid, cent_id,
+       |           row_number() OVER (PARTITION BY cid ORDER BY d DESC, cent_id) rnk
+       |         FROM d3) WHERE rnk = 1)""".stripMargin
+
+  /** q323's full oracle — and q324's, verbatim: the persisted-serve path
+    * replays the identical build+serve pipeline from parquet artifacts,
+    * and parquet round-trips IEEE doubles exactly, so the two queries
+    * are the same relation by construction.
+    */
+  private[queries] val sampledTrainIvfOracleSql: String =
+    s"""$sampledTrainBuildCtes,
+       |dp AS (SELECT qid, cent_id,
+       |         sum(CAST(qe[i] AS DOUBLE) * cent_e[i]) / (qn * cent_n) AS d
+       |       FROM q CROSS JOIN cent1 CROSS JOIN range(1, 65) t(i)
+       |       GROUP BY qid, cent_id, qn, cent_n),
+       |probe AS (SELECT qid, cent_id FROM (
+       |            SELECT qid, cent_id,
+       |              row_number() OVER (PARTITION BY qid ORDER BY d DESC, cent_id) rnk
+       |            FROM dp) WHERE rnk <= 3),
+       |srch AS (SELECT qid, cid, $pairDot AS cos
+       |         FROM probe
+       |         JOIN a3 USING (cent_id)
+       |         JOIN q USING (qid)
+       |         JOIN c USING (cid)
+       |         CROSS JOIN range(1, 65) t(i)
+       |         WHERE cid != qid GROUP BY qid, cid, qn, cn),
+       |ivfr AS (SELECT qid, cid, cos,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |         FROM srch)
+       |SELECT qid, cid, rn, ${Num.roundSql("cos", 4)} AS cos_r
+       |FROM ivfr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     // Brute-force cosine top-5 for 10 query vectors: corpus streams once,
     // queries broadcast, per-query heap via row_number.
@@ -134,8 +192,10 @@ object EmbeddingQueries {
     // sort at sf10) is the N^1.5 term with a spill residual. Production
     // never pays it per query: centroids are trained once (on a sample)
     // and persisted; the per-query serve term is O(√N·nProbe). q310
-    // measures exactly that composition — 6.8× end-to-end including a
-    // train-free build.
+    // measures the ADC composition with a train-free build fused in —
+    // 5.6× decade 1, 10.7× decade 2 (BENCH_SF1: the build's one N×√N
+    // assignment pass dominates as N grows); q324/q326 measure the
+    // PERSISTED-index serve path in isolation.
     // FULLY hash-oracled: every stage of the engine's IVF is
     // deterministic (modular seed, cosine assignment with id tie-breaks,
     // DECIMAL-accumulated cell means, probe ranking), so the oracle
@@ -150,7 +210,7 @@ object EmbeddingQueries {
       "q40_embed_ivf",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        val stride = Similarity.sqrtStride(emb.count())
+        val stride = Similarity.sqrtStride(graft.Tables.cachedCount(s, dir, "embeddings"))
         Similarity
           .ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
             k = 5, stride = stride, nProbe = 5, trainIters = 2)
@@ -183,7 +243,7 @@ object EmbeddingQueries {
       "q302_embed_ivf_sqrt",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        val stride = Similarity.sqrtStride(emb.count())
+        val stride = Similarity.sqrtStride(graft.Tables.cachedCount(s, dir, "embeddings"))
         Similarity
           .ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
             k = 5, stride = stride, nProbe = 3, trainIters = 2)
@@ -216,7 +276,7 @@ object EmbeddingQueries {
       "q323_ivf_sampled_train",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        val n = emb.count()
+        val n = graft.Tables.cachedCount(s, dir, "embeddings")
         val stride = Similarity.sqrtStride(n)
         val trainStride = math.max(1L, n / (4L * stride))
         Similarity
@@ -226,47 +286,7 @@ object EmbeddingQueries {
           .select(col("qid"), col("cid"), col("rn"), Num.roundTo(col("cos"), 4).as("cos_r"))
           .orderBy("qid", "rn")
       },
-      Some(s"""WITH $normCte,
-              |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
-              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
-              |q AS (SELECT e.vec_id qid, e.embedding qe, n.nrm qn
-              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id WHERE e.vec_id < 10),
-              |st AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS sv,
-              |         greatest(1, count(*) //
-              |           (4 * greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)))) AS tv
-              |       FROM embeddings),
-              |cs AS (SELECT * FROM c WHERE cid % (SELECT tv FROM st) = 0),
-              |cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
-              |          FROM c WHERE cid % (SELECT sv FROM st) = 0),
-              |${lloydIter("cent0", "a1", "m1", "cent1", rel = "cs")},
-              |d3 AS (SELECT cid, cent_id,
-              |         sum(CAST(ce[i] AS DOUBLE) * cent_e[i]) / (cn * cent_n) AS d
-              |       FROM c CROSS JOIN cent1 CROSS JOIN range(1, 65) t(i)
-              |       GROUP BY cid, cent_id, cn, cent_n),
-              |a3 AS (SELECT cid, cent_id FROM (
-              |         SELECT cid, cent_id,
-              |           row_number() OVER (PARTITION BY cid ORDER BY d DESC, cent_id) rnk
-              |         FROM d3) WHERE rnk = 1),
-              |dp AS (SELECT qid, cent_id,
-              |         sum(CAST(qe[i] AS DOUBLE) * cent_e[i]) / (qn * cent_n) AS d
-              |       FROM q CROSS JOIN cent1 CROSS JOIN range(1, 65) t(i)
-              |       GROUP BY qid, cent_id, qn, cent_n),
-              |probe AS (SELECT qid, cent_id FROM (
-              |            SELECT qid, cent_id,
-              |              row_number() OVER (PARTITION BY qid ORDER BY d DESC, cent_id) rnk
-              |            FROM dp) WHERE rnk <= 3),
-              |srch AS (SELECT qid, cid, $pairDot AS cos
-              |         FROM probe
-              |         JOIN a3 USING (cent_id)
-              |         JOIN q USING (qid)
-              |         JOIN c USING (cid)
-              |         CROSS JOIN range(1, 65) t(i)
-              |         WHERE cid != qid GROUP BY qid, cid, qn, cn),
-              |ivfr AS (SELECT qid, cid, cos,
-              |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
-              |         FROM srch)
-              |SELECT qid, cid, rn, ${Num.roundSql("cos", 4)} AS cos_r
-              |FROM ivfr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+      Some(sampledTrainIvfOracleSql)),
 
     // ANN quality measurement: recall@10 of the IVF path against the
     // brute-force exact anchor, per query — the acceptance gate every
@@ -287,7 +307,7 @@ object EmbeddingQueries {
         // would grade an index nobody should deploy
         val emb = tbl(s, dir, "embeddings")
         val qs = emb.filter(col("vec_id") < 10)
-        val stride = Similarity.sqrtStride(emb.count())
+        val stride = Similarity.sqrtStride(graft.Tables.cachedCount(s, dir, "embeddings"))
         val exact = Similarity
           .bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
           .select(col("qid"), col("cid"))
@@ -347,7 +367,7 @@ object EmbeddingQueries {
         // 102.9× for 10× data in the round-10 full-battery scale smoke;
         // fixed-size sizing re-measured linear (9.3×).
         val emb = tbl(s, dir, "embeddings")
-        val stride = math.max(1L, emb.count() / 64).toInt
+        val stride = math.max(1L, graft.Tables.cachedCount(s, dir, "embeddings") / 64).toInt
         Similarity
           .pqEncode(emb, "vec_id", "embedding",
             nSub = 4, subDim = 16, stride = stride)
@@ -403,14 +423,15 @@ object EmbeddingQueries {
     // 334.4 s = 32.9×, i.e. exactly the N^1.5 prediction (31.6×) — the
     // slope is the documented design optimum for exact SemDeDup, and the
     // 100 TB posture (sampled training, persisted centroids, fixed k
-    // sized to the cluster) amortizes the build.
+    // sized to the cluster) amortizes the build — q325 puts the
+    // sampled-train form under the hash gate.
     QueryDef(
       "q111_semantic_dedup",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
         Similarity
           .semanticDedup(emb, "vec_id", "embedding",
-            stride = Similarity.sqrtStride(emb.count()), trainIters = 1, threshold = 0.4)
+            stride = Similarity.sqrtStride(graft.Tables.cachedCount(s, dir, "embeddings")), trainIters = 1, threshold = 0.4)
           .orderBy("id")
       },
       Some(s"""WITH RECURSIVE $normCte,
@@ -463,7 +484,7 @@ object EmbeddingQueries {
         val emb = tbl(s, dir, "embeddings")
         val cells = Similarity
           .assignCells(emb, "vec_id", "embedding",
-            stride = Similarity.sqrtStride(emb.count()), trainIters = 0)
+            stride = Similarity.sqrtStride(graft.Tables.cachedCount(s, dir, "embeddings")), trainIters = 0)
           .select(col("cid").as("vec_id"), col("cent_id"))
         val blocked = emb.join(cells, "vec_id")
           .withColumn("blk_", concat_ws("#", col("label"), col("cent_id")))

@@ -45,7 +45,7 @@ object Extended38 {
         val emb = tbl(s, dir, "embeddings")
         val pts = Similarity.simplifiedSilhouette(
           emb, "vec_id", "embedding",
-          stride = Similarity.sqrtStride(emb.count()), trainIters = 2)
+          stride = Similarity.sqrtStride(graft.Tables.cachedCount(s, dir, "embeddings")), trainIters = 2)
         val dec = DecimalType(24, 10)
         val cells = pts.groupBy(col("cent_id"))
           .agg(count(lit(1)).as("n_points"),

@@ -55,7 +55,7 @@ object Extended61 {
       "q310_ivfpq_adc",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        val n = emb.count() // one scalar; table stats at 100 TB
+        val n = graft.Tables.cachedCount(s, dir, "embeddings") // one memoized scalar; table stats at 100 TB
         Similarity
           .ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
             k = 5, cellStride = Similarity.sqrtStride(n),

@@ -109,6 +109,8 @@ class BatteryPlanSpec extends SparkSuite {
     "q302_embed_ivf_sqrt" -> "query side vec_id < 10; centroid side √N-sampled (sublinear broadcast — the standard IVF nlist rule)",
     "q323_ivf_sampled_train" -> "query side vec_id < 10; centroid side √N-sampled (q302 rule); Lloyd TRAINING side a ~4√N sample (sublinear) — the production build recipe",
     "q310_ivfpq_adc" -> "query side vec_id < 10; centroid side √N-sampled (q302 rule); codebook fixed at ~64 codewords (q125 rule); LUT = queries × 64 × nSub rows",
+    "q324_ivf_persisted_serve" -> "query side vec_id < 10; broadcast side the PERSISTED √N-row centroid artifact (sublinear scan, no compute subtree — the index is pre-built)",
+    "q326_ivfpq_persisted_serve" -> "query side vec_id < 10; broadcast sides the persisted √N-row centroids and the persisted ~64-codeword codebook; LUT = queries × 64 × nSub rows",
     "q315_hybrid_retrieval" -> "dense query side bounded by literal filter vec_id < 5; sparse broadcasts bounded by the 5 probe docs' term set (qt/dfT) and a 1-row stats scalar",
     "q123_ann_recall" -> "both arms' query sides bounded by vec_id < 10",
     "q304_matryoshka_overlap" -> "anchor side bounded by literal filter vec_id < 10",
@@ -397,16 +399,20 @@ class BatteryPlanSpec extends SparkSuite {
     // This pair re-measures every candidate that actually READS
     // documents/embeddings over a genuine 10× decade on that axis
     // (5,000 → 50,000 docs, 2,000 → 20,000 vectors in the GenScale sf1
-    // fixture). Builder-side fixture (target/, not in git) — regenerate:
-    //   runMain graft.GenScale /root/testdata/sf0.1 target/sfdata/sf1 10
-    // The assume() CANCELS (loudly, not silently passes) when absent, so
-    // the check runs wherever the scale protocol runs. Whitelisting uses
-    // its OWN map (latticeDocDecadeBounded): the PrefixSum in-cell
-    // windows it admits sit UNDER the base pair's gate (N/(keys·cells)
-    // ≪ 1 row at sf0.001), so base-sweep staleness would reject them.
+    // fixture). Builder-side fixture (target/, not in git) — GENERATED ON
+    // DEMAND here (GenScale.run is deterministic and sf1 is ~1 min to
+    // build), so the doc-axis hazard class is guarded on fresh clones
+    // too, not only on machines that ran the scale protocol (ADVICE r12;
+    // the old assume() silently cancelled the whole sweep there).
+    // Whitelisting uses its OWN map (latticeDocDecadeBounded): the
+    // PrefixSum in-cell windows it admits sit UNDER the base pair's gate
+    // (N/(keys·cells) ≪ 1 row at sf0.001), so base-sweep staleness would
+    // reject them.
     val sf1 = "target/sfdata/sf1"
-    assume(new java.io.File(s"$sf1/documents.parquet").exists(),
-      s"$sf1 absent — generate via GenScale to run the second-decade sweep")
+    if (!new java.io.File(s"$sf1/documents.parquet").exists()) {
+      info(s"$sf1 absent — generating via GenScale.run (deterministic, k=10)")
+      graft.GenScale.run(spark, sf01, sf1, 10)
+    }
     val conf = spark.conf
     val aqeKey = "spark.sql.adaptive.enabled"
     val prior = conf.get(aqeKey)
