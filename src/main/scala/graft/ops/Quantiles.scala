@@ -51,9 +51,14 @@ object Quantiles {
     * aggregate).
     */
   private[ops] def cellOf(qv: Column, bounds: Array[Double], what: String): Column = {
+    // native binary search (O(log cells)/row, constant codegen size) —
+    // the composed when-chain this replaces was O(cells)/row and scaled
+    // the WHOLE pipeline with the knob it exists to turn (measured on
+    // q309 at sf10: 3.0→8.9→17.2 s for cells 16→64→256; see
+    // functions.CellBucket scaladoc)
     val cells =
       if (bounds.isEmpty) lit(0)
-      else bounds.toSeq.map(b => when(qv > lit(b), 1).otherwise(0)).reduce(_ + _)
+      else graft.functions.BucketExpressions.cellBucket(qv, bounds)
     when(qv.isNotNull, cells).otherwise(
       raise_error(lit(s"$what: null sort key — filter or impute nulls before bucketing"))
         .cast("int"))
