@@ -170,6 +170,40 @@ object IvfIndex {
         (dot(col("qe"), col("ce")) / (col("qe_n") * col("ce_n"))).as("cos"))
   }
 
+  /** SemDeDup's recurring term served from the persisted assignment: the
+    * within-cell pair scan + connected components + min-id keeper over
+    * the inverted file alone — no training and no assignment pass in the
+    * plan, completing the SemDeDup cost decomposition the battery
+    * measures (train O(N) sampled = q325; one N×√N assignment = the
+    * persisted build; THIS — the exact pair term, the N^1.5 floor for
+    * exact SemDeDup — is what a 100 TB deployment re-pays per corpus
+    * refresh). `corpus` supplies the id universe for the decision table
+    * (an id-only column-pruned scan); pair semantics are exactly
+    * [[Similarity.semanticPairs]]' (cell equi-join, cid tie-break,
+    * threshold on the carried-norm cosine), so with the same build
+    * parameters the decision table is identical to
+    * [[Similarity.semanticDedup]]'s.
+    */
+  def serveSemDedup(
+      spark: SparkSession, indexDir: String, corpus: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val inv = spark.read.parquet(s"$indexDir/invfile")
+      .select(col("cid"), col("ce"), col("ce_n"), col("cent_id"))
+    val pairs = inv.as("a")
+      .join(inv.as("b"),
+        col("a.cent_id") === col("b.cent_id") && col("a.cid") < col("b.cid"))
+      .select(
+        col("a.cid").as("a_id"), col("b.cid").as("b_id"),
+        (dot(col("a.ce"), col("b.ce")) / (col("a.ce_n") * col("b.ce_n"))).as("cos"))
+      .filter(col("cos") >= threshold)
+    val clusters = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    corpus.select(col(idCol).as("id"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .withColumn("keep", col("id") === col("cluster_id"))
+  }
+
   /** Battery-side index cache: ONE build per (fixture dir) per JVM, under
     * a shutdown-hook-cleaned temp root. This is how q324/q326 measure the
     * serve path in isolation without a side-channel artifact store: Bench

@@ -38,6 +38,51 @@ object Extended68 {
   private def R(c: Column, n: Int) = Num.roundTo(c, n)
   private def rs(e: String, n: Int) = Num.roundSql(e, n)
 
+  /** q325's full oracle — and q327's, verbatim: the persisted inverted
+    * file IS the sampled-train assignment written to parquet (exact IEEE
+    * round-trip), and the pair/CC/keeper stages are identical, so the
+    * served decision table equals the lazy one by construction.
+    */
+  private val sampledSemDedupOracleSql: String =
+    s"""WITH RECURSIVE ${EmbeddingQueries.normCte},
+       |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
+       |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
+       |st AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS sv,
+       |         greatest(1, count(*) //
+       |           (4 * greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)))) AS tv
+       |       FROM embeddings),
+       |cs AS (SELECT * FROM c WHERE cid % (SELECT tv FROM st) = 0),
+       |cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
+       |          FROM c WHERE cid % (SELECT sv FROM st) = 0),
+       |${EmbeddingQueries.lloydIter("cent0", "a1", "m1", "cent1", rel = "cs")},
+       |d_f AS (SELECT cid, cent_id,
+       |          sum(CAST(ce[i] AS DOUBLE) * cent_e[i]) / (cn * cent_n) AS d
+       |        FROM c CROSS JOIN cent1 CROSS JOIN range(1, 65) t(i)
+       |        GROUP BY cid, cent_id, cn, cent_n),
+       |a_f AS (SELECT cid, cent_id FROM (
+       |          SELECT cid, cent_id,
+       |            row_number() OVER (PARTITION BY cid ORDER BY d DESC, cent_id) rnk
+       |          FROM d_f) WHERE rnk = 1),
+       |pr AS (SELECT x.cid a_id, y.cid b_id,
+       |         sum(CAST(cx.ce[i] AS DOUBLE) * CAST(cy.ce[i] AS DOUBLE)) / (cx.cn * cy.cn) AS cos
+       |       FROM a_f x JOIN a_f y ON x.cent_id = y.cent_id AND x.cid < y.cid
+       |       JOIN c cx ON cx.cid = x.cid
+       |       JOIN c cy ON cy.cid = y.cid
+       |       CROSS JOIN range(1, 65) t(i)
+       |       GROUP BY x.cid, y.cid, cx.cn, cy.cn),
+       |p AS (SELECT a_id, b_id FROM pr WHERE cos >= 0.4),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM p
+       |      UNION SELECT b_id, a_id FROM p),
+       |r AS (SELECT src AS node, dst AS reach FROM e
+       |      UNION
+       |      SELECT r.node, e.dst AS reach FROM r JOIN e ON r.reach = e.src),
+       |cl AS (SELECT node, least(node, min(reach)) AS cluster_id FROM r GROUP BY node)
+       |SELECT em.vec_id AS id,
+       |       coalesce(cl.cluster_id, em.vec_id) AS cluster_id,
+       |       em.vec_id = coalesce(cl.cluster_id, em.vec_id) AS keep
+       |FROM embeddings em LEFT JOIN cl ON cl.node = em.vec_id
+       |ORDER BY id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     // ----- q324: persisted-index IVF-Flat serve -------------------------
     // Oracle = q323's, verbatim: the persisted artifacts are the SAME
@@ -79,44 +124,7 @@ object Extended68 {
             trainOn = Some(emb.filter(pmod(col("vec_id"), lit(trainStride)) === 0)))
           .orderBy("id")
       },
-      Some(s"""WITH RECURSIVE ${EmbeddingQueries.normCte},
-              |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
-              |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
-              |st AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS sv,
-              |         greatest(1, count(*) //
-              |           (4 * greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)))) AS tv
-              |       FROM embeddings),
-              |cs AS (SELECT * FROM c WHERE cid % (SELECT tv FROM st) = 0),
-              |cent0 AS (SELECT cid AS cent_id, CAST(ce AS DOUBLE[]) AS cent_e, cn AS cent_n
-              |          FROM c WHERE cid % (SELECT sv FROM st) = 0),
-              |${EmbeddingQueries.lloydIter("cent0", "a1", "m1", "cent1", rel = "cs")},
-              |d_f AS (SELECT cid, cent_id,
-              |          sum(CAST(ce[i] AS DOUBLE) * cent_e[i]) / (cn * cent_n) AS d
-              |        FROM c CROSS JOIN cent1 CROSS JOIN range(1, 65) t(i)
-              |        GROUP BY cid, cent_id, cn, cent_n),
-              |a_f AS (SELECT cid, cent_id FROM (
-              |          SELECT cid, cent_id,
-              |            row_number() OVER (PARTITION BY cid ORDER BY d DESC, cent_id) rnk
-              |          FROM d_f) WHERE rnk = 1),
-              |pr AS (SELECT x.cid a_id, y.cid b_id,
-              |         sum(CAST(cx.ce[i] AS DOUBLE) * CAST(cy.ce[i] AS DOUBLE)) / (cx.cn * cy.cn) AS cos
-              |       FROM a_f x JOIN a_f y ON x.cent_id = y.cent_id AND x.cid < y.cid
-              |       JOIN c cx ON cx.cid = x.cid
-              |       JOIN c cy ON cy.cid = y.cid
-              |       CROSS JOIN range(1, 65) t(i)
-              |       GROUP BY x.cid, y.cid, cx.cn, cy.cn),
-              |p AS (SELECT a_id, b_id FROM pr WHERE cos >= 0.4),
-              |e AS (SELECT a_id AS src, b_id AS dst FROM p
-              |      UNION SELECT b_id, a_id FROM p),
-              |r AS (SELECT src AS node, dst AS reach FROM e
-              |      UNION
-              |      SELECT r.node, e.dst AS reach FROM r JOIN e ON r.reach = e.src),
-              |cl AS (SELECT node, least(node, min(reach)) AS cluster_id FROM r GROUP BY node)
-              |SELECT em.vec_id AS id,
-              |       coalesce(cl.cluster_id, em.vec_id) AS cluster_id,
-              |       em.vec_id = coalesce(cl.cluster_id, em.vec_id) AS keep
-              |FROM embeddings em LEFT JOIN cl ON cl.node = em.vec_id
-              |ORDER BY id""".stripMargin)),
+      Some(sampledSemDedupOracleSql)),
 
     // ----- q326: persisted-index IVF+PQ ADC serve -----------------------
     // q310's serving composition against the PERSISTED index: same ADC
@@ -189,6 +197,27 @@ object Extended68 {
               |      WHERE r.rn <= 5
               |      GROUP BY r.qid, r.cid, r.rn, r.adc, q.qn, c.cn)
               |SELECT qid, cid, rn, ${rs("adc", 4)} AS adc_r, ${rs("cos", 4)} AS cos_r
-              |FROM x ORDER BY qid, rn""".stripMargin))
+              |FROM x ORDER BY qid, rn""".stripMargin)),
+
+    // ----- q327: SemDeDup pair term served from the persisted assignment
+    // The last piece of the SemDeDup cost decomposition, each now a
+    // hash-gated query: TRAIN is O(N) on a sample (q325), ASSIGN is one
+    // N x sqrtN pass paid at index build (q324's persisted artifact), and
+    // THIS is the recurring term — within-cell exact pairs + connected
+    // components + min-id keeper over the inverted file alone, the N^1.5
+    // floor any exact SemDeDup re-pays per corpus refresh. No training
+    // and no assignment anywhere in the plan; the corpus table is read
+    // only as an id-column scan for the decision-table universe. Oracle =
+    // q325's verbatim (the persisted inverted file IS the sampled-train
+    // assignment, parquet round-trips IEEE doubles exactly).
+    QueryDef(
+      "q327_semdedup_persisted_serve",
+      (s, dir) => {
+        val ix = IvfIndex.Cache.indexFor(s, dir)
+        IvfIndex
+          .serveSemDedup(s, ix, tbl(s, dir, "embeddings"), "vec_id", threshold = 0.4)
+          .orderBy("id")
+      },
+      Some(sampledSemDedupOracleSql))
   )
 }

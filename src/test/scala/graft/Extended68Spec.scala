@@ -101,6 +101,14 @@ class Extended68Spec extends SparkSuite {
     } finally { got.unpersist(); () }
   }
 
+  test("q327: persisted-assignment SemDeDup ≡ the lazy sampled-train decision table, row for row") {
+    val got = SparkEntry.queries("q327_semdedup_persisted_serve")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val want = SparkEntry.queries("q325_semdedup_sampled")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == want, "serving SemDeDup from the persisted inverted file diverged from the lazy pipeline")
+  }
+
   test("q326: with every vector its own codeword (codeStride=1), persisted ADC == exact dot ordering") {
     // the Extended61Spec stride-1 identity, now THROUGH the persisted
     // artifacts: build writes codes/codebook to parquet, servePqTopK
