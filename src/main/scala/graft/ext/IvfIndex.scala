@@ -58,71 +58,69 @@ object IvfIndex {
   }
 
   /** nProbe nearest persisted cells per query vector: (qid, qe, qe_n,
-    * cent_id), the shared front half of both serve paths.
+    * cent_id) — [[Similarity.probeNearestCells]] (the ONE probe
+    * definition, shared with the lazy pipelines) over the read-back
+    * centroid artifact.
     */
   private def probeCells(
       spark: SparkSession, indexDir: String, queries: DataFrame,
-      idCol: String, embCol: String, nProbe: Int): DataFrame = {
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
-    val w = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cent_id").asc)
-    q.crossJoin(broadcast(cent))
-      .select(col("qid"), col("qe"), col("qe_n"), col("cent_id"),
-        (dot(col("qe"), col("cent_e")) / (col("qe_n") * col("cent_e_n"))).as("d"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qe"), col("qe_n"), col("cent_id"))
+      idCol: String, embCol: String, nProbe: Int): DataFrame =
+    Similarity.probeNearestCells(
+      normalizedRel(queries, idCol, embCol, "qid", "qe"),
+      spark.read.parquet(s"$indexDir/centroids"), nProbe)
+
+  /** The probed (qid, cent_id) pairs as a driver-side array — the ONE
+    * eager job a persisted serve pays at plan-build time, and the thing
+    * that makes scan-time pruning possible at all. Bounded DIRECTLY at
+    * the collect (limit + typed require, ≤ maxProbePairs = nQueries ×
+    * nProbe rows) rather than via a separate count() job on the query
+    * side — one job instead of two, and the bound guards exactly what is
+    * collected (and, since pairs ≥ distinct qids, the broadcast LUT
+    * breadth in the ADC path too).
+    */
+  private def probedPairs(probes: DataFrame, maxProbePairs: Int): Array[(Long, Long)] = {
+    val pairs = probes.select(col("qid"), col("cent_id")).distinct()
+      .limit(maxProbePairs + 1).collect()
+    require(pairs.length <= maxProbePairs,
+      s"persisted-index serve probes exceed maxProbePairs=$maxProbePairs " +
+        "(nQueries x nProbe driver-side rows) — chunk the query batch")
+    pairs.map(r => (r.getLong(0), r.getLong(1)))
   }
 
   /** The probed slice of the inverted file, partition-pruned AT THE SCAN:
-    * the probe relation is ≤ nQueries·nProbe rows (bounded by the same
-    * contract as bruteForceTopK's maxQueries), so its distinct cell ids
-    * are a documented bounded driver-side collect that becomes a literal
-    * IN-list over the PARTITION column — the scan reads only the probed
-    * cells' directories, never the corpus. The partition column comes
-    * back as the inferred directory type (int for small ids), so the
-    * IN-list is typed to match BEFORE the long-cast — a cast around the
-    * partition attribute would defeat the pruning.
+    * the bounded probe-cell ids become a literal IN-list over the
+    * PARTITION column — the scan reads only the probed cells'
+    * directories, never the corpus. The partition column comes back as
+    * the inferred directory type (int for small ids), so the IN-list is
+    * typed to match BEFORE the long-cast — a cast around the partition
+    * attribute would defeat the pruning.
     */
   private def prunedInvfile(
-      spark: SparkSession, indexDir: String, probes: DataFrame): DataFrame = {
-    val cells = probes.select(col("cent_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      spark: SparkSession, indexDir: String, cells: Array[Long]): DataFrame = {
+    val sorted = cells.distinct.sorted
     val inv = spark.read.parquet(s"$indexDir/invfile")
     val pruned = inv.schema("cent_id").dataType match {
-      case IntegerType => inv.filter(col("cent_id").isin(cells.map(_.toInt).toIndexedSeq: _*))
-      case _ => inv.filter(col("cent_id").isin(cells.toIndexedSeq: _*))
+      case IntegerType => inv.filter(col("cent_id").isin(sorted.map(_.toInt).toIndexedSeq: _*))
+      case _ => inv.filter(col("cent_id").isin(sorted.toIndexedSeq: _*))
     }
     pruned.withColumn("cent_id", col("cent_id").cast("long"))
   }
 
-  private def boundQueries(queries: DataFrame, maxQueries: Int): Unit = {
-    val nQ = queries.count()
-    require(nQ <= maxQueries,
-      s"persisted-index serve collects nQueries x nProbe probe cells: $nQ query vectors " +
-        s"exceeds maxQueries=$maxQueries; chunk the query batch")
-  }
-
   /** IVF-Flat serve against a persisted index: probe → partition-pruned
-    * candidate scan → exact cosine top-k (cos desc, cid asc — the same
-    * rule as [[Similarity.ivfTopK]]'s serve stage, so serving from the
-    * persisted artifact returns the identical relation). No training, no
-    * corpus-wide assignment, no full-corpus scan anywhere in the plan.
+    * candidate scan → exact cosine top-k via [[Similarity.topKByCosine]]
+    * (the same tie-break rule as [[Similarity.ivfTopK]]'s serve stage,
+    * shared code — so serving from the persisted artifact returns the
+    * identical relation). No training, no corpus-wide assignment, no
+    * full-corpus scan anywhere in the plan.
     */
   def serveTopK(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, embCol: String, k: Int, nProbe: Int,
-      maxQueries: Int = 100000): DataFrame = {
-    boundQueries(queries, maxQueries)
+      maxProbePairs: Int = 100000): DataFrame = {
     val probes = probeCells(spark, indexDir, queries, idCol, embCol, nProbe)
-    val inv = prunedInvfile(spark, indexDir, probes)
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    probes.join(inv, "cent_id")
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"),
-        (dot(col("qe"), col("ce")) / (col("qe_n") * col("ce_n"))).as("cos"))
-      .withColumn("rn", row_number().over(wTop).cast("bigint"))
-      .filter(col("rn") <= k)
+    val inv = prunedInvfile(spark, indexDir,
+      probedPairs(probes, maxProbePairs).map(_._2))
+    Similarity.topKByCosine(probes.join(inv, "cent_id"), k)
   }
 
   /** IVF+PQ ADC serve against a persisted index (the billion-vector
@@ -136,10 +134,10 @@ object IvfIndex {
   def servePqTopK(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, embCol: String, k: Int, nSub: Int, subDim: Int,
-      nProbe: Int, maxQueries: Int = 100000): DataFrame = {
-    boundQueries(queries, maxQueries)
+      nProbe: Int, maxProbePairs: Int = 100000): DataFrame = {
     val probes = probeCells(spark, indexDir, queries, idCol, embCol, nProbe)
-    val inv = prunedInvfile(spark, indexDir, probes)
+    val inv = prunedInvfile(spark, indexDir,
+      probedPairs(probes, maxProbePairs).map(_._2))
     val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
     val cb = spark.read.parquet(s"$indexDir/codebook")
     val off = (col("s") * subDim + 1).cast("int")

@@ -172,6 +172,38 @@ object Similarity {
     } else seed
   }
 
+  /** The probe stage — nProbe nearest centroid cells per query vector —
+    * shared by [[ivfTopK]], [[ivfPqTopK]], and [[IvfIndex]]'s persisted
+    * serve paths: ONE definition of the (cos desc, cent_id asc) tie-break
+    * so an edit cannot silently fork the lazy and persisted pipelines
+    * (the hash gate would catch it, but only a round later). `q` is a
+    * normalizedRel (qid, qe, qe_n); `cent` a centroid relation (cent_id,
+    * cent_e, cent_e_n). Returns (qid, qe, qe_n, cent_id).
+    */
+  private[ext] def probeNearestCells(q: DataFrame, cent: DataFrame, nProbe: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cent_id").asc)
+    q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qe"), col("qe_n"), col("cent_id"),
+        (dot(col("qe"), col("cent_e")) / (col("qe_n") * col("cent_e_n"))).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qe"), col("qe_n"), col("cent_id"))
+  }
+
+  /** The serve tail — exact cosine top-k with the (cos desc, cid asc)
+    * tie-break and self-exclusion — over candidate rows carrying (qid,
+    * qe, qe_n, cid, ce, ce_n). Shared by [[ivfTopK]] and the persisted
+    * serve for the same no-fork reason as [[probeNearestCells]].
+    */
+  private[ext] def topKByCosine(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    cands.filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (col("qe_n") * col("ce_n"))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       k: Int, stride: Int, nProbe: Int, trainIters: Int = 0,
@@ -179,24 +211,10 @@ object Similarity {
     val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
     val cent = centroidsOf(corpus, idCol, embCol, stride, trainIters, trainOn)
     val assigned = assignToCells(c, cent)
-    // probe: nProbe nearest cells per query
     val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cent_id").asc)
-    val probes = q.crossJoin(broadcast(cent))
-      .select(col("qid"), col("qe"), col("qe_n"), col("cent_id"),
-        (dot(col("qe"), col("cent_e")) / (col("qe_n") * col("cent_e_n"))).as("d"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qe"), col("qe_n"), col("cent_id"))
+    val probes = probeNearestCells(q, cent, nProbe)
     // search only the probed cells
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    probes
-      .join(assigned, "cent_id")
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"),
-        (dot(col("qe"), col("ce")) / (col("qe_n") * col("ce_n"))).as("cos"))
-      .withColumn("rn", row_number().over(wTop).cast("bigint"))
-      .filter(col("rn") <= k)
+    topKByCosine(probes.join(assigned, "cent_id"), k)
   }
 
   /** Coarse-quantizer cell assignment: every corpus vector labeled with
@@ -417,12 +435,7 @@ object Similarity {
       corpus.filter(pmod(col(idCol), lit(cellStride)) === 0),
       idCol, embCol, "cent_id", "cent_e")
     val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cent_id").asc)
-    val probes = q.crossJoin(broadcast(seed))
-      .select(col("qid"), col("cent_id"),
-        (dot(col("qe"), col("cent_e")) / (col("qe_n") * col("cent_e_n"))).as("d"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nProbe)
+    val probes = probeNearestCells(q, seed, nProbe)
       .select(col("qid"), col("cent_id"))
     // per-query subspace lookup table: raw inner product of the query's
     // s-th subvector with each codeword's s-th subvector (same ascending

@@ -29,8 +29,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * the bounds NORMALIZE away (+0.0 addition) so SQL-equal sort keys can
   * never straddle a cell boundary; NaN compares greater than every bound
   * (Spark's NaN-largest order) and lands in the last cell either way.
+  *
+  * `bounds` is a Seq, not an Array, ON PURPOSE: case-class equality on an
+  * Array field is reference identity, which would make two semantically
+  * identical CellBuckets never `semanticEquals` — defeating Catalyst's
+  * common-subexpression elimination and exchange reuse for plans that
+  * mention the same bucketing twice. The primitive array the search needs
+  * is derived once, lazily.
   */
-case class CellBucket(child: Expression, bounds: Array[Double]) extends UnaryExpression {
+case class CellBucket(child: Expression, bounds: Seq[Double]) extends UnaryExpression {
+
+  @transient private lazy val boundsArr: Array[Double] = bounds.toArray
 
   override def dataType: DataType = IntegerType
 
@@ -40,10 +49,10 @@ case class CellBucket(child: Expression, bounds: Array[Double]) extends UnaryExp
   }
 
   override def nullSafeEval(v: Any): Any =
-    CellBucket.search(bounds, v.asInstanceOf[Double])
+    CellBucket.search(boundsArr, v.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val b = ctx.addReferenceObj("cellBounds", bounds, "double[]")
+    val b = ctx.addReferenceObj("cellBounds", boundsArr, "double[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.CellBucket.search($b, $v);")
   }
@@ -67,7 +76,7 @@ object BucketExpressions {
 
   /** Idempotent per-session registration; exposed to SQL as `cell_bucket`.
     * The bounds argument must be a foldable array<double> literal — it is
-    * evaluated once at plan construction into the embedded double[].
+    * evaluated once at plan construction into the embedded bounds.
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -83,15 +92,19 @@ object BucketExpressions {
           case a: ArrayData => a.toDoubleArray()
           case other => sys.error(s"cell_bucket bounds literal evaluated to $other")
         }
-        CellBucket(exprs.head, b)
+        CellBucket(exprs.head, scala.collection.immutable.ArraySeq.unsafeWrapArray(b))
       }, "scala_udf")
 
   /** Column-API surface. `bounds` must be sorted and distinct; ±0.0 is
     * normalized here AND per-value inside the search so the embedded
-    * array and the key agree with SQL comparison everywhere.
+    * array and the key agree with SQL comparison everywhere. `spark` must
+    * be the session that OWNS the DataFrame being planned — registering
+    * on SparkSession.active instead is the multi-session trap
+    * Similarity.normalizedRel documents (the plan resolves against its
+    * own session's registry, not the thread's active one).
     */
-  def cellBucket(v: Column, bounds: Array[Double]): Column = {
-    BucketExpressions.register(SparkSession.active)
+  def cellBucket(spark: SparkSession, v: Column, bounds: Array[Double]): Column = {
+    register(spark)
     call_function("cell_bucket", v, lit(bounds.map(_ + 0.0)))
   }
 }

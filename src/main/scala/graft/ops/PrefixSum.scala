@@ -116,7 +116,7 @@ object PrefixSum {
       if (coarseCells <= 1) Array.empty[Double]
       else keyed.stat.approxQuantile("__pv", probs, 0.001).distinct.sorted
     keyed
-      .withColumn("__pc", Quantiles.cellOf(col("__pv"), bounds, "PrefixSum"))
+      .withColumn("__pc", Quantiles.cellOf(df.sparkSession, col("__pv"), bounds, "PrefixSum"))
       .groupBy((keys :+ "__pc").map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .withColumnRenamed("__pc", "cell")
@@ -163,7 +163,7 @@ object PrefixSum {
       if (coarseCells <= 1) Array.empty[Double]
       else keyed.stat.approxQuantile("__pv", probs, 0.001).distinct.sorted
     val celled = keyed
-      .withColumn("__pc", Quantiles.cellOf(col("__pv"), bounds, "PrefixSum"))
+      .withColumn("__pc", Quantiles.cellOf(df.sparkSession, col("__pv"), bounds, "PrefixSum"))
       .drop("__pv")
     val kc = (keys :+ "__pc").map(col)
     // per-(key, cell) subtotals: data-sized scan → |keys|·cells rows
@@ -224,7 +224,7 @@ object PrefixSum {
       if (coarseCells <= 1) Array.empty[Double]
       else keyed.stat.approxQuantile("__pv", probs, 0.001).distinct.sorted
     val celled = keyed
-      .withColumn("__pc", Quantiles.cellOf(col("__pv"), bounds, "PrefixSum"))
+      .withColumn("__pc", Quantiles.cellOf(df.sparkSession, col("__pv"), bounds, "PrefixSum"))
       .drop("__pv")
     // ≤ coarseCells rows — the documented bounded driver-side collect
     // an all-null cell yields a null max (window max skips nulls) — it

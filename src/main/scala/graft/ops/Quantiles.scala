@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *      the (direction-normalized) sort key — approximate is fine here,
   *      the boundaries only balance load, never decide membership;
   *   2. every row gets a coarse cell id from those fixed boundaries (a
-  *      codegen'd sum of `when`s — monotone in the sort key, so cells
-  *      partition the total order into contiguous runs);
+  *      native binary-search expression, O(log cells)/row — monotone in
+  *      the sort key, so cells partition the total order into contiguous
+  *      runs);
   *   3. one tiny `groupBy(cell).count()` (≤ coarseCells rows, the
   *      documented bounded driver-side collect pattern) yields each
   *      cell's exact global rank offset;
@@ -45,12 +46,14 @@ object Quantiles {
   /** One ntile sort key: bucket by `value` (asc/desc) into column `out`. */
   final case class NtileKey(value: Column, ascending: Boolean, out: String)
 
-  /** Coarse-cell id from fixed boundary values: a monotone codegen'd sum
-    * of `when`s, with a fail-fast guard on null sort keys. Shared by
-    * [[exactNtiles]] and [[PrefixSum]] (same machinery, different running
-    * aggregate).
+  /** Coarse-cell id from fixed boundary values: a monotone native
+    * binary-search expression ([[graft.functions.CellBucket]]), with a
+    * fail-fast guard on null sort keys. Shared by [[exactNtiles]] and
+    * [[PrefixSum]] (same machinery, different running aggregate).
     */
-  private[ops] def cellOf(qv: Column, bounds: Array[Double], what: String): Column = {
+  private[ops] def cellOf(
+      spark: org.apache.spark.sql.SparkSession,
+      qv: Column, bounds: Array[Double], what: String): Column = {
     // native binary search (O(log cells)/row, constant codegen size) —
     // the composed when-chain this replaces was O(cells)/row and scaled
     // the WHOLE pipeline with the knob it exists to turn (measured on
@@ -58,7 +61,7 @@ object Quantiles {
     // functions.CellBucket scaladoc)
     val cells =
       if (bounds.isEmpty) lit(0)
-      else graft.functions.BucketExpressions.cellBucket(qv, bounds)
+      else graft.functions.BucketExpressions.cellBucket(spark, qv, bounds)
     when(qv.isNotNull, cells).otherwise(
       raise_error(lit(s"$what: null sort key — filter or impute nulls before bucketing"))
         .cast("int"))
@@ -99,7 +102,7 @@ object Quantiles {
   private def oneKey(
       df: DataFrame, n: Int, k: NtileKey, qv: Column,
       bounds: Array[Double], ties: Seq[Column]): DataFrame = {
-    val celled = df.withColumn("__qc", cellOf(qv, bounds, "Quantiles.exactNtile"))
+    val celled = df.withColumn("__qc", cellOf(df.sparkSession, qv, bounds, "Quantiles.exactNtile"))
     // pass 2: exact per-cell counts → global rank offsets (≤ coarseCells
     // rows — bounded, never data-sized)
     val counts = celled.groupBy(col("__qc")).agg(count(lit(1)).as("__qn"))

@@ -153,17 +153,8 @@ class BatteryPlanSpec extends SparkSuite {
     "q172_rfm" -> "exactNtiles in-cell windows over the Ckpt'd per-customer rollup (the Ckpt hides the agg from the structural check) — cells are the load parameter",
     "q203_lift_curve" -> "exactNtile in-cell windows over the Ckpt'd per-order score relation — cells are the load parameter")
 
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case s: QueryStageExec => Seq(s.plan)
-      case r: ReusedExchangeExec => Seq(r.child)
-      case other => other.children
-    }
-    p +: kids.flatMap(nodes)
-  }
 
-  private def bounded(p: SparkPlan): Boolean = nodes(p).exists {
+  private def bounded(p: SparkPlan): Boolean = planNodes(p).exists {
     case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
     case _: GlobalLimitExec | _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
     case _: LocalTableScanExec => true
@@ -177,7 +168,7 @@ class BatteryPlanSpec extends SparkSuite {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, sf0001)
-      val all = nodes(df.queryExecution.executedPlan)
+      val all = planNodes(df.queryExecution.executedPlan)
       all.foreach {
         case _: CartesianProductExec =>
           failures += s"$name: CartesianProduct in the plan"
@@ -214,14 +205,14 @@ class BatteryPlanSpec extends SparkSuite {
   private def globalWindowInputRows(name: String, dir: String): Long = {
     val df = SparkEntry.queries(name)(spark, dir)
     df.queryExecution.toRdd.count()
-    val wins = nodes(df.queryExecution.executedPlan)
+    val wins = planNodes(df.queryExecution.executedPlan)
       .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
     assert(wins.nonEmpty, s"$name lost its global window — stale whitelist entry")
     wins.map { w =>
       // pre-order walk: the first LIMIT caps the true window input (its
       // own descendants' metrics are pre-limit and would overstate it);
       // otherwise the first row metric is the input
-      nodes(w.child).collectFirst {
+      planNodes(w.child).collectFirst {
         case l: GlobalLimitExec => l.limit.toLong
         case l: TakeOrderedAndProjectExec => l.limit.toLong
         case l: CollectLimitExec => l.limit.toLong
@@ -308,7 +299,7 @@ class BatteryPlanSpec extends SparkSuite {
     */
   private def latticeWindows(name: String, dir: String): Seq[WindowExec] = {
     val df = SparkEntry.queries(name)(spark, dir)
-    nodes(df.queryExecution.executedPlan).collect {
+    planNodes(df.queryExecution.executedPlan).collect {
       case w: WindowExec if w.partitionSpec.nonEmpty && !boundedMain(w.child) => w
     }
   }
@@ -408,9 +399,13 @@ class BatteryPlanSpec extends SparkSuite {
     // PrefixSum in-cell windows it admits sit UNDER the base pair's gate
     // (N/(keys·cells) ≪ 1 row at sf0.001), so base-sweep staleness would
     // reject them.
+    // completion sentinel = embeddings.parquet, the LAST table GenScale
+    // writes (each table lands via an atomic move): a generation killed
+    // partway leaves earlier tables present but never the sentinel, so
+    // the next run regenerates instead of sweeping a half-built fixture
     val sf1 = "target/sfdata/sf1"
-    if (!new java.io.File(s"$sf1/documents.parquet").exists()) {
-      info(s"$sf1 absent — generating via GenScale.run (deterministic, k=10)")
+    if (!new java.io.File(s"$sf1/embeddings.parquet").exists()) {
+      info(s"$sf1 absent/incomplete — generating via GenScale.run (deterministic, k=10)")
       graft.GenScale.run(spark, sf01, sf1, 10)
     }
     val conf = spark.conf
@@ -423,7 +418,7 @@ class BatteryPlanSpec extends SparkSuite {
       // the lattice-window and the reads-doc-axis predicate (several
       // constructions run eager count() scans — don't pay them twice)
       val candidates = names.filter { n =>
-        val ns = nodes(
+        val ns = planNodes(
           SparkEntry.queries(n)(spark, sf0001).queryExecution.executedPlan)
         val hasLattice = ns.exists {
           case w: WindowExec => w.partitionSpec.nonEmpty && !boundedMain(w.child)

@@ -4,22 +4,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.FileSourceScanExec
 
 /** q324 (persisted IVF serve), q325 (sampled-train SemDeDup), q326
-  * (persisted IVF+PQ ADC serve).
+  * (persisted IVF+PQ ADC serve), q327 (persisted-assignment SemDeDup).
   */
 class Extended68Spec extends SparkSuite {
 
-  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
-    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
-        case other => other.children
-      }
-      p +: kids.flatMap(nodes)
-    }
-    nodes(df.queryExecution.executedPlan).collect { case f: FileSourceScanExec => f }
-  }
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    planNodes(df.queryExecution.executedPlan).collect { case f: FileSourceScanExec => f }
 
   test("q324: persisted serve ≡ the lazy sampled-train ivfTopK, row for row") {
     val got = SparkEntry.queries("q324_ivf_persisted_serve")(spark, sf0001)

@@ -29,4 +29,21 @@ trait SparkSuite extends AnyFunSuite {
 
   def resource(name: String): String =
     getClass.getResource(s"/$name").getPath
+
+  /** Pre-order walk of a physical plan that pierces the wrapper nodes
+    * (AQE root, query stages, reused exchanges) — the ONE traversal every
+    * plan-inspecting suite shares, so a new wrapper type gets added here
+    * once instead of silently blinding whichever copy wasn't updated.
+    */
+  def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(planNodes)
+  }
 }

@@ -17,7 +17,7 @@ class BucketExpressionsSpec extends SparkSuite {
     val chain = bounds.toSeq.map(b => when(col("v") > lit(b), 1).otherwise(0)).reduce(_ + _)
     val diverged = df
       .select(col("v"), chain.as("want"),
-        BucketExpressions.cellBucket(col("v"), bounds).as("got"))
+        BucketExpressions.cellBucket(spark, col("v"), bounds).as("got"))
       .filter(col("want") =!= col("got")).collect()
     assert(diverged.isEmpty,
       s"cell_bucket diverged from the when-chain at: ${diverged.take(5).mkString(", ")}")
@@ -26,12 +26,12 @@ class BucketExpressionsSpec extends SparkSuite {
   test("cell_bucket edge semantics: NaN → last cell; ±0.0 share a cell; empty handled by caller") {
     val bounds = Array(-1.0, 0.0, 1.0)
     val got = Seq(Double.NaN, -0.0, 0.0, -2.0, 2.0).toDF("v")
-      .select(col("v"), BucketExpressions.cellBucket(col("v"), bounds).as("c"))
+      .select(col("v"), BucketExpressions.cellBucket(spark, col("v"), bounds).as("c"))
       .collect().map(r => r.getInt(1)).toSeq
     assert(got == Seq(3, 1, 1, 0, 3), s"got $got")
     // -0.0 in BOUNDS is normalized too: a 0.0 key must not straddle
     val gotNeg = Seq(0.0, -0.0).toDF("v")
-      .select(BucketExpressions.cellBucket(col("v"), Array(-1.0, -0.0, 1.0)).as("c"))
+      .select(BucketExpressions.cellBucket(spark, col("v"), Array(-1.0, -0.0, 1.0)).as("c"))
       .collect().map(_.getInt(0)).toSeq
     assert(gotNeg == Seq(1, 1), s"got $gotNeg")
   }
