@@ -91,6 +91,23 @@ class Extended68Spec extends SparkSuite {
     } finally { got.unpersist(); () }
   }
 
+  test("persisted index is lossless: exhaustive-probe serve ≡ brute force (the q40-spec identity, through parquet)") {
+    // probing every cell makes the candidate set the whole corpus, so the
+    // serve result must equal brute force EXACTLY — pins that the build
+    // wrote every vector into exactly one inverted list (no drops, no
+    // duplicates) and that the round-trip changed no double
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val ix = graft.ext.IvfIndex.Cache.indexFor(spark, sf0001)
+    val nCells = spark.read.parquet(s"$ix/centroids").count().toInt
+    val served = graft.ext.IvfIndex
+      .serveTopK(spark, ix, q, "vec_id", "embedding", k = 5, nProbe = nCells)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = graft.ext.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == bf, "exhaustive-probe persisted serve diverged from brute force")
+  }
+
   test("q327: persisted-assignment SemDeDup ≡ the lazy sampled-train decision table, row for row") {
     val got = SparkEntry.queries("q327_semdedup_persisted_serve")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
