@@ -64,27 +64,32 @@ object IvfIndex {
     */
   private def probeCells(
       spark: SparkSession, indexDir: String, queries: DataFrame,
-      idCol: String, embCol: String, nProbe: Int): DataFrame =
+      idCol: String, embCol: String, nProbe: Int,
+      carryQuery: Boolean): DataFrame =
     Similarity.probeNearestCells(
       normalizedRel(queries, idCol, embCol, "qid", "qe"),
-      spark.read.parquet(s"$indexDir/centroids"), nProbe)
+      spark.read.parquet(s"$indexDir/centroids"), nProbe, carryQuery)
 
-  /** The probed (qid, cent_id) pairs as a driver-side array — the ONE
-    * eager job a persisted serve pays at plan-build time, and the thing
-    * that makes scan-time pruning possible at all. Bounded DIRECTLY at
-    * the collect (limit + typed require, ≤ maxProbePairs = nQueries ×
-    * nProbe rows) rather than via a separate count() job on the query
-    * side — one job instead of two, and the bound guards exactly what is
-    * collected (and, since pairs ≥ distinct qids, the broadcast LUT
-    * breadth in the ADC path too).
+  /** The probed cell ids as a driver-side array — the ONE eager job a
+    * persisted serve pays at plan-build time, and the thing that makes
+    * scan-time pruning possible at all. Bounded DIRECTLY at the collect:
+    * the distinct runs over (qid, cent_id) PAIRS (≤ nQueries × nProbe
+    * rows — which also bounds the ADC path's broadcast-LUT breadth,
+    * since pairs ≥ distinct qids) with a limit + typed require, but only
+    * the cent_id column is materialized to the driver, so the query-id
+    * type never crosses the collect. Note the enforcement point: the
+    * bound trips at the probe job's collect, i.e. AFTER the probe
+    * crossJoin runs — it guards driver memory and the LUT, not the probe
+    * job's own cost.
     */
-  private def probedPairs(probes: DataFrame, maxProbePairs: Int): Array[(Long, Long)] = {
-    val pairs = probes.select(col("qid"), col("cent_id")).distinct()
-      .limit(maxProbePairs + 1).collect()
-    require(pairs.length <= maxProbePairs,
+  private def probedCellIds(probes: DataFrame, maxProbePairs: Int): Array[Long] = {
+    val rows = probes.select(col("qid"), col("cent_id")).distinct()
+      .limit(maxProbePairs + 1)
+      .select(col("cent_id")).collect()
+    require(rows.length <= maxProbePairs,
       s"persisted-index serve probes exceed maxProbePairs=$maxProbePairs " +
         "(nQueries x nProbe driver-side rows) — chunk the query batch")
-    pairs.map(r => (r.getLong(0), r.getLong(1)))
+    rows.map(_.getLong(0)).distinct.sorted
   }
 
   /** The probed slice of the inverted file, partition-pruned AT THE SCAN:
@@ -116,10 +121,10 @@ object IvfIndex {
   def serveTopK(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, embCol: String, k: Int, nProbe: Int,
-      maxProbePairs: Int = 100000): DataFrame = {
-    val probes = probeCells(spark, indexDir, queries, idCol, embCol, nProbe)
-    val inv = prunedInvfile(spark, indexDir,
-      probedPairs(probes, maxProbePairs).map(_._2))
+      maxProbePairs: Int = 1000000): DataFrame = {
+    val probes = probeCells(spark, indexDir, queries, idCol, embCol, nProbe,
+      carryQuery = true) // scoring needs qe/qe_n on the candidate rows
+    val inv = prunedInvfile(spark, indexDir, probedCellIds(probes, maxProbePairs))
     Similarity.topKByCosine(probes.join(inv, "cent_id"), k)
   }
 
@@ -134,10 +139,13 @@ object IvfIndex {
   def servePqTopK(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, embCol: String, k: Int, nSub: Int, subDim: Int,
-      nProbe: Int, maxProbePairs: Int = 100000): DataFrame = {
-    val probes = probeCells(spark, indexDir, queries, idCol, embCol, nProbe)
-    val inv = prunedInvfile(spark, indexDir,
-      probedPairs(probes, maxProbePairs).map(_._2))
+      nProbe: Int, maxProbePairs: Int = 1000000): DataFrame = {
+    // slim probes: the ADC path rebuilds its LUT and rerank from the
+    // query relation directly, so the probe window must not shuffle
+    // nQueries x nCells embedding arrays it would immediately drop
+    val probes = probeCells(spark, indexDir, queries, idCol, embCol, nProbe,
+      carryQuery = false)
+    val inv = prunedInvfile(spark, indexDir, probedCellIds(probes, maxProbePairs))
     val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
     val cb = spark.read.parquet(s"$indexDir/codebook")
     val off = (col("s") * subDim + 1).cast("int")
@@ -146,7 +154,7 @@ object IvfIndex {
       .crossJoin(broadcast(cb))
       .select(col("qid"), col("s"), col("code_id"),
         dot(slice(col("qe"), off, lit(subDim)), slice(col("cbe"), off, lit(subDim))).as("v"))
-    val candCodes = probes.select(col("qid"), col("cent_id"))
+    val candCodes = probes
       .join(inv, "cent_id")
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),

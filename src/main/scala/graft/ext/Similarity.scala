@@ -180,14 +180,25 @@ object Similarity {
     * normalizedRel (qid, qe, qe_n); `cent` a centroid relation (cent_id,
     * cent_e, cent_e_n). Returns (qid, qe, qe_n, cent_id).
     */
-  private[ext] def probeNearestCells(q: DataFrame, cent: DataFrame, nProbe: Int): DataFrame = {
+  /** `carryQuery=false` drops the query vector/norm BEFORE the probe
+    * window's hash(qid) exchange — callers that only need (qid, cent_id)
+    * (the ADC paths, which rebuild their LUT from the query relation
+    * directly) must not shuffle nQueries × nCells dim-length arrays the
+    * next projection would discard.
+    */
+  private[ext] def probeNearestCells(
+      q: DataFrame, cent: DataFrame, nProbe: Int,
+      carryQuery: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cent_id").asc)
+    val d = (dot(col("qe"), col("cent_e")) / (col("qe_n") * col("cent_e_n"))).as("d")
+    val carried =
+      if (carryQuery) Seq(col("qid"), col("qe"), col("qe_n"), col("cent_id"))
+      else Seq(col("qid"), col("cent_id"))
     q.crossJoin(broadcast(cent))
-      .select(col("qid"), col("qe"), col("qe_n"), col("cent_id"),
-        (dot(col("qe"), col("cent_e")) / (col("qe_n") * col("cent_e_n"))).as("d"))
+      .select(carried :+ d: _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qe"), col("qe_n"), col("cent_id"))
+      .select(carried: _*)
   }
 
   /** The serve tail — exact cosine top-k with the (cos desc, cid asc)
@@ -435,8 +446,7 @@ object Similarity {
       corpus.filter(pmod(col(idCol), lit(cellStride)) === 0),
       idCol, embCol, "cent_id", "cent_e")
     val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
-    val probes = probeNearestCells(q, seed, nProbe)
-      .select(col("qid"), col("cent_id"))
+    val probes = probeNearestCells(q, seed, nProbe, carryQuery = false)
     // per-query subspace lookup table: raw inner product of the query's
     // s-th subvector with each codeword's s-th subvector (same ascending
     // fold as the encode distance — slice preserves element order)

@@ -92,7 +92,9 @@ object BucketExpressions {
           case a: ArrayData => a.toDoubleArray()
           case other => sys.error(s"cell_bucket bounds literal evaluated to $other")
         }
-        CellBucket(exprs.head, scala.collection.immutable.ArraySeq.unsafeWrapArray(b))
+        // normalize -0.0 exactly like the Column API, so the SQL path keeps
+        // the documented 'normalized here AND per-value' contract
+        CellBucket(exprs.head, scala.collection.immutable.ArraySeq.unsafeWrapArray(b.map(_ + 0.0)))
       }, "scala_udf")
 
   /** Column-API surface. `bounds` must be sorted and distinct; ±0.0 is

@@ -32,6 +32,11 @@ import QueryDef.tbl
   * LUT → code-only candidate scoring → exact rerank of the short list.
   * The candidate scan touches nSub bytes per vector, never floats — the
   * billion-vector serving plan (q310) with the build actually excluded.
+  *
+  * q327 isolates SemDeDup's RECURRING term — within-cell pairs + CC +
+  * min-id keeper over the persisted inverted file alone — completing the
+  * measured decomposition (BENCH_SF1, sf10: 343 s full-corpus-trained →
+  * 151 s sampled-train → 16 s persisted-assignment).
   */
 object Extended68 {
 

@@ -779,22 +779,14 @@ class PlanSpec extends SparkSuite {
     import org.apache.spark.sql.execution.window.WindowExec
     // AQE wraps finished stages in leaf QueryStageExec nodes, so a plain
     // collect() stops at stage boundaries — pierce them explicitly
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case s: QueryStageExec => Seq(s.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(nodes)
-    }
-    def hasAgg(p: SparkPlan): Boolean = nodes(p).exists {
+    def hasAgg(p: SparkPlan): Boolean = planNodes(p).exists {
       case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
       case _ => false
     }
     for (name <- Seq("q204_hotspots", "q208_waterfall", "q212_cumulative_uniques")) {
       val df = q(name)
       df.collect()
-      val all = nodes(df.queryExecution.executedPlan)
+      val all = planNodes(df.queryExecution.executedPlan)
       val globals = all.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       assert(globals.nonEmpty, s"$name: expected a global window in\n${all.head}")
       globals.foreach { w =>

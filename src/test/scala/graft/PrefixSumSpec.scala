@@ -126,15 +126,7 @@ class PrefixSumSpec extends SparkSuite {
     val got = PrefixSum.exclusiveSum(df, Seq("key"), col("ord"), true,
       Seq(col("id")), col("v"), "cum", Some("rn"), 16)
     got.collect()
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case s: QueryStageExec => Seq(s.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(nodes)
-    }
-    val wins = nodes(got.queryExecution.executedPlan)
+    val wins = planNodes(got.queryExecution.executedPlan)
       .collect { case w: WindowExec => w }
     assert(wins.nonEmpty)
     // every window partitions by MORE than the raw low-cardinality key:
@@ -142,7 +134,7 @@ class PrefixSumSpec extends SparkSuite {
     wins.foreach { w =>
       assert(w.partitionSpec.nonEmpty, "PrefixSum leaked a global window")
       val onDataRows = w.partitionSpec.exists(_.references.exists(_.name == "__pc"))
-      val onSubtotals = nodes(w.child).exists {
+      val onSubtotals = planNodes(w.child).exists {
         case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
         case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
         case _ => false

@@ -113,15 +113,7 @@ class QuantilesSpec extends SparkSuite {
       li, 8, col("l_quantity"), true,
       Seq(col("l_orderkey"), col("l_linenumber")), "bucket", 16)
     df.collect()
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case s: QueryStageExec => Seq(s.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(nodes)
-    }
-    val globals = nodes(df.queryExecution.executedPlan)
+    val globals = planNodes(df.queryExecution.executedPlan)
       .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
     assert(globals.isEmpty, s"exactNtile leaked a global window:\n$globals")
   }
