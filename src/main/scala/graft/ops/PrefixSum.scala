@@ -114,7 +114,9 @@ object PrefixSum {
     val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
     val bounds =
       if (coarseCells <= 1) Array.empty[Double]
-      else keyed.stat.approxQuantile("__pv", probs, 0.001).distinct.sorted
+      else keyed.stat.approxQuantile("__pv", probs, 0.001)
+        .map(_ + 0.0) // -0.0 -> 0.0 BEFORE distinct: CellBucket.search requires distinct bounds
+        .distinct.sorted
     keyed
       .withColumn("__pc", Quantiles.cellOf(df.sparkSession, col("__pv"), bounds, "PrefixSum"))
       .groupBy((keys :+ "__pc").map(col): _*)
@@ -161,7 +163,9 @@ object PrefixSum {
     val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
     val bounds =
       if (coarseCells <= 1) Array.empty[Double]
-      else keyed.stat.approxQuantile("__pv", probs, 0.001).distinct.sorted
+      else keyed.stat.approxQuantile("__pv", probs, 0.001)
+        .map(_ + 0.0) // -0.0 -> 0.0 BEFORE distinct: CellBucket.search requires distinct bounds
+        .distinct.sorted
     val celled = keyed
       .withColumn("__pc", Quantiles.cellOf(df.sparkSession, col("__pv"), bounds, "PrefixSum"))
       .drop("__pv")
@@ -222,7 +226,9 @@ object PrefixSum {
     val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
     val bounds =
       if (coarseCells <= 1) Array.empty[Double]
-      else keyed.stat.approxQuantile("__pv", probs, 0.001).distinct.sorted
+      else keyed.stat.approxQuantile("__pv", probs, 0.001)
+        .map(_ + 0.0) // -0.0 -> 0.0 BEFORE distinct: CellBucket.search requires distinct bounds
+        .distinct.sorted
     val celled = keyed
       .withColumn("__pc", Quantiles.cellOf(df.sparkSession, col("__pv"), bounds, "PrefixSum"))
       .drop("__pv")

@@ -93,7 +93,8 @@ object Quantiles {
     val bounds: Seq[Array[Double]] =
       if (coarseCells <= 1) keys.map(_ => Array.empty[Double])
       else keyed.stat.approxQuantile(qvName.toArray, probs, 0.001)
-        .toSeq.map(_.distinct.sorted)
+        // -0.0 -> 0.0 BEFORE distinct: CellBucket.search requires distinct bounds
+        .toSeq.map(_.map(_ + 0.0).distinct.sorted)
     keys.zipWithIndex.foldLeft(keyed) { case (d, (k, i)) =>
       oneKey(d, n, k, col(qvName(i)), bounds(i), ties)
     }.drop(qvName: _*)
