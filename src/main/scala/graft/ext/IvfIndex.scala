@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, DecimalType}
@@ -57,39 +57,41 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$outDir/codebook")
   }
 
-  /** nProbe nearest persisted cells per query vector: (qid, qe, qe_n,
-    * cent_id) — [[Similarity.probeNearestCells]] (the ONE probe
-    * definition, shared with the lazy pipelines) over the read-back
-    * centroid artifact.
+  /** The probe stage, executed EXACTLY ONCE: run
+    * [[Similarity.probeNearestCells]] (the ONE probe definition, shared
+    * with the lazy pipelines) slim — (qid, cent_id) only — over the
+    * read-back centroid artifact, collect the bounded pair list, and
+    * return it both ways the serve plans consume it: as a LOCAL relation
+    * (the returned plan joins these driver-side pairs instead of
+    * re-running the probe subplan — previously the crossJoin executed
+    * twice, once for the pruning collect and once when the served plan
+    * ran) and as the sorted distinct cell-id array that becomes the
+    * partition-pruning IN-list.
+    *
+    * Guard order: the query count is bounded BEFORE the probe job
+    * launches (one limit+count on the query relation's id column — an
+    * oversized batch fails before paying the nQueries × nCells probe
+    * scan, not after), and the collect re-asserts the same bound as a
+    * defensive invariant. The pair list also bounds the ADC path's
+    * broadcast-LUT breadth, since pairs ≥ distinct qids.
     */
-  private def probeCells(
+  private def collectedProbes(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, embCol: String, nProbe: Int,
-      carryQuery: Boolean): DataFrame =
-    Similarity.probeNearestCells(
+      maxProbePairs: Int): (DataFrame, Array[Long]) = {
+    val qBound = math.max(1, maxProbePairs / math.max(1, nProbe))
+    val nQ = queries.select(col(idCol)).limit(qBound + 1).count()
+    require(nQ <= qBound,
+      s"persisted-index serve: >$qBound query vectors x nProbe=$nProbe exceeds " +
+        s"maxProbePairs=$maxProbePairs — use serveTopKChunked or raise the bound")
+    val slim = Similarity.probeNearestCells(
       normalizedRel(queries, idCol, embCol, "qid", "qe"),
-      spark.read.parquet(s"$indexDir/centroids"), nProbe, carryQuery)
-
-  /** The probed cell ids as a driver-side array — the ONE eager job a
-    * persisted serve pays at plan-build time, and the thing that makes
-    * scan-time pruning possible at all. Bounded DIRECTLY at the collect:
-    * the distinct runs over (qid, cent_id) PAIRS (≤ nQueries × nProbe
-    * rows — which also bounds the ADC path's broadcast-LUT breadth,
-    * since pairs ≥ distinct qids) with a limit + typed require, but only
-    * the cent_id column is materialized to the driver, so the query-id
-    * type never crosses the collect. Note the enforcement point: the
-    * bound trips at the probe job's collect, i.e. AFTER the probe
-    * crossJoin runs — it guards driver memory and the LUT, not the probe
-    * job's own cost.
-    */
-  private def probedCellIds(probes: DataFrame, maxProbePairs: Int): Array[Long] = {
-    val rows = probes.select(col("qid"), col("cent_id")).distinct()
-      .limit(maxProbePairs + 1)
-      .select(col("cent_id")).collect()
+      spark.read.parquet(s"$indexDir/centroids"), nProbe, carryQuery = false)
+    val rows = slim.limit(maxProbePairs + 1).collect()
     require(rows.length <= maxProbePairs,
-      s"persisted-index serve probes exceed maxProbePairs=$maxProbePairs " +
-        "(nQueries x nProbe driver-side rows) — chunk the query batch")
-    rows.map(_.getLong(0)).distinct.sorted
+      s"persisted-index serve probes exceed maxProbePairs=$maxProbePairs after the pre-check")
+    val local = spark.createDataFrame(java.util.Arrays.asList(rows: _*), slim.schema)
+    (local, rows.map(_.getLong(1)).distinct.sorted)
   }
 
   /** The probed slice of the inverted file, partition-pruned AT THE SCAN:
@@ -122,10 +124,53 @@ object IvfIndex {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, embCol: String, k: Int, nProbe: Int,
       maxProbePairs: Int = 1000000): DataFrame = {
-    val probes = probeCells(spark, indexDir, queries, idCol, embCol, nProbe,
-      carryQuery = true) // scoring needs qe/qe_n on the candidate rows
-    val inv = prunedInvfile(spark, indexDir, probedCellIds(probes, maxProbePairs))
+    val (pairs, cells) = collectedProbes(
+      spark, indexDir, queries, idCol, embCol, nProbe, maxProbePairs)
+    // scoring needs qe/qe_n on the candidate rows: re-attach them by
+    // joining the local pair relation back to the query side (exact — the
+    // pair list is the probe stage's own output, computed once)
+    val probes = broadcast(pairs)
+      .join(normalizedRel(queries, idCol, embCol, "qid", "qe"), "qid")
+    val inv = prunedInvfile(spark, indexDir, cells)
     Similarity.topKByCosine(probes.join(inv, "cent_id"), k)
+  }
+
+  /** Production chunk loop around [[serveTopK]]: splits a query batch
+    * whose nQueries × nProbe exceeds `maxProbePairs` into deterministic
+    * hash-pmod chunks, serves each within the bound, and unions the
+    * results. Per-query top-k is chunk-independent (the window partitions
+    * by qid), so the union equals the unchunked relation exactly
+    * (Extended68Spec pins it across the boundary). Hash chunking can't
+    * bound its own imbalance a priori, so the chunk count is VERIFIED:
+    * one rollup measures the actual max chunk load and the count doubles
+    * until every chunk fits (one attempt in practice — the initial count
+    * targets half-full chunks). Costs one count + one histogram job per
+    * attempt plus one bounded probe job per chunk.
+    */
+  def serveTopKChunked(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, nProbe: Int,
+      maxProbePairs: Int = 1000000): DataFrame = {
+    val qBound = math.max(1L, maxProbePairs.toLong / math.max(1, nProbe))
+    val nQ = queries.count()
+    if (nQ <= qBound)
+      return serveTopK(spark, indexDir, queries, idCol, embCol, k, nProbe, maxProbePairs)
+    def chunkOf = pmod(hash(col(idCol)), _: Column)
+    def maxLoad(nc: Int): Long = queries
+      .groupBy(chunkOf(lit(nc)).as("__chunk")).agg(count(lit(1)).as("m"))
+      .agg(max(col("m"))).head().getLong(0)
+    var nChunks = math.max(2L, (2L * nQ + qBound - 1) / qBound).toInt
+    var tries = 0
+    while (maxLoad(nChunks) > qBound) {
+      tries += 1
+      require(tries <= 16, // 2^16 chunks past target = ids colliding in hash itself
+        s"could not balance $nQ queries into chunks of <= $qBound (hash collisions?)")
+      nChunks *= 2
+    }
+    (0 until nChunks).map { i =>
+      serveTopK(spark, indexDir, queries.filter(chunkOf(lit(nChunks)) === i),
+        idCol, embCol, k, nProbe, maxProbePairs)
+    }.reduce(_ union _)
   }
 
   /** IVF+PQ ADC serve against a persisted index (the billion-vector
@@ -140,12 +185,11 @@ object IvfIndex {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, embCol: String, k: Int, nSub: Int, subDim: Int,
       nProbe: Int, maxProbePairs: Int = 1000000): DataFrame = {
-    // slim probes: the ADC path rebuilds its LUT and rerank from the
-    // query relation directly, so the probe window must not shuffle
-    // nQueries x nCells embedding arrays it would immediately drop
-    val probes = probeCells(spark, indexDir, queries, idCol, embCol, nProbe,
-      carryQuery = false)
-    val inv = prunedInvfile(spark, indexDir, probedCellIds(probes, maxProbePairs))
+    // the ADC path rebuilds its LUT and rerank from the query relation
+    // directly, so the slim (qid, cent_id) pair relation is all it needs
+    val (probes, cells) = collectedProbes(
+      spark, indexDir, queries, idCol, embCol, nProbe, maxProbePairs)
+    val inv = prunedInvfile(spark, indexDir, cells)
     val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
     val cb = spark.read.parquet(s"$indexDir/codebook")
     val off = (col("s") * subDim + 1).cast("int")
@@ -154,7 +198,7 @@ object IvfIndex {
       .crossJoin(broadcast(cb))
       .select(col("qid"), col("s"), col("code_id"),
         dot(slice(col("qe"), off, lit(subDim)), slice(col("cbe"), off, lit(subDim))).as("v"))
-    val candCodes = probes
+    val candCodes = broadcast(probes)
       .join(inv, "cent_id")
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
@@ -190,11 +234,37 @@ object IvfIndex {
     * parameters the decision table is identical to
     * [[Similarity.semanticDedup]]'s.
     */
+  /** Memoized Σ m·(m−1)/2 over the invfile's cell histogram — the pair
+    * volume [[serveSemDedup]] sizes its shuffle from. One rollup over the
+    * PARTITION column only (≤√N groups, no data columns read); memoized
+    * per index dir because plan-only consumers construct the serve plan
+    * repeatedly (the BatteryPlanSpec sweeps), and invalidated by
+    * [[refresh]] since appends change the histogram.
+    */
+  private val pairStats = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def invfilePairCount(spark: SparkSession, indexDir: String): Long =
+    pairStats.computeIfAbsent(indexDir, { d =>
+      java.lang.Long.valueOf(
+        spark.read.parquet(s"$d/invfile")
+          .groupBy(col("cent_id")).agg(count(lit(1)).as("m"))
+          .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
+          .head().getLong(0))
+    }).longValue()
+
   def serveSemDedup(
       spark: SparkSession, indexDir: String, corpus: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
+    // Size the within-cell self-join from the invfile's cell histogram,
+    // not the session default (q284's lesson, Extended50.scala): per-cell
+    // pair volume grows linearly in N at √N cells, so a fixed session
+    // width saturates a decade past where it was tuned. ~4M pairs per
+    // partition, floor 32; the equi-join reuses the repartition layout,
+    // so the sizing costs no extra shuffle.
+    val width = math.max(32L,
+      math.min(4096L, invfilePairCount(spark, indexDir) / 4000000L)).toInt
     val inv = spark.read.parquet(s"$indexDir/invfile")
       .select(col("cid"), col("ce"), col("ce_n"), col("cent_id"))
+      .repartition(width, col("cent_id"))
     val pairs = inv.as("a")
       .join(inv.as("b"),
         col("a.cent_id") === col("b.cent_id") && col("a.cid") < col("b.cid"))
