@@ -57,6 +57,47 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$outDir/codebook")
   }
 
+  /** Incremental index refresh — the operation a growing corpus runs per
+    * ingest batch, completing the lifecycle (build once / refresh per
+    * batch / serve per query): assign ONLY the ΔN new vectors against the
+    * PERSISTED centroids (no retrain — the coarse quantizer is frozen at
+    * build time, the standard IVF posture), PQ-encode them against the
+    * PERSISTED codebook (codes must live in the same space as the
+    * existing lists), and APPEND them into the partitioned inverted file.
+    * Existing cells' files are never rewritten (parquet append adds new
+    * files under the cent_id directories — Extended69Spec pins the
+    * pre-existing file set unchanged), so the cost is O(ΔN × √N) for the
+    * assignment scan plus O(ΔN) writes: linear in the delta, independent
+    * of the existing corpus SIZE (the √N factor is the centroid count, a
+    * property of the frozen quantizer, not of the accumulated data).
+    * After refresh, serving the index ≡ serving a from-scratch build of
+    * the union corpus with the same trained centroids (q328/q329 put that
+    * identity under the hash gate at three SFs).
+    *
+    * Deliberately NOT handled here: centroid drift. A delta whose
+    * distribution departs from the training sample degrades cell balance
+    * and recall over successive refreshes; the production answer is to
+    * monitor the invfile cell histogram ([[invfilePairCount]]'s input)
+    * and schedule a REBUILD when skew crosses a threshold — retraining
+    * inside refresh would silently invalidate every existing assignment.
+    */
+  def refresh(
+      spark: SparkSession, indexDir: String, delta: DataFrame,
+      idCol: String, embCol: String, nSub: Int, subDim: Int): Unit = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+      .select(col("code_id"), col("cbe").as("ce"))
+    val d = normalizedRel(delta, idCol, embCol, "cid", "ce")
+    val codes = Similarity.pqEncodeAgainst(
+      delta.select(col(idCol).as("vid"), toDouble(col(embCol)).as("ve")),
+      cb, nSub, subDim).drop("recon")
+    assignToCells(d, cent)
+      .join(codes, col("cid") === col("vid")).drop("vid")
+      .write.mode("append").partitionBy("cent_id").parquet(s"$indexDir/invfile")
+    pairStats.remove(indexDir) // the cell histogram changed
+    ()
+  }
+
   /** The probe stage, executed EXACTLY ONCE: run
     * [[Similarity.probeNearestCells]] (the ONE probe definition, shared
     * with the lazy pipelines) slim — (qid, cent_id) only — over the
@@ -318,5 +359,44 @@ object IvfIndex {
           codeStride = math.max(1L, n / 64), outDir = out)
         out
       })
+
+    /** The lifecycle twin of [[indexFor]]: ONE refreshed index per
+      * (fixture dir) per JVM, for q328/q329. The corpus splits 90/10 by
+      * `vec_id % 10` — the index is BUILT on the 90% "old" corpus (its
+      * own √N stride, ~4√N training sample, and N/64 codebook, all sized
+      * from the OLD count, exactly as a deployment that trained before
+      * the delta arrived) and then [[refresh]]ed with the 10% delta.
+      * Serving it must equal serving the union corpus against the
+      * old-trained quantizer — the oracle replays that in SQL.
+      */
+    def refreshedIndexFor(spark: SparkSession, dir: String): String =
+      refreshedBuilt.computeIfAbsent(dir, { d =>
+        val emb = graft.Tables.load(spark, d, "embeddings")
+        val old = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+        val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+        val nOld = oldCount(spark, d)
+        val stride = Similarity.sqrtStride(nOld)
+        val trainStride = math.max(1L, nOld / (4L * stride))
+        val out = java.nio.file.Files.createTempDirectory(root, "rx").toString
+        build(old, "vec_id", "embedding",
+          stride = stride, trainIters = 1,
+          trainOn = Some(old.filter(pmod(col("vec_id"), lit(trainStride)) === 0)),
+          nSub = nSub, subDim = subDim,
+          codeStride = math.max(1L, nOld / 64), outDir = out)
+        refresh(spark, out, delta, "vec_id", "embedding", nSub, subDim)
+        out
+      })
+    private val refreshedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private val oldCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+    /** Memoized count of the 90% "old" sub-corpus — the refreshed-index
+      * builders derive their √N parameterization from it at
+      * plan-construction time (same rationale as Tables.cachedCount).
+      */
+    def oldCount(spark: SparkSession, dir: String): Long =
+      oldCounts.computeIfAbsent(dir, { d =>
+        java.lang.Long.valueOf(graft.Tables.load(spark, d, "embeddings")
+          .filter(pmod(col("vec_id"), lit(10)) =!= 9).count())
+      }).longValue()
   }
 }

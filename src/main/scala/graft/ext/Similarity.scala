@@ -387,6 +387,18 @@ object Similarity {
     val v = df.select(col(idCol).as("vid"), toDouble(col(embCol)).as("ve"))
     val cb = df.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("code_id"), toDouble(col(embCol)).as("ce"))
+    pqEncodeAgainst(v, cb, nSub, subDim)
+  }
+
+  /** [[pqEncode]]'s encode stage against an EXPLICIT codebook relation —
+    * `v` = (vid, ve double[]), `cb` = (code_id, ce double[]) — the form an
+    * incremental index refresh needs: new vectors must be coded against
+    * the PERSISTED codebook (so their codes live in the same space as the
+    * existing inverted lists), never against a codebook re-derived from
+    * the delta.
+    */
+  private[ext] def pqEncodeAgainst(
+      v: DataFrame, cb: DataFrame, nSub: Int, subDim: Int): DataFrame = {
     val subs = v.withColumn("s", explode(sequence(lit(0), lit(nSub - 1))))
     val d2 = aggregate(
       sequence(lit(1), lit(subDim)), lit(0.0),

@@ -122,14 +122,14 @@ object EmbeddingQueries {
        |           row_number() OVER (PARTITION BY cid ORDER BY d DESC, cent_id) rnk
        |         FROM d3) WHERE rnk = 1)""".stripMargin
 
-  /** q323's full oracle — and q324's, verbatim: the persisted-serve path
-    * replays the identical build+serve pipeline from parquet artifacts,
-    * and parquet round-trips IEEE doubles exactly, so the two queries
-    * are the same relation by construction.
+  /** The IVF-Flat serve tail (probe the `cent1` quantizer → search the
+    * `a3` assignment → top-5), shared verbatim by every oracle whose
+    * build CTEs end in (c, q, cent1, a3) — the sampled-train build
+    * (q323/q324) and the refreshed build (q328), which differ ONLY in
+    * which sub-corpus trained cent1.
     */
-  private[queries] val sampledTrainIvfOracleSql: String =
-    s"""$sampledTrainBuildCtes,
-       |dp AS (SELECT qid, cent_id,
+  private[queries] val ivfServeTailSql: String =
+    s"""dp AS (SELECT qid, cent_id,
        |         sum(CAST(qe[i] AS DOUBLE) * cent_e[i]) / (qn * cent_n) AS d
        |       FROM q CROSS JOIN cent1 CROSS JOIN range(1, 65) t(i)
        |       GROUP BY qid, cent_id, qn, cent_n),
@@ -149,6 +149,15 @@ object EmbeddingQueries {
        |         FROM srch)
        |SELECT qid, cid, rn, ${Num.roundSql("cos", 4)} AS cos_r
        |FROM ivfr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** q323's full oracle — and q324's, verbatim: the persisted-serve path
+    * replays the identical build+serve pipeline from parquet artifacts,
+    * and parquet round-trips IEEE doubles exactly, so the two queries
+    * are the same relation by construction.
+    */
+  private[queries] val sampledTrainIvfOracleSql: String =
+    s"""$sampledTrainBuildCtes,
+       |$ivfServeTailSql""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     // Brute-force cosine top-5 for 10 query vectors: corpus streams once,

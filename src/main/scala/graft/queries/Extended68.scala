@@ -88,6 +88,68 @@ object Extended68 {
        |FROM embeddings em LEFT JOIN cl ON cl.node = em.vec_id
        |ORDER BY id""".stripMargin
 
+  /** The IVF+PQ ADC serve tail (probe `cent1` → per-query LUT over the
+    * codebook → code-only candidate scoring over `a3` → exact rerank of
+    * the top-5), shared by q326 and the refreshed-index q329 — they
+    * differ ONLY in `codebookPred`, the sub-corpus the persisted codebook
+    * was derived from (q326: the whole corpus, TRUE; q329: the pre-delta
+    * 90%, whose N also sizes the N/64 code stride). Assumes the build
+    * CTEs already defined (c, q, cent1, a3).
+    */
+  private[queries] def pqAdcServeTailSql(codebookPred: String): String =
+    s"""dp AS (SELECT qid, cent_id,
+       |         sum(CAST(qe[i] AS DOUBLE) * cent_e[i]) / (qn * cent_n) AS d
+       |       FROM q CROSS JOIN cent1 CROSS JOIN range(1, 65) t(i)
+       |       GROUP BY qid, cent_id, qn, cent_n),
+       |probe AS (SELECT qid, cent_id FROM (
+       |            SELECT qid, cent_id,
+       |              row_number() OVER (PARTITION BY qid ORDER BY d DESC, cent_id) rnk
+       |            FROM dp) WHERE rnk <= 3),
+       |cst AS (SELECT greatest(1, count(*) // 64) AS sv FROM embeddings
+       |        WHERE $codebookPred),
+       |cb AS (SELECT vec_id AS code_id, embedding AS cbe
+       |       FROM embeddings
+       |       WHERE ($codebookPred) AND vec_id % (SELECT sv FROM cst) = 0),
+       |pd AS (SELECT v.vec_id, sp.s, cb.code_id,
+       |         sum((CAST(v.embedding[sp.s*16 + i] AS DOUBLE) -
+       |              CAST(cb.cbe[sp.s*16 + i] AS DOUBLE)) *
+       |             (CAST(v.embedding[sp.s*16 + i] AS DOUBLE) -
+       |              CAST(cb.cbe[sp.s*16 + i] AS DOUBLE))) AS d2
+       |       FROM embeddings v
+       |       CROSS JOIN range(0, 4) sp(s)
+       |       CROSS JOIN cb
+       |       CROSS JOIN range(1, 17) t(i)
+       |       GROUP BY v.vec_id, sp.s, cb.code_id),
+       |codes AS (SELECT vec_id, s, code_id FROM (
+       |            SELECT vec_id, s, code_id,
+       |              row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code_id) rnk
+       |            FROM pd) WHERE rnk = 1),
+       |lut AS (SELECT q.qid, sp.s, cb.code_id,
+       |          sum(CAST(q.qe[sp.s*16 + i] AS DOUBLE) *
+       |              CAST(cb.cbe[sp.s*16 + i] AS DOUBLE)) AS v
+       |        FROM q CROSS JOIN range(0, 4) sp(s) CROSS JOIN cb
+       |        CROSS JOIN range(1, 17) t(i)
+       |        GROUP BY q.qid, sp.s, cb.code_id),
+       |cand AS (SELECT p.qid, a.cid
+       |         FROM probe p JOIN a3 a USING (cent_id) WHERE a.cid != p.qid),
+       |adc AS (SELECT cd.qid, cd.cid,
+       |          CAST(sum(CAST(l.v AS DECIMAL(38,18))) AS DOUBLE) AS adc
+       |        FROM cand cd
+       |        JOIN codes co ON co.vec_id = cd.cid
+       |        JOIN lut l ON l.qid = cd.qid AND l.s = co.s AND l.code_id = co.code_id
+       |        GROUP BY cd.qid, cd.cid),
+       |r AS (SELECT qid, cid, adc,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+       |      FROM adc),
+       |x AS (SELECT r.qid, r.cid, r.rn, r.adc,
+       |        sum(CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)) / (q.qn * c.cn) AS cos
+       |      FROM r JOIN q USING (qid) JOIN c ON c.cid = r.cid
+       |      CROSS JOIN range(1, 65) t(i)
+       |      WHERE r.rn <= 5
+       |      GROUP BY r.qid, r.cid, r.rn, r.adc, q.qn, c.cn)
+       |SELECT qid, cid, rn, ${rs("adc", 4)} AS adc_r, ${rs("cos", 4)} AS cos_r
+       |FROM x ORDER BY qid, rn""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     // ----- q324: persisted-index IVF-Flat serve -------------------------
     // Oracle = q323's, verbatim: the persisted artifacts are the SAME
@@ -153,56 +215,7 @@ object Extended68 {
           .orderBy("qid", "rn")
       },
       Some(s"""${EmbeddingQueries.sampledTrainBuildCtes},
-              |dp AS (SELECT qid, cent_id,
-              |         sum(CAST(qe[i] AS DOUBLE) * cent_e[i]) / (qn * cent_n) AS d
-              |       FROM q CROSS JOIN cent1 CROSS JOIN range(1, 65) t(i)
-              |       GROUP BY qid, cent_id, qn, cent_n),
-              |probe AS (SELECT qid, cent_id FROM (
-              |            SELECT qid, cent_id,
-              |              row_number() OVER (PARTITION BY qid ORDER BY d DESC, cent_id) rnk
-              |            FROM dp) WHERE rnk <= 3),
-              |cst AS (SELECT greatest(1, count(*) // 64) AS sv FROM embeddings),
-              |cb AS (SELECT vec_id AS code_id, embedding AS cbe
-              |       FROM embeddings WHERE vec_id % (SELECT sv FROM cst) = 0),
-              |pd AS (SELECT v.vec_id, sp.s, cb.code_id,
-              |         sum((CAST(v.embedding[sp.s*16 + i] AS DOUBLE) -
-              |              CAST(cb.cbe[sp.s*16 + i] AS DOUBLE)) *
-              |             (CAST(v.embedding[sp.s*16 + i] AS DOUBLE) -
-              |              CAST(cb.cbe[sp.s*16 + i] AS DOUBLE))) AS d2
-              |       FROM embeddings v
-              |       CROSS JOIN range(0, 4) sp(s)
-              |       CROSS JOIN cb
-              |       CROSS JOIN range(1, 17) t(i)
-              |       GROUP BY v.vec_id, sp.s, cb.code_id),
-              |codes AS (SELECT vec_id, s, code_id FROM (
-              |            SELECT vec_id, s, code_id,
-              |              row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code_id) rnk
-              |            FROM pd) WHERE rnk = 1),
-              |lut AS (SELECT q.qid, sp.s, cb.code_id,
-              |          sum(CAST(q.qe[sp.s*16 + i] AS DOUBLE) *
-              |              CAST(cb.cbe[sp.s*16 + i] AS DOUBLE)) AS v
-              |        FROM q CROSS JOIN range(0, 4) sp(s) CROSS JOIN cb
-              |        CROSS JOIN range(1, 17) t(i)
-              |        GROUP BY q.qid, sp.s, cb.code_id),
-              |cand AS (SELECT p.qid, a.cid
-              |         FROM probe p JOIN a3 a USING (cent_id) WHERE a.cid != p.qid),
-              |adc AS (SELECT cd.qid, cd.cid,
-              |          CAST(sum(CAST(l.v AS DECIMAL(38,18))) AS DOUBLE) AS adc
-              |        FROM cand cd
-              |        JOIN codes co ON co.vec_id = cd.cid
-              |        JOIN lut l ON l.qid = cd.qid AND l.s = co.s AND l.code_id = co.code_id
-              |        GROUP BY cd.qid, cd.cid),
-              |r AS (SELECT qid, cid, adc,
-              |        row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
-              |      FROM adc),
-              |x AS (SELECT r.qid, r.cid, r.rn, r.adc,
-              |        sum(CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)) / (q.qn * c.cn) AS cos
-              |      FROM r JOIN q USING (qid) JOIN c ON c.cid = r.cid
-              |      CROSS JOIN range(1, 65) t(i)
-              |      WHERE r.rn <= 5
-              |      GROUP BY r.qid, r.cid, r.rn, r.adc, q.qn, c.cn)
-              |SELECT qid, cid, rn, ${rs("adc", 4)} AS adc_r, ${rs("cos", 4)} AS cos_r
-              |FROM x ORDER BY qid, rn""".stripMargin)),
+              |${pqAdcServeTailSql("TRUE")}""".stripMargin)),
 
     // ----- q327: SemDeDup pair term served from the persisted assignment
     // The last piece of the SemDeDup cost decomposition, each now a

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{IvfIndex, Similarity}
+
+/** q328/q329: the persisted index's incremental REFRESH path. The DuckDB
+  * oracle pins the serve identity (refresh(old ∪ Δ) ≡ from-scratch
+  * assignment of the union against the old-trained quantizer, 3 SFs);
+  * these tests pin the refresh MECHANICS the relation-level gate can't
+  * see: append-only file behavior, exactly-once coverage, losslessness
+  * through a refresh, and batch-order independence.
+  */
+class Extended69Spec extends SparkSuite {
+
+  private val nSub = IvfIndex.Cache.nSub
+  private val subDim = IvfIndex.Cache.subDim
+
+  /** A small (≤`bound`-vector) corpus split 90/10, with an index built on
+    * the old 90% under `dir` — the shared setup of every test here.
+    */
+  private def smallSplit(bound: Int) = {
+    val emb = Tables.load(spark, sf0001, "embeddings").filter(col("vec_id") < bound)
+    val old = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+    (emb, old, delta)
+  }
+
+  private def buildOld(old: org.apache.spark.sql.DataFrame, nOld: Long, dir: String): Unit =
+    IvfIndex.build(old, "vec_id", "embedding",
+      stride = Similarity.sqrtStride(nOld), trainIters = 1, trainOn = Some(old),
+      nSub = nSub, subDim = subDim,
+      codeStride = math.max(1L, nOld / 64), outDir = dir)
+
+  /** Committed data files of the inverted file, relative path → length
+    * (part files only — the _SUCCESS marker and checksum siblings are
+    * job-level artifacts an append legitimately rewrites).
+    */
+  private def invfileParts(dir: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(s"$dir/invfile")
+    val s = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+    } finally s.close()
+  }
+
+  test("refresh appends: every pre-existing inverted-file part is byte-identical after; coverage is exactly-once") {
+    val (emb, old, delta) = smallSplit(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rx_append")
+    try {
+      buildOld(old, old.count(), dir.toString)
+      val before = invfileParts(dir.toString)
+      IvfIndex.refresh(spark, dir.toString, delta, "vec_id", "embedding", nSub, subDim)
+      val after = invfileParts(dir.toString)
+      before.foreach { case (f, len) =>
+        assert(after.get(f).contains(len),
+          s"pre-existing inverted-file part $f was rewritten by refresh")
+      }
+      assert(after.size > before.size, "refresh added no files for a non-empty delta")
+      // exactly-once coverage of the union corpus, delta included
+      val ids = spark.read.parquet(s"$dir/invfile").select("cid")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.size == ids.distinct.size, "a vector appears in two inverted lists")
+      assert(ids.toSet == emb.select("vec_id").collect().map(_.getLong(0)).toSet,
+        "refreshed inverted file does not cover the union corpus exactly")
+    } finally graft.queries.QueryDef.rmTree(dir)
+  }
+
+  test("refreshed index is lossless: exhaustive-probe serve ≡ brute force over the UNION corpus") {
+    val (emb, old, delta) = smallSplit(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rx_lossless")
+    try {
+      buildOld(old, old.count(), dir.toString)
+      IvfIndex.refresh(spark, dir.toString, delta, "vec_id", "embedding", nSub, subDim)
+      val q = emb.filter(col("vec_id") < 10)
+      val nCells = spark.read.parquet(s"$dir/centroids").count().toInt
+      val served = IvfIndex
+        .serveTopK(spark, dir.toString, q, "vec_id", "embedding", k = 5, nProbe = nCells)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served == bf,
+        "exhaustive-probe serve after refresh diverged from union brute force — a delta vector was dropped, duplicated, or mis-coded")
+    } finally graft.queries.QueryDef.rmTree(dir)
+  }
+
+  test("refresh is batch-order independent: two half-delta refreshes ≡ one refresh (codes included)") {
+    // pins that nothing in a refresh depends on the BATCH it arrived in —
+    // in particular that delta codes come from the persisted codebook,
+    // never from codewords re-derived over the delta itself (a
+    // delta-derived codebook is deterministic and plausible but would
+    // make the two-batch index diverge from the one-batch index)
+    val (_, old, delta) = smallSplit(400)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_rx_once")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_rx_twice")
+    try {
+      val nOld = old.count()
+      buildOld(old, nOld, dirA.toString)
+      buildOld(old, nOld, dirB.toString)
+      IvfIndex.refresh(spark, dirA.toString, delta, "vec_id", "embedding", nSub, subDim)
+      IvfIndex.refresh(spark, dirB.toString, delta.filter(col("vec_id") < 200),
+        "vec_id", "embedding", nSub, subDim)
+      IvfIndex.refresh(spark, dirB.toString, delta.filter(col("vec_id") >= 200),
+        "vec_id", "embedding", nSub, subDim)
+      def rows(dir: java.nio.file.Path) = spark.read.parquet(s"$dir/invfile")
+        .select(Seq(col("cid"), col("cent_id")) ++ (0 until nSub).map(i => col(s"code_$i")): _*)
+        .collect().map(_.toSeq).toSet
+      assert(rows(dirA) == rows(dirB),
+        "refreshing the same delta in two batches produced a different inverted file")
+    } finally {
+      graft.queries.QueryDef.rmTree(dirA)
+      graft.queries.QueryDef.rmTree(dirB)
+    }
+  }
+
+  test("q328/q329 return a dense top-5 per query and agree on their shared shortlist ordering source") {
+    val flat = SparkEntry.queries("q328_ivf_incremental_refresh")(spark, sf0001)
+    val adc = SparkEntry.queries("q329_ivfpq_refresh_serve")(spark, sf0001)
+    Seq(("q328", flat), ("q329", adc)).foreach { case (n, df) =>
+      val perQ = df.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n"), max(col("rn")).as("mx"), min(col("rn")).as("mn"))
+      assert(perQ.filter(col("n") =!= 5 || col("mx") =!= 5L || col("mn") =!= 1L).count() == 0L,
+        s"$n: some query did not produce a dense top-5")
+    }
+    // both serve the SAME refreshed artifact: q329's exact-reranked
+    // cosine must match q328's for every (qid, cid) they share
+    val j = adc.select(col("qid"), col("cid"), col("cos_r").as("adc_cos"))
+      .join(flat.select(col("qid"), col("cid"), col("cos_r")), Seq("qid", "cid"))
+      .filter(col("adc_cos") =!= col("cos_r"))
+    assert(j.count() == 0L, "q328/q329 disagree on the exact cosine of a shared candidate")
+  }
+}
