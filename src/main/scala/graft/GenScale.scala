@@ -41,6 +41,28 @@ import org.apache.spark.sql.functions._
   *     splitting still parallelizes the big single-file scans.
   */
 object GenScale {
+
+  /** Output-affecting generator version. BUMP THIS whenever replicate /
+    * perm / shift / write logic changes what lands on disk: generated
+    * fixtures are stamped with it (`FIXTURE_VERSION`, written LAST so it
+    * doubles as the completion sentinel — a generation killed partway
+    * leaves tables but never the stamp), and the on-demand consumers
+    * (BatteryPlanSpec's decade sweep) regenerate on any mismatch instead
+    * of silently sweeping a fixture an older generator wrote (ADVICE
+    * r13). Refactors that keep the bytes identical do NOT bump.
+    */
+  val fixtureVersion = 1
+
+  private def stampPath(dst: String) = java.nio.file.Paths.get(s"$dst/FIXTURE_VERSION")
+
+  def stampContent(k: Int): String = s"graft GenScale v$fixtureVersion k=$k\n"
+
+  def stampMatches(dst: String, k: Int): Boolean = {
+    val p = stampPath(dst)
+    java.nio.file.Files.exists(p) &&
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8") == stampContent(k)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
@@ -166,6 +188,7 @@ object GenScale {
             |  x -> x * __sign)""".stripMargin))
         .drop("__copy", "__shift", "__sign")
     write(embs, "embeddings")
+    java.nio.file.Files.write(stampPath(dst), stampContent(k).getBytes("UTF-8"))
 
     println(s"""{"gen":"$dst","k":$k,"lineitem_rows":${spark.read.parquet(s"$dst/lineitem.parquet").count()}}""")
   }

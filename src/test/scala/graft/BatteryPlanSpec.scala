@@ -109,8 +109,10 @@ class BatteryPlanSpec extends SparkSuite {
     "q302_embed_ivf_sqrt" -> "query side vec_id < 10; centroid side √N-sampled (sublinear broadcast — the standard IVF nlist rule)",
     "q323_ivf_sampled_train" -> "query side vec_id < 10; centroid side √N-sampled (q302 rule); Lloyd TRAINING side a ~4√N sample (sublinear) — the production build recipe",
     "q310_ivfpq_adc" -> "query side vec_id < 10; centroid side √N-sampled (q302 rule); codebook fixed at ~64 codewords (q125 rule); LUT = queries × 64 × nSub rows",
-    "q324_ivf_persisted_serve" -> "query side vec_id < 10; broadcast side the PERSISTED √N-row centroid artifact (sublinear scan, no compute subtree — the index is pre-built)",
-    "q326_ivfpq_persisted_serve" -> "query side vec_id < 10; broadcast sides the persisted √N-row centroids and the persisted ~64-codeword codebook; LUT = queries × 64 × nSub rows",
+    // q324/q328 plan NO BNLJ since the serve rework: the probe crossJoin
+    // runs once, eagerly, and the served plan joins the collected pairs
+    "q326_ivfpq_persisted_serve" -> "query side vec_id < 10; LUT crossJoin broadcasts the persisted ~64-codeword codebook (N/64 stride — constant at any corpus size); probe crossJoin is eager, outside the served plan",
+    "q329_ivfpq_refresh_serve" -> "q326's LUT shape over the REFRESHED index: persisted ~64-codeword codebook (N_old/64 stride), query side vec_id < 10",
     "q315_hybrid_retrieval" -> "dense query side bounded by literal filter vec_id < 5; sparse broadcasts bounded by the 5 probe docs' term set (qt/dfT) and a 1-row stats scalar",
     "q123_ann_recall" -> "both arms' query sides bounded by vec_id < 10",
     "q304_matryoshka_overlap" -> "anchor side bounded by literal filter vec_id < 10",
@@ -399,13 +401,15 @@ class BatteryPlanSpec extends SparkSuite {
     // PrefixSum in-cell windows it admits sit UNDER the base pair's gate
     // (N/(keys·cells) ≪ 1 row at sf0.001), so base-sweep staleness would
     // reject them.
-    // completion sentinel = embeddings.parquet, the LAST table GenScale
-    // writes (each table lands via an atomic move): a generation killed
-    // partway leaves earlier tables present but never the sentinel, so
-    // the next run regenerates instead of sweeping a half-built fixture
+    // completion + staleness sentinel = the FIXTURE_VERSION stamp, which
+    // GenScale.run writes LAST (each table lands via an atomic move): a
+    // generation killed partway leaves tables but never the stamp, and a
+    // fixture an OLDER generator wrote carries a mismatching version — so
+    // the sweep regenerates instead of silently measuring half-built or
+    // stale data (ADVICE r13)
     val sf1 = "target/sfdata/sf1"
-    if (!new java.io.File(s"$sf1/embeddings.parquet").exists()) {
-      info(s"$sf1 absent/incomplete — generating via GenScale.run (deterministic, k=10)")
+    if (!graft.GenScale.stampMatches(sf1, 10)) {
+      info(s"$sf1 absent/incomplete/stale — (re)generating via GenScale.run (deterministic, k=10)")
       graft.GenScale.run(spark, sf01, sf1, 10)
     }
     val conf = spark.conf
