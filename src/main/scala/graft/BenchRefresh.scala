@@ -70,19 +70,40 @@ object BenchRefresh {
     }
 
     specs.zipWithIndex.foreach { case (spec, i) =>
-      // pool keep-stride: every mth pool vector → ≈ nPool/m delta rows
-      val m =
-        if (spec.startsWith("abs:")) math.max(1L, nPool / spec.stripPrefix("abs:").toLong)
-        else math.max(1L, math.round(0.1 / spec.toDouble))
-      val delta = pool.filter(pmod(col("vec_id"), lit(10L * m)) === 9L)
-      val nDelta = delta.count()
       val work = root.resolve(s"w$i")
       copyTree(base, work)
-      val t0 = System.nanoTime()
-      graft.ext.IvfIndex.refresh(spark, work.toString, delta, "vec_id", "embedding",
-        nSub = graft.ext.IvfIndex.Cache.nSub, subDim = graft.ext.IvfIndex.Cache.subDim)
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"bench":"ivf_refresh","dir":"$dir","n_old":$nOld,"cells":$stride,"spec":"$spec","delta_rows":$nDelta,"refresh_sec":$sec%.2f,"build_sec":$buildSec%.2f}""")
+      if (spec == "compact") {
+        // compact cost: refresh the full 10% pool in first, then time the
+        // one-file-per-cell rewrite (O(N) once, amortized over R appends)
+        graft.ext.IvfIndex.refresh(spark, work.toString, pool, "vec_id", "embedding",
+          nSub = graft.ext.IvfIndex.Cache.nSub, subDim = graft.ext.IvfIndex.Cache.subDim)
+        val t0 = System.nanoTime()
+        graft.ext.IvfIndex.compact(spark, work.toString)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"bench":"ivf_compact","dir":"$dir","n_old":$nOld,"cells":$stride,"compact_sec":$sec%.2f,"build_sec":$buildSec%.2f}""")
+      } else {
+        // pool keep-stride: every mth pool vector → ≈ nPool/m delta rows;
+        // a "pairs:" prefix additionally maintains the SemDeDup pair
+        // artifact through the refresh (q331's marginal cost — requires
+        // the within-cell join of the delta against the existing lists)
+        val withPairs = spec.startsWith("pairs:")
+        val frac = spec.stripPrefix("pairs:")
+        val m =
+          if (frac.startsWith("abs:")) math.max(1L, nPool / frac.stripPrefix("abs:").toLong)
+          else math.max(1L, math.round(0.1 / frac.toDouble))
+        val delta = pool.filter(pmod(col("vec_id"), lit(10L * m)) === 9L)
+        val nDelta = delta.count()
+        if (withPairs)
+          graft.ext.IvfIndex.buildPairs(spark, work.toString,
+            graft.ext.IvfIndex.Cache.pairThreshold)
+        val t0 = System.nanoTime()
+        graft.ext.IvfIndex.refresh(spark, work.toString, delta, "vec_id", "embedding",
+          nSub = graft.ext.IvfIndex.Cache.nSub, subDim = graft.ext.IvfIndex.Cache.subDim,
+          pairThreshold =
+            if (withPairs) Some(graft.ext.IvfIndex.Cache.pairThreshold) else None)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"bench":"ivf_refresh","dir":"$dir","n_old":$nOld,"cells":$stride,"spec":"$spec","delta_rows":$nDelta,"refresh_sec":$sec%.2f,"build_sec":$buildSec%.2f}""")
+      }
     }
     spark.stop()
   }

@@ -69,29 +69,70 @@ object IvfIndex {
     * pre-existing file set unchanged), so the cost is O(ΔN × √N) for the
     * assignment scan plus O(ΔN) writes: linear in the delta, independent
     * of the existing corpus SIZE (the √N factor is the centroid count, a
-    * property of the frozen quantizer, not of the accumulated data).
+    * property of the frozen quantizer, not of the accumulated data; even
+    * at 10^11 vectors that √N centroid table is ~160 MB of doubles —
+    * still a broadcast, shared by build, refresh, and serve).
     * After refresh, serving the index ≡ serving a from-scratch build of
     * the union corpus with the same trained centroids (q328/q329 put that
     * identity under the hash gate at three SFs).
     *
+    * `pairThreshold` additionally maintains the SemDeDup pair artifact
+    * ([[buildPairs]]) through the refresh: only pairs TOUCHING the delta
+    * are computed — delta × same-cell existing rows plus delta × delta
+    * within a cell — and appended, so the recurring exact-pair cost drops
+    * from the N^1.5 floor q327 prices (every within-cell pair, every
+    * refresh) to O(ΔN × cellLoad): linear in the delta. Ordering matters
+    * and is owned here: delta-touching pairs are computed against the
+    * inverted file BEFORE the delta is appended to it (so delta×existing
+    * pairs appear exactly once), and the delta assignment is checkpointed
+    * so the ΔN×√N scan is paid once, not twice. q331 hash-gates the
+    * result against from-scratch SemDeDup on the union corpus.
+    *
     * Deliberately NOT handled here: centroid drift. A delta whose
     * distribution departs from the training sample degrades cell balance
     * and recall over successive refreshes; the production answer is to
-    * monitor the invfile cell histogram ([[invfilePairCount]]'s input)
-    * and schedule a REBUILD when skew crosses a threshold — retraining
-    * inside refresh would silently invalidate every existing assignment.
+    * monitor [[cellStats]] (q330) and schedule a REBUILD when imbalance
+    * crosses a threshold — retraining inside refresh would silently
+    * invalidate every existing assignment.
     */
   def refresh(
       spark: SparkSession, indexDir: String, delta: DataFrame,
-      idCol: String, embCol: String, nSub: Int, subDim: Int): Unit = {
+      idCol: String, embCol: String, nSub: Int, subDim: Int,
+      pairThreshold: Option[Double] = None): Unit = {
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebook")
       .select(col("code_id"), col("cbe").as("ce"))
     val d = normalizedRel(delta, idCol, embCol, "cid", "ce")
+    val assignedRaw = assignToCells(d, cent)
+    // pair maintenance reads the assignment twice (pairs + append):
+    // checkpoint so the ΔN×√N assignment scan runs once
+    val assigned =
+      if (pairThreshold.isDefined) graft.ops.Ckpt(assignedRaw) else assignedRaw
+    pairThreshold.foreach { th =>
+      val inv = spark.read.parquet(s"$indexDir/invfile")
+        .select(col("cid"), col("ce"), col("ce_n"), col("cent_id"))
+      // delta × existing: the invfile holds no delta row yet, so each pair
+      // appears exactly once; ids canonicalized a_id < b_id (cos is
+      // symmetric — same index-ascending products either way)
+      val dOld = assigned.as("a")
+        .join(inv.as("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.cid") =!= col("b.cid"))
+        .select(
+          least(col("a.cid"), col("b.cid")).as("a_id"),
+          greatest(col("a.cid"), col("b.cid")).as("b_id"),
+          (dot(col("a.ce"), col("b.ce")) / (col("a.ce_n") * col("b.ce_n"))).as("cos"))
+      val dNew = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.cid") < col("b.cid"))
+        .select(col("a.cid").as("a_id"), col("b.cid").as("b_id"),
+          (dot(col("a.ce"), col("b.ce")) / (col("a.ce_n") * col("b.ce_n"))).as("cos"))
+      dOld.union(dNew).filter(col("cos") >= th).select(col("a_id"), col("b_id"))
+        .write.mode("append").parquet(s"$indexDir/pairs")
+    }
     val codes = Similarity.pqEncodeAgainst(
       delta.select(col(idCol).as("vid"), toDouble(col(embCol)).as("ve")),
       cb, nSub, subDim).drop("recon")
-    assignToCells(d, cent)
+    assigned
       .join(codes, col("cid") === col("vid")).drop("vid")
       .write.mode("append").partitionBy("cent_id").parquet(s"$indexDir/invfile")
     pairStats.remove(indexDir) // the cell histogram changed
@@ -294,31 +335,134 @@ object IvfIndex {
 
   def serveSemDedup(
       spark: SparkSession, indexDir: String, corpus: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
-    // Size the within-cell self-join from the invfile's cell histogram,
-    // not the session default (q284's lesson, Extended50.scala): per-cell
-    // pair volume grows linearly in N at √N cells, so a fixed session
-    // width saturates a decade past where it was tuned. ~4M pairs per
-    // partition, floor 32; the equi-join reuses the repartition layout,
-    // so the sizing costs no extra shuffle.
+      threshold: Double): DataFrame =
+    decisionTable(cellPairs(spark, indexDir, threshold), corpus, idCol)
+
+  /** Every within-cell pair of the inverted file at or above `threshold`
+    * — [[Similarity.semanticPairs]]' semantics (cell equi-join, cid
+    * tie-break, carried-norm cosine) over the persisted assignment.
+    * The self-join width is sized from the invfile's cell histogram, not
+    * the session default (q284's lesson, Extended50.scala): per-cell pair
+    * volume grows linearly in N at √N cells, so a fixed session width
+    * saturates a decade past where it was tuned. ~4M pairs per partition,
+    * floor 32; the equi-join reuses the repartition layout, so the sizing
+    * costs no extra shuffle.
+    */
+  private def cellPairs(
+      spark: SparkSession, indexDir: String, threshold: Double): DataFrame = {
     val width = math.max(32L,
       math.min(4096L, invfilePairCount(spark, indexDir) / 4000000L)).toInt
     val inv = spark.read.parquet(s"$indexDir/invfile")
       .select(col("cid"), col("ce"), col("ce_n"), col("cent_id"))
       .repartition(width, col("cent_id"))
-    val pairs = inv.as("a")
+    inv.as("a")
       .join(inv.as("b"),
         col("a.cent_id") === col("b.cent_id") && col("a.cid") < col("b.cid"))
       .select(
         col("a.cid").as("a_id"), col("b.cid").as("b_id"),
         (dot(col("a.ce"), col("b.ce")) / (col("a.ce_n") * col("b.ce_n"))).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Pair set → SemDeDup decision table: connected components over the
+    * duplicate graph, min-id keeper, full-corpus id universe.
+    */
+  private def decisionTable(
+      pairs: DataFrame, corpus: DataFrame, idCol: String): DataFrame = {
     val clusters = Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("id"), col("cluster_id"))
     corpus.select(col(idCol).as("id"))
       .join(clusters, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
       .withColumn("keep", col("id") === col("cluster_id"))
+  }
+
+  /** Materialize the thresholded within-cell pair set as a `pairs/`
+    * artifact alongside the index — the one-time companion of [[build]]
+    * that makes SemDeDup's recurring term INCREMENTAL: q327's serve
+    * recomputes every within-cell pair per run (the N^1.5 floor), whereas
+    * with the artifact each [[refresh]] appends only the delta-touching
+    * pairs (O(ΔN × cellLoad)) and [[serveSemDedupFromPairs]] reads the
+    * accumulated set — the superlinear cost is paid once, at build.
+    * The threshold is baked into the artifact (pairs below it are never
+    * stored); callers must refresh with the same value.
+    */
+  def buildPairs(spark: SparkSession, indexDir: String, threshold: Double): Unit =
+    cellPairs(spark, indexDir, threshold).select(col("a_id"), col("b_id"))
+      .write.mode("overwrite").parquet(s"$indexDir/pairs")
+
+  /** SemDeDup decision table from the persisted `pairs/` artifact alone:
+    * connected components + min-id keeper, NO pair scan in the plan — the
+    * recurring cost is the duplicate-graph size, not the within-cell pair
+    * count. With [[buildPairs]] at build time and `pairThreshold` on every
+    * [[refresh]], this equals [[serveSemDedup]] on the same index exactly
+    * (pair maintenance is exhaustive — q331 hash-gates the identity
+    * against from-scratch SemDeDup on the union corpus).
+    */
+  def serveSemDedupFromPairs(
+      spark: SparkSession, indexDir: String, corpus: DataFrame,
+      idCol: String): DataFrame =
+    decisionTable(
+      spark.read.parquet(s"$indexDir/pairs"), corpus, idCol)
+
+  /** Index health monitor — the rebuild trigger [[refresh]]'s contract
+    * defers to: one row of cell-histogram rollups over the inverted
+    * file's PARTITION column only (no data pages read; ≤√N groups).
+    * `imbalance_r` (max cell load over mean) is the quantity a deployment
+    * alerts on: the quantizer is frozen at build time, so successive
+    * deltas that drift from the training distribution show up exactly
+    * here, and a rebuild (retrain + reassign) is scheduled when it
+    * crosses a policy threshold. `pair_sum` is the exact-SemDeDup
+    * recurring-term volume ([[invfilePairCount]]'s value, exposed).
+    */
+  def cellStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val avg = col("n_vecs").cast("double") / col("n_cells")
+    spark.read.parquet(s"$indexDir/invfile")
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("m"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("m")).as("n_vecs"),
+        max(col("m")).as("max_load"),
+        sum(expr("m * (m - 1) div 2")).as("pair_sum"))
+      .select(col("n_cells"), col("n_vecs"), col("max_load"), col("pair_sum"),
+        graft.ops.Num.roundTo(avg, 4).as("avg_load_r"),
+        graft.ops.Num.roundTo(col("max_load").cast("double") / avg, 4).as("imbalance_r"))
+  }
+
+  /** Compact the inverted file in place: every [[refresh]] appends one
+    * file per touched cell directory, so after R refreshes a serve reads
+    * up to R+1 files per probed cell — at 100 TB that is the classic
+    * small-files tax (per-file open/footer cost at the scan, listing
+    * pressure on the metadata layer). Rewrites each cell's accumulated
+    * files into one file per cell (rows hash to one shuffle partition per
+    * cell; the partitioned write splits per directory) and atomically
+    * swaps the directory. Content is bit-identical (parquet round-trips
+    * the doubles and codes exactly), so serve plans are unchanged —
+    * Extended69Spec pins serve-identity across a compact. The cell
+    * histogram is unchanged too, so the memoized pair count stands.
+    * `maxRecordsPerFile` > 0 re-splits oversized cells (a skew-era cell
+    * can outgrow one task's comfort zone) at the parquet writer level.
+    *
+    * The swap is two local renames; on an object store the equivalent is
+    * a staged write + catalog pointer flip — same one-writer contract as
+    * [[refresh]] (concurrent serves reading the old listing finish
+    * against intact files; local FS keeps open fds valid across rename).
+    */
+  def compact(
+      spark: SparkSession, indexDir: String, maxRecordsPerFile: Long = 0): Unit = {
+    val tmp = s"$indexDir/invfile__compact"
+    spark.read.parquet(s"$indexDir/invfile")
+      .repartition(col("cent_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cent_id").parquet(tmp)
+    val root = java.nio.file.Paths.get(indexDir)
+    val retired = root.resolve("invfile__retired")
+    java.nio.file.Files.move(root.resolve("invfile"), retired,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(root.resolve("invfile__compact"), root.resolve("invfile"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.queries.QueryDef.rmTree(retired)
   }
 
   /** Battery-side index cache: ONE build per (fixture dir) per JVM, under
@@ -360,14 +504,21 @@ object IvfIndex {
         out
       })
 
+    /** The battery's SemDeDup threshold (q111/q325/q327/q331's rule) —
+      * baked into the cached pairs artifact, so every consumer must agree.
+      */
+    val pairThreshold = 0.4
+
     /** The lifecycle twin of [[indexFor]]: ONE refreshed index per
-      * (fixture dir) per JVM, for q328/q329. The corpus splits 90/10 by
+      * (fixture dir) per JVM, for q328–q331. The corpus splits 90/10 by
       * `vec_id % 10` — the index is BUILT on the 90% "old" corpus (its
       * own √N stride, ~4√N training sample, and N/64 codebook, all sized
       * from the OLD count, exactly as a deployment that trained before
-      * the delta arrived) and then [[refresh]]ed with the 10% delta.
-      * Serving it must equal serving the union corpus against the
-      * old-trained quantizer — the oracle replays that in SQL.
+      * the delta arrived), its SemDeDup pair artifact materialized
+      * ([[buildPairs]]), and then [[refresh]]ed with the 10% delta, pair
+      * maintenance included. Serving it must equal serving the union
+      * corpus against the old-trained quantizer — the oracle replays that
+      * in SQL.
       */
     def refreshedIndexFor(spark: SparkSession, dir: String): String =
       refreshedBuilt.computeIfAbsent(dir, { d =>
@@ -383,7 +534,9 @@ object IvfIndex {
           trainOn = Some(old.filter(pmod(col("vec_id"), lit(trainStride)) === 0)),
           nSub = nSub, subDim = subDim,
           codeStride = math.max(1L, nOld / 64), outDir = out)
-        refresh(spark, out, delta, "vec_id", "embedding", nSub, subDim)
+        buildPairs(spark, out, pairThreshold)
+        refresh(spark, out, delta, "vec_id", "embedding", nSub, subDim,
+          pairThreshold = Some(pairThreshold))
         out
       })
     private val refreshedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -43,6 +43,35 @@ object Extended68 {
   private def R(c: Column, n: Int) = Num.roundTo(c, n)
   private def rs(e: String, n: Int) = Num.roundSql(e, n)
 
+  /** The SemDeDup pair/CC/keeper tail — within-cell pairs over
+    * `assignRel` (a (cid, cent_id) assignment CTE), threshold 0.4, the
+    * recursive-CTE components, min-id keeper over the full id universe —
+    * shared by q325/q327 (`a_f`, the sampled-train assignment) and the
+    * refreshed-index q331 (`a3`, the union assigned against the
+    * old-trained quantizer). Assumes `c` (cid, ce, cn) defined and the
+    * surrounding WITH declared RECURSIVE.
+    */
+  private[queries] def semDedupTailSql(assignRel: String): String =
+    s"""pr AS (SELECT x.cid a_id, y.cid b_id,
+       |         sum(CAST(cx.ce[i] AS DOUBLE) * CAST(cy.ce[i] AS DOUBLE)) / (cx.cn * cy.cn) AS cos
+       |       FROM $assignRel x JOIN $assignRel y ON x.cent_id = y.cent_id AND x.cid < y.cid
+       |       JOIN c cx ON cx.cid = x.cid
+       |       JOIN c cy ON cy.cid = y.cid
+       |       CROSS JOIN range(1, 65) t(i)
+       |       GROUP BY x.cid, y.cid, cx.cn, cy.cn),
+       |p AS (SELECT a_id, b_id FROM pr WHERE cos >= 0.4),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM p
+       |      UNION SELECT b_id, a_id FROM p),
+       |r AS (SELECT src AS node, dst AS reach FROM e
+       |      UNION
+       |      SELECT r.node, e.dst AS reach FROM r JOIN e ON r.reach = e.src),
+       |cl AS (SELECT node, least(node, min(reach)) AS cluster_id FROM r GROUP BY node)
+       |SELECT em.vec_id AS id,
+       |       coalesce(cl.cluster_id, em.vec_id) AS cluster_id,
+       |       em.vec_id = coalesce(cl.cluster_id, em.vec_id) AS keep
+       |FROM embeddings em LEFT JOIN cl ON cl.node = em.vec_id
+       |ORDER BY id""".stripMargin
+
   /** q325's full oracle — and q327's, verbatim: the persisted inverted
     * file IS the sampled-train assignment written to parquet (exact IEEE
     * round-trip), and the pair/CC/keeper stages are identical, so the
@@ -68,25 +97,7 @@ object Extended68 {
        |          SELECT cid, cent_id,
        |            row_number() OVER (PARTITION BY cid ORDER BY d DESC, cent_id) rnk
        |          FROM d_f) WHERE rnk = 1),
-       |pr AS (SELECT x.cid a_id, y.cid b_id,
-       |         sum(CAST(cx.ce[i] AS DOUBLE) * CAST(cy.ce[i] AS DOUBLE)) / (cx.cn * cy.cn) AS cos
-       |       FROM a_f x JOIN a_f y ON x.cent_id = y.cent_id AND x.cid < y.cid
-       |       JOIN c cx ON cx.cid = x.cid
-       |       JOIN c cy ON cy.cid = y.cid
-       |       CROSS JOIN range(1, 65) t(i)
-       |       GROUP BY x.cid, y.cid, cx.cn, cy.cn),
-       |p AS (SELECT a_id, b_id FROM pr WHERE cos >= 0.4),
-       |e AS (SELECT a_id AS src, b_id AS dst FROM p
-       |      UNION SELECT b_id, a_id FROM p),
-       |r AS (SELECT src AS node, dst AS reach FROM e
-       |      UNION
-       |      SELECT r.node, e.dst AS reach FROM r JOIN e ON r.reach = e.src),
-       |cl AS (SELECT node, least(node, min(reach)) AS cluster_id FROM r GROUP BY node)
-       |SELECT em.vec_id AS id,
-       |       coalesce(cl.cluster_id, em.vec_id) AS cluster_id,
-       |       em.vec_id = coalesce(cl.cluster_id, em.vec_id) AS keep
-       |FROM embeddings em LEFT JOIN cl ON cl.node = em.vec_id
-       |ORDER BY id""".stripMargin
+       |${semDedupTailSql("a_f")}""".stripMargin
 
   /** The IVF+PQ ADC serve tail (probe `cent1` → per-query LUT over the
     * codebook → code-only candidate scoring over `a3` → exact rerank of

@@ -31,15 +31,16 @@ object Extended69 {
 
   private def R(c: Column, n: Int) = Num.roundTo(c, n)
 
-  /** The refreshed-index build as CTE text: same shape as
-    * [[EmbeddingQueries.sampledTrainBuildCtes]] but the seed (`cent0`),
-    * training sample (`cs`), and the √N/4√N strides (`st`) all range over
-    * the 90% OLD sub-corpus, while the assignment (`a3`) ranges over the
-    * FULL corpus — old rows assigned at build time, delta rows at
-    * refresh, identical per-row math either way.
+  /** The refreshed-index build as CTE text (no WITH prefix — consumers
+    * prepend `WITH ` or `WITH RECURSIVE ` as their tail demands): same
+    * shape as [[EmbeddingQueries.sampledTrainBuildCtes]] but the seed
+    * (`cent0`), training sample (`cs`), and the √N/4√N strides (`st`) all
+    * range over the 90% OLD sub-corpus, while the assignment (`a3`)
+    * ranges over the FULL corpus — old rows assigned at build time, delta
+    * rows at refresh, identical per-row math either way.
     */
   private val refreshedBuildCtes: String =
-    s"""WITH ${EmbeddingQueries.normCte},
+    s"""${EmbeddingQueries.normCte},
        |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
        |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
        |q AS (SELECT e.vec_id qid, e.embedding qe, n.nrm qn
@@ -80,7 +81,7 @@ object Extended69 {
           .select(col("qid"), col("cid"), col("rn"), R(col("cos"), 4).as("cos_r"))
           .orderBy("qid", "rn")
       },
-      Some(s"""$refreshedBuildCtes,
+      Some(s"""WITH $refreshedBuildCtes,
               |${EmbeddingQueries.ivfServeTailSql}""".stripMargin)),
 
     // ----- q329: IVF+PQ ADC serve after an incremental refresh ----------
@@ -105,7 +106,56 @@ object Extended69 {
             R(col("adc"), 4).as("adc_r"), R(col("cos"), 4).as("cos_r"))
           .orderBy("qid", "rn")
       },
-      Some(s"""$refreshedBuildCtes,
-              |${Extended68.pqAdcServeTailSql("vec_id % 10 != 9")}""".stripMargin))
+      Some(s"""WITH $refreshedBuildCtes,
+              |${Extended68.pqAdcServeTailSql("vec_id % 10 != 9")}""".stripMargin)),
+
+    // ----- q330: index health monitor over the refreshed inverted file --
+    // The rebuild trigger refresh's contract defers to: the quantizer is
+    // frozen at build time, so deltas that drift from the training
+    // distribution surface ONLY in the cell histogram — imbalance_r
+    // (max/mean cell load) is what a deployment alerts on to schedule a
+    // retrain+reassign. One rollup over the PARTITION column (≤√N groups,
+    // no data pages read); pair_sum doubles as the exact-SemDeDup
+    // recurring-volume estimate serveSemDedup sizes its shuffle from.
+    // Hash-gated against the union assignment's histogram — a refresh
+    // that dropped, duplicated, or re-assigned a vector shifts a cell
+    // count and mismatches here.
+    QueryDef(
+      "q330_ivf_cell_stats",
+      (s, dir) => {
+        val ix = IvfIndex.Cache.refreshedIndexFor(s, dir)
+        IvfIndex.cellStats(s, ix)
+      },
+      Some(s"""WITH $refreshedBuildCtes,
+              |h AS (SELECT cent_id, count(*) AS m FROM a3 GROUP BY cent_id)
+              |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+              |       CAST(sum(m) AS BIGINT) AS n_vecs,
+              |       CAST(max(m) AS BIGINT) AS max_load,
+              |       CAST(sum(m * (m - 1) // 2) AS BIGINT) AS pair_sum,
+              |       ${Num.roundSql("CAST(sum(m) AS DOUBLE) / count(*)", 4)} AS avg_load_r,
+              |       ${Num.roundSql("CAST(max(m) AS DOUBLE) / (CAST(sum(m) AS DOUBLE) / count(*))", 4)} AS imbalance_r
+              |FROM h""".stripMargin)),
+
+    // ----- q331: INCREMENTAL SemDeDup from the maintained pair artifact -
+    // q327 isolated SemDeDup's recurring term but still re-scans every
+    // within-cell pair per run — the N^1.5 floor. With the pair artifact
+    // (buildPairs at build; refresh appends ONLY delta-touching pairs,
+    // O(ΔN × cellLoad)), the recurring plan is CC + keeper over the
+    // accumulated duplicate graph: no pair scan, no superlinear term left
+    // anywhere in the steady state. The oracle recomputes from-scratch
+    // SemDeDup on the union corpus against the old-trained quantizer —
+    // a maintenance path that missed a delta-delta pair, double-counted
+    // a delta-old pair, or paired across the append boundary
+    // hash-mismatches at every SF.
+    QueryDef(
+      "q331_semdedup_incremental",
+      (s, dir) => {
+        val ix = IvfIndex.Cache.refreshedIndexFor(s, dir)
+        IvfIndex
+          .serveSemDedupFromPairs(s, ix, tbl(s, dir, "embeddings"), "vec_id")
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE $refreshedBuildCtes,
+              |${Extended68.semDedupTailSql("a3")}""".stripMargin))
   )
 }

@@ -117,6 +117,121 @@ class Extended69Spec extends SparkSuite {
     }
   }
 
+  test("pair maintenance is exhaustive: build+refresh pairs ≡ from-scratch pairs on the refreshed index") {
+    // threshold -1.0 keeps EVERY within-cell pair — the strongest
+    // structural check (the 0.4 production filter is q331's hash gate)
+    val (_, old, delta) = smallSplit(400)
+    val inc = java.nio.file.Files.createTempDirectory("graft_px_inc")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_px_scratch")
+    try {
+      val nOld = old.count()
+      buildOld(old, nOld, inc.toString)
+      IvfIndex.buildPairs(spark, inc.toString, threshold = -1.0)
+      IvfIndex.refresh(spark, inc.toString, delta, "vec_id", "embedding",
+        nSub, subDim, pairThreshold = Some(-1.0))
+      // the from-scratch reference: same index, pairs recomputed whole
+      // AFTER the refresh (q327's posture)
+      buildOld(old, nOld, scratch.toString)
+      IvfIndex.refresh(spark, scratch.toString, delta, "vec_id", "embedding", nSub, subDim)
+      IvfIndex.buildPairs(spark, scratch.toString, threshold = -1.0)
+      def pairSet(d: java.nio.file.Path) = spark.read.parquet(s"$d/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val (got, want) = (pairSet(inc), pairSet(scratch))
+      assert(got.size == got.distinct.size,
+        "incremental pair maintenance wrote a duplicate pair (delta×existing double-counted?)")
+      assert(got.toSet == want.toSet,
+        "incrementally maintained pairs diverge from a from-scratch pair scan of the refreshed index")
+      // and the served decision tables agree end to end
+      val emb = Tables.load(spark, sf0001, "embeddings").filter(col("vec_id") < 400)
+      val fromPairs = IvfIndex.serveSemDedupFromPairs(spark, inc.toString, emb, "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val fromScan = IvfIndex.serveSemDedup(spark, scratch.toString, emb, "vec_id", threshold = -1.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(fromPairs == fromScan,
+        "decision table from the pair artifact diverges from the pair-scan serve")
+    } finally {
+      graft.queries.QueryDef.rmTree(inc)
+      graft.queries.QueryDef.rmTree(scratch)
+    }
+  }
+
+  test("pair maintenance is batch-order independent: two half-delta refreshes ≡ one refresh") {
+    val (_, old, delta) = smallSplit(400)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_px_once")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_px_twice")
+    try {
+      val nOld = old.count()
+      for (d <- Seq(dirA, dirB)) {
+        buildOld(old, nOld, d.toString)
+        IvfIndex.buildPairs(spark, d.toString, threshold = -1.0)
+      }
+      IvfIndex.refresh(spark, dirA.toString, delta, "vec_id", "embedding",
+        nSub, subDim, pairThreshold = Some(-1.0))
+      IvfIndex.refresh(spark, dirB.toString, delta.filter(col("vec_id") < 200),
+        "vec_id", "embedding", nSub, subDim, pairThreshold = Some(-1.0))
+      IvfIndex.refresh(spark, dirB.toString, delta.filter(col("vec_id") >= 200),
+        "vec_id", "embedding", nSub, subDim, pairThreshold = Some(-1.0))
+      def pairSet(d: java.nio.file.Path) = spark.read.parquet(s"$d/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (a, b) = (pairSet(dirA), pairSet(dirB))
+      assert(b.size == b.distinct.size,
+        "two-batch pair maintenance double-counted a pair (batch1×batch2 must pair exactly once, as delta×existing)")
+      assert(a.toSet == b.toSet,
+        "pair artifact depends on delta batching")
+    } finally {
+      graft.queries.QueryDef.rmTree(dirA)
+      graft.queries.QueryDef.rmTree(dirB)
+    }
+  }
+
+  test("compact: one file per cell after, rows and serve results identical, cellStats unchanged") {
+    val (emb, old, delta) = smallSplit(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cx")
+    try {
+      buildOld(old, old.count(), dir.toString)
+      IvfIndex.refresh(spark, dir.toString, delta, "vec_id", "embedding", nSub, subDim)
+      def partsPerCell: Map[String, Int] = invfileParts(dir.toString).keys
+        .groupBy(_.split('/').head).view.mapValues(_.size).toMap
+      assert(partsPerCell.values.exists(_ > 1),
+        "setup: refresh should have left some cell with >1 part file")
+      val q = emb.filter(col("vec_id") < 10)
+      def served = IvfIndex
+        .serveTopK(spark, dir.toString, q, "vec_id", "embedding", k = 5, nProbe = 3)
+        .select(col("qid"), col("cid"), col("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def rows = spark.read.parquet(s"$dir/invfile")
+        .select(Seq(col("cid"), col("cent_id")) ++ (0 until nSub).map(i => col(s"code_$i")): _*)
+        .collect().map(_.toSeq).toSet
+      val (servedBefore, rowsBefore) = (served, rows)
+      val statsBefore = IvfIndex.cellStats(spark, dir.toString).collect().head.toSeq
+      IvfIndex.compact(spark, dir.toString)
+      assert(partsPerCell.values.forall(_ == 1),
+        s"compact left a cell with >1 part file: $partsPerCell")
+      assert(rows == rowsBefore, "compact changed the inverted file's content")
+      assert(served == servedBefore, "compact changed serve results")
+      assert(IvfIndex.cellStats(spark, dir.toString).collect().head.toSeq == statsBefore,
+        "compact changed the cell histogram")
+    } finally graft.queries.QueryDef.rmTree(dir)
+  }
+
+  test("cellStats: n_vecs covers the union corpus; pair_sum matches the hand-counted histogram") {
+    val (emb, old, delta) = smallSplit(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats")
+    try {
+      buildOld(old, old.count(), dir.toString)
+      IvfIndex.refresh(spark, dir.toString, delta, "vec_id", "embedding", nSub, subDim)
+      val s = IvfIndex.cellStats(spark, dir.toString).collect().head
+      assert(s.getAs[Long]("n_vecs") == emb.count(), "n_vecs != union corpus size")
+      val hist = spark.read.parquet(s"$dir/invfile")
+        .groupBy(col("cent_id")).count().collect().map(_.getLong(1))
+      assert(s.getAs[Long]("n_cells") == hist.length.toLong)
+      assert(s.getAs[Long]("max_load") == hist.max)
+      assert(s.getAs[Long]("pair_sum") == hist.map(m => m * (m - 1) / 2).sum)
+      val avg = hist.sum.toDouble / hist.length
+      assert(math.abs(s.getAs[Double]("imbalance_r") - hist.max / avg) < 1e-3)
+    } finally graft.queries.QueryDef.rmTree(dir)
+  }
+
   test("q328/q329 return a dense top-5 per query and agree on their shared shortlist ordering source") {
     val flat = SparkEntry.queries("q328_ivf_incremental_refresh")(spark, sf0001)
     val adc = SparkEntry.queries("q329_ivfpq_refresh_serve")(spark, sf0001)
