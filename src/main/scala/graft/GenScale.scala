@@ -37,8 +37,11 @@ import org.apache.spark.sql.functions._
   *     with user count (shifted), not window count.
   *   - each table lands as ONE parquet file named `<table>.parquet`
   *     (the driver fixture's exact layout — q151/q156 stream-copy it as
-  *     a file), written with 8 MB row groups so Spark's byte-range file
-  *     splitting still parallelizes the big single-file scans.
+  *     a file), with row groups sized for ≥32 groups per table (see
+  *     `write`) so Spark's byte-range file splitting actually
+  *     parallelizes the single-file scans — a row group is the atomic
+  *     read unit, and one oversized group serializes the whole scan
+  *     stage onto one task.
   */
 object GenScale {
 
@@ -51,11 +54,21 @@ object GenScale {
     * of silently sweeping a fixture an older generator wrote (ADVICE
     * r13). Refactors that keep the bytes identical do NOT bump.
     */
-  val fixtureVersion = 1
+  val fixtureVersion = 2 // v2: source-size-aware row groups (≥32 per table)
 
   private def stampPath(dst: String) = java.nio.file.Paths.get(s"$dst/FIXTURE_VERSION")
 
   def stampContent(k: Int): String = s"graft GenScale v$fixtureVersion k=$k\n"
+
+  /** Row-group count from the parquet footer (the atomic read unit —
+    * scan parallelism is bounded by it regardless of byte-range splits).
+    */
+  def rowGroupsOf(file: String): Int = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.size finally r.close()
+  }
 
   def stampMatches(dst: String, k: Int): Boolean = {
     val p = stampPath(dst)
@@ -111,18 +124,43 @@ object GenScale {
 
     def write(df: DataFrame, name: String): Unit = {
       val tmp = s"$dst/__tmp_$name"
-      df.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", 8 * 1024 * 1024)
-        .parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file under $tmp"))
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$dst/$name.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      new java.io.File(tmp).listFiles().foreach(_.delete())
-      new java.io.File(tmp).delete()
-      ()
+      // Row-group sizing (round 14): a row group is parquet's atomic read
+      // unit, so a table whose bytes fit ONE group serializes every
+      // scan-side stage onto a single task no matter how many cores the
+      // session has. The fixed 8 MB block left sf1's documents.parquet a
+      // single 6.9 MB group — every doc-axis sf1 measurement carried a
+      // 1-task tokenize stage, inflating sf1 wall time and UNDERSTATING
+      // sf1→sf10 slopes (found when q141/q205 measured FASTER at sf10
+      // than sf1 in one session). Target ≥32 groups (the local[32]
+      // width) from the source size × k, clamped to [256 KB, 8 MB].
+      val srcBytes = java.nio.file.Files.size(
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+      val block = math.max(256L * 1024, math.min(8L * 1024 * 1024, srcBytes * k / 32))
+      def writeOnce(rel: DataFrame, blockBytes: Long): Unit = {
+        rel.coalesce(1).write.mode("overwrite")
+          .option("parquet.block.size", blockBytes)
+          .parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$dst/$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        new java.io.File(tmp).listFiles().foreach(_.delete())
+        new java.io.File(tmp).delete()
+        ()
+      }
+      writeOnce(df, block)
+      // Second pass when the estimate misses low: the src×k sizing
+      // assumes the k copies encode like the source, but e.g. embeddings'
+      // copies are shifts/flips of the SAME vectors and dictionary-encode
+      // ~100× smaller, leaving a handful of oversized groups. Re-split
+      // from the ACTUAL footer when a data-sized table landed <32 groups.
+      val out = java.nio.file.Paths.get(s"$dst/$name.parquet")
+      val outBytes = java.nio.file.Files.size(out)
+      if (outBytes >= 2L * 1024 * 1024 && rowGroupsOf(out.toString) < 32)
+        writeOnce(spark.read.parquet(out.toString),
+          math.max(64L * 1024, outBytes / 32))
     }
 
     write(tbl("region"), "region")

@@ -49,8 +49,16 @@ object IvfIndex {
     val codes = Similarity
       .pqEncode(corpus, idCol, embCol, nSub, subDim, codeStride)
       .drop("recon")
+    // Repartition by the PARTITION column before the partitioned write:
+    // the join output is hash-distributed by cid, so without this every
+    // task holds rows of most cells and writes a file into every cell
+    // directory — ~tasks×cells small files (13.5k at sf10; measured as
+    // the dominant cost of whole-invfile consumers — q327's pair scan,
+    // cellStats' listing). One shuffle at build time buys one file per
+    // cell, the layout compact() restores after refreshes.
     assignToCells(c, cent)
       .join(codes, col("cid") === col("vid")).drop("vid")
+      .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$outDir/invfile")
     corpus.filter(pmod(col(idCol), lit(codeStride)) === 0)
       .select(col(idCol).as("code_id"), toDouble(col(embCol)).as("cbe"))
@@ -111,10 +119,20 @@ object IvfIndex {
     pairThreshold.foreach { th =>
       val inv = spark.read.parquet(s"$indexDir/invfile")
         .select(col("cid"), col("ce"), col("ce_n"), col("cent_id"))
+      // The delta side is an ingest BATCH — small relative to the corpus
+      // by contract — so broadcast it and stream the inverted file past
+      // it once: without the hint Spark shuffles the WHOLE inverted file
+      // by cent_id for this join (measured 36 s vs 29 s for the refresh
+      // itself at sf10), which re-pays corpus-sized work on every batch.
+      // Broadcast only under a bound (~55 MB of vectors at 100k rows);
+      // an outsized delta falls back to the shuffle join rather than
+      // OOMing an executor — production chunks its ingest batches anyway.
+      val nDelta = assigned.count() // cheap: assigned is checkpointed
+      val dSide = if (nDelta <= 100000) broadcast(assigned) else assigned
       // delta × existing: the invfile holds no delta row yet, so each pair
       // appears exactly once; ids canonicalized a_id < b_id (cos is
       // symmetric — same index-ascending products either way)
-      val dOld = assigned.as("a")
+      val dOld = dSide.as("a")
         .join(inv.as("b"),
           col("a.cent_id") === col("b.cent_id") && col("a.cid") =!= col("b.cid"))
         .select(
@@ -122,7 +140,7 @@ object IvfIndex {
           greatest(col("a.cid"), col("b.cid")).as("b_id"),
           (dot(col("a.ce"), col("b.ce")) / (col("a.ce_n") * col("b.ce_n"))).as("cos"))
       val dNew = assigned.as("a")
-        .join(assigned.as("b"),
+        .join(dSide.as("b"),
           col("a.cent_id") === col("b.cent_id") && col("a.cid") < col("b.cid"))
         .select(col("a.cid").as("a_id"), col("b.cid").as("b_id"),
           (dot(col("a.ce"), col("b.ce")) / (col("a.ce_n") * col("b.ce_n"))).as("cos"))
@@ -132,8 +150,11 @@ object IvfIndex {
     val codes = Similarity.pqEncodeAgainst(
       delta.select(col(idCol).as("vid"), toDouble(col(embCol)).as("ve")),
       cb, nSub, subDim).drop("recon")
+    // same one-file-per-cell rule as build: the append adds at most ONE
+    // file per touched cell per refresh instead of tasks×cells
     assigned
       .join(codes, col("cid") === col("vid")).drop("vid")
+      .repartition(col("cent_id"))
       .write.mode("append").partitionBy("cent_id").parquet(s"$indexDir/invfile")
     pairStats.remove(indexDir) // the cell histogram changed
     ()
