@@ -412,6 +412,17 @@ class BatteryPlanSpec extends SparkSuite {
       info(s"$sf1 absent/incomplete/stale — (re)generating via GenScale.run (deterministic, k=10)")
       graft.GenScale.run(spark, sf01, sf1, 10)
     }
+    // Row-group parallelism guard (round 14): a row group is parquet's
+    // atomic read unit, and a data-sized table generated as ONE group
+    // serializes every scan stage onto one task — which inverted the
+    // q205/q141 decade measurements before GenScale v2. A slope measured
+    // on a degenerate layout is not a slope; fail loudly if it regresses.
+    for (t <- Seq("documents", "embeddings", "lineitem")) {
+      val g = graft.GenScale.rowGroupsOf(s"$sf1/$t.parquet")
+      assert(g >= 32,
+        s"$sf1/$t.parquet has $g row groups (<32): sf1-side scan stages " +
+          "serialize and the decade sweep measures fixture layout, not the engine")
+    }
     val conf = spark.conf
     val aqeKey = "spark.sql.adaptive.enabled"
     val prior = conf.get(aqeKey)
