@@ -192,6 +192,11 @@ class Extended69Spec extends SparkSuite {
       IvfIndex.refresh(spark, dir.toString, delta, "vec_id", "embedding", nSub, subDim)
       def partsPerCell: Map[String, Int] = invfileParts(dir.toString).keys
         .groupBy(_.split('/').head).view.mapValues(_.size).toMap
+      // build layout pin (round 14): one file per cell, not tasks×cells —
+      // a cell dir with >2 files here means build lost its
+      // repartition(cent_id) and the small-files tax is back
+      assert(partsPerCell.values.forall(_ <= 2),
+        s"build+1 refresh should leave ≤2 files per cell: $partsPerCell")
       assert(partsPerCell.values.exists(_ > 1),
         "setup: refresh should have left some cell with >1 part file")
       val q = emb.filter(col("vec_id") < 10)
