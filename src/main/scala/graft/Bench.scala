@@ -58,6 +58,15 @@ object Bench {
     // first-match/last-match parsers agree on the schema.
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"failures":${failed.size},"sf":"$sfDir"}""")
     results.foreach { case (k, v) => println(s"""{"query":"$k","sec":$v}""") }
+    // Self-diagnosis line, emitted just before the total so it survives
+    // tail-truncation alongside it: the 20 slowest queries of THIS run.
+    // A total that moves without these moving localizes a regression (or
+    // an environmental outlier) from the stored artifact alone — the r14
+    // driver total (639 s vs 402 s re-run) was unlocalizable because the
+    // artifact kept only 38 arbitrary per-query lines.
+    val top20 = results.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"top20_slowest","queries":$top20}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failures":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {

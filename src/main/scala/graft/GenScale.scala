@@ -158,9 +158,22 @@ object GenScale {
       // from the ACTUAL footer when a data-sized table landed <32 groups.
       val out = java.nio.file.Paths.get(s"$dst/$name.parquet")
       val outBytes = java.nio.file.Files.size(out)
-      if (outBytes >= 2L * 1024 * 1024 && rowGroupsOf(out.toString) < 32)
-        writeOnce(spark.read.parquet(out.toString),
-          math.max(64L * 1024, outBytes / 32))
+      if (outBytes >= 2L * 1024 * 1024 && rowGroupsOf(out.toString) < 32) {
+        // Read back UNSPLIT: Spark packs file splits size-descending, so a
+        // split read's row order — hence the rewritten fixture's bytes —
+        // would depend on session conf (maxPartitionBytes/parallelism),
+        // breaking the deterministic-bytes contract FIXTURE_VERSION's
+        // "identical bytes do not bump" rule relies on (ADVICE r14). One
+        // oversized partition covering the whole file yields file order
+        // regardless of conf; the rewrite is a one-file pass, so the lost
+        // parallelism is irrelevant.
+        val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try {
+          spark.conf.set("spark.sql.files.maxPartitionBytes", (outBytes + (1L << 20)).toString)
+          writeOnce(spark.read.parquet(out.toString),
+            math.max(64L * 1024, outBytes / 32))
+        } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      }
     }
 
     write(tbl("region"), "region")
