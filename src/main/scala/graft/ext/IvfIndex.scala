@@ -33,11 +33,20 @@ object IvfIndex {
   /** Build the index and persist it under `outDir` (q323's sampled-train
     * recipe when `trainOn` is set). One full corpus scan for assignment +
     * one for the PQ encode — the one-time cost production amortizes.
+    *
+    * `cbTrainOn`: optional bounded sample for PER-SUBSPACE PQ codebook
+    * training ([[Similarity.trainSubCodebooks]] — the FAISS recipe, one
+    * Lloyd iteration per subquantizer on the sample). Default None keeps
+    * the strided-corpus-sample codewords (the exact-oracle form
+    * q125/q326 pin); q332 gates the trained form. Either way the
+    * persisted layout is identical and the inverted lists' codes are
+    * encoded against whichever codebook was persisted.
     */
   def build(
       corpus: DataFrame, idCol: String, embCol: String,
       stride: Int, trainIters: Int, trainOn: Option[DataFrame],
-      nSub: Int, subDim: Int, codeStride: Long, outDir: String): Unit = {
+      nSub: Int, subDim: Int, codeStride: Long, outDir: String,
+      cbTrainOn: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     centroidsOf(corpus, idCol, embCol, stride, trainIters, trainOn)
       .write.mode("overwrite").parquet(s"$outDir/centroids")
@@ -46,8 +55,22 @@ object IvfIndex {
     // a production build resuming from a trained quantizer does)
     val cent = spark.read.parquet(s"$outDir/centroids")
     val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
-    val codes = Similarity
-      .pqEncode(corpus, idCol, embCol, nSub, subDim, codeStride)
+    // the codebook is persisted FIRST and the encode reads it back, so
+    // the inverted lists' codes always live in the persisted codebook's
+    // space — trained or strided, the same resume-from-artifact posture
+    // as the centroid read above
+    val seedCb = corpus.filter(pmod(col(idCol), lit(codeStride)) === 0)
+      .select(col(idCol).as("code_id"), toDouble(col(embCol)).as("cbe"))
+    cbTrainOn
+      .map(t => Similarity.trainSubCodebooks(
+        t.select(col(idCol).as("vid"), toDouble(col(embCol)).as("ve")),
+        seedCb, nSub, subDim))
+      .getOrElse(seedCb)
+      .write.mode("overwrite").parquet(s"$outDir/codebook")
+    val codes = Similarity.pqEncodeAgainst(
+      corpus.select(col(idCol).as("vid"), toDouble(col(embCol)).as("ve")),
+      spark.read.parquet(s"$outDir/codebook").select(col("code_id"), col("cbe").as("ce")),
+      nSub, subDim)
       .drop("recon")
     // Repartition by the PARTITION column before the partitioned write:
     // the join output is hash-distributed by cid, so without this every
@@ -60,9 +83,6 @@ object IvfIndex {
       .join(codes, col("cid") === col("vid")).drop("vid")
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$outDir/invfile")
-    corpus.filter(pmod(col(idCol), lit(codeStride)) === 0)
-      .select(col(idCol).as("code_id"), toDouble(col(embCol)).as("cbe"))
-      .write.mode("overwrite").parquet(s"$outDir/codebook")
   }
 
   /** Incremental index refresh — the operation a growing corpus runs per
@@ -117,6 +137,18 @@ object IvfIndex {
     val assigned =
       if (pairThreshold.isDefined) graft.ops.Ckpt(assignedRaw) else assignedRaw
     pairThreshold.foreach { th =>
+      // Fail fast on a maintenance call that would corrupt the artifact:
+      // appending to a pairs/ that buildPairs never created (or created
+      // with a DIFFERENT baked threshold) yields an incomplete or
+      // mixed-threshold set that serveSemDedupFromPairs would serve as a
+      // wrong decision table with no error (ADVICE r14, medium).
+      val baked = pairsThresholdOf(indexDir).getOrElse(sys.error(
+        s"refresh(pairThreshold=$th): $indexDir/pairs does not exist or lacks its " +
+          "_THRESHOLD sidecar — run buildPairs on this index before maintaining pairs"))
+      require(baked == th,
+        s"refresh(pairThreshold=$th): pairs/ was built at threshold $baked — " +
+          "maintaining it at a different threshold would mix pair sets; " +
+          "rebuild the artifact (buildPairs) at the new threshold instead")
       val inv = spark.read.parquet(s"$indexDir/invfile")
         .select(col("cid"), col("ce"), col("ce_n"), col("cent_id"))
       // The delta side is an ingest BATCH — small relative to the corpus
@@ -124,11 +156,17 @@ object IvfIndex {
       // it once: without the hint Spark shuffles the WHOLE inverted file
       // by cent_id for this join (measured 36 s vs 29 s for the refresh
       // itself at sf10), which re-pays corpus-sized work on every batch.
-      // Broadcast only under a bound (~55 MB of vectors at 100k rows);
-      // an outsized delta falls back to the shuffle join rather than
-      // OOMing an executor — production chunks its ingest batches anyway.
+      // Broadcast only under a BYTE bound — rows × vector width, not a
+      // fixed row count (ADVICE r14: 100k rows of 64-dim doubles is
+      // ~55 MB, but the same rows at 1024 dims would be ~850 MB); an
+      // outsized delta falls back to the shuffle join rather than OOMing
+      // an executor — production chunks its ingest batches anyway.
       val nDelta = assigned.count() // cheap: assigned is checkpointed
-      val dSide = if (nDelta <= 100000) broadcast(assigned) else assigned
+      val dim =
+        if (nDelta == 0) 0
+        else assigned.select(size(col("ce"))).head().getInt(0) // limit-1 job on the checkpoint
+      val deltaBytes = nDelta * (dim.toLong * 8 + 48) // ce doubles + cid/ce_n/cent_id + array header
+      val dSide = if (deltaBytes <= 64L * 1024 * 1024) broadcast(assigned) else assigned
       // delta × existing: the invfile holds no delta row yet, so each pair
       // appears exactly once; ids canonicalized a_id < b_id (cos is
       // symmetric — same index-ascending products either way)
@@ -158,6 +196,54 @@ object IvfIndex {
       .write.mode("append").partitionBy("cent_id").parquet(s"$indexDir/invfile")
     pairStats.remove(indexDir) // the cell histogram changed
     ()
+  }
+
+  /** [[refresh]] fed by STRUCTURED STREAMING micro-batches — the
+    * north-star "stream ingestion" mode wired into the index lifecycle:
+    * each micro-batch of `delta` becomes one [[refresh]] call (pair
+    * maintenance included) via `foreachBatch`, which Spark runs
+    * sequentially with exactly-once batch semantics against this sink
+    * (the refresh append is idempotent per batch only at the file level,
+    * so the one-writer contract refresh already carries extends to the
+    * stream: one streaming query owns the index). Because refresh is
+    * batch-order independent and exactly-once per row (Extended69Spec),
+    * the drained stream leaves the index IDENTICAL to a single batch
+    * refresh of the whole delta — q333 puts that identity under the hash
+    * gate by serving the streamed artifact against q328's oracle.
+    *
+    * The harness writes `delta` to a temp dir as `nSourceFiles` parquet
+    * files and replays them `filesPerBatch` per trigger
+    * (Trigger.AvailableNow — drain everything, then stop), the same
+    * file-replay mechanics as the q151/q322 streaming battery; a
+    * production deployment points `readStream` at its landing zone (or
+    * Kafka, when a connector jar exists) instead.
+    */
+  def refreshStream(
+      spark: SparkSession, indexDir: String, delta: DataFrame,
+      idCol: String, embCol: String, nSub: Int, subDim: Int,
+      pairThreshold: Option[Double] = None, nSourceFiles: Int = 3,
+      filesPerBatch: Int = 1): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("graft_ix_stream_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ix_stream_ck")
+    try {
+      delta.repartition(nSourceFiles).write.mode("overwrite").parquet(src.toString)
+      val q = spark.readStream
+        .schema(delta.schema)
+        .option("maxFilesPerTrigger", filesPerBatch)
+        .parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          refresh(spark, indexDir, b, idCol, embCol, nSub, subDim, pairThreshold)
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      graft.queries.QueryDef.rmTree(src)
+      graft.queries.QueryDef.rmTree(ckpt)
+    }
   }
 
   /** The probe stage, executed EXACTLY ONCE: run
@@ -408,9 +494,28 @@ object IvfIndex {
     * The threshold is baked into the artifact (pairs below it are never
     * stored); callers must refresh with the same value.
     */
-  def buildPairs(spark: SparkSession, indexDir: String, threshold: Double): Unit =
+  def buildPairs(spark: SparkSession, indexDir: String, threshold: Double): Unit = {
     cellPairs(spark, indexDir, threshold).select(col("a_id"), col("b_id"))
       .write.mode("overwrite").parquet(s"$indexDir/pairs")
+    // Bake the threshold INTO the artifact (underscore prefix → invisible
+    // to parquet readers): pairs below it were never stored, so a refresh
+    // maintaining the set with a different threshold would silently
+    // produce a mixed-threshold artifact and a wrong decision table.
+    // refresh() validates against this sidecar and fails fast instead
+    // (ADVICE r14, medium).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$indexDir/pairs/_THRESHOLD"),
+      threshold.toString.getBytes("UTF-8"))
+    ()
+  }
+
+  /** The threshold [[buildPairs]] baked into `pairs/`, from its sidecar. */
+  private def pairsThresholdOf(indexDir: String): Option[Double] = {
+    val p = java.nio.file.Paths.get(s"$indexDir/pairs/_THRESHOLD")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toDouble)
+    else None
+  }
 
   /** SemDeDup decision table from the persisted `pairs/` artifact alone:
     * connected components + min-id keeper, NO pair scan in the plan — the
@@ -472,13 +577,26 @@ object IvfIndex {
   def compact(
       spark: SparkSession, indexDir: String, maxRecordsPerFile: Long = 0): Unit = {
     val tmp = s"$indexDir/invfile__compact"
+    val srcRows = spark.read.parquet(s"$indexDir/invfile").count() // footer-only
     spark.read.parquet(s"$indexDir/invfile")
       .repartition(col("cent_id"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cent_id").parquet(tmp)
+    // Sanity-gate the swap (ADVICE r14): a compacted tree that silently
+    // dropped rows must never replace the source, and the source must not
+    // be deleted until the replacement is verified. Both counts are local
+    // footer reads — nearly free.
+    val dstRows = spark.read.parquet(tmp).count()
+    require(dstRows == srcRows,
+      s"compact wrote $dstRows rows for a $srcRows-row inverted file — aborting before the swap; " +
+        s"the original invfile is untouched and $tmp can be deleted")
     val root = java.nio.file.Paths.get(indexDir)
     val retired = root.resolve("invfile__retired")
+    // Crash-window recovery: between the two renames invfile is briefly
+    // absent — if a failure lands there, move invfile__retired back to
+    // invfile by hand. The retired copy is only deleted after the
+    // verified replacement is in place.
     java.nio.file.Files.move(root.resolve("invfile"), retired,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(root.resolve("invfile__compact"), root.resolve("invfile"),
@@ -525,6 +643,31 @@ object IvfIndex {
         out
       })
 
+    /** [[indexFor]]'s twin with a PER-SUBSPACE-TRAINED PQ codebook
+      * ([[Similarity.trainSubCodebooks]] on the same ~4√N sample that
+      * trains the coarse quantizer — the FAISS recipe end to end), for
+      * q332: the one serve path whose QUALITY (quantization error, ADC
+      * recall) the strided-sample codebook left unmeasured. Same coarse
+      * quantizer, same inverted-list layout; only the codebook (and
+      * therefore the codes and the ADC scores) differs.
+      */
+    def trainedIndexFor(spark: SparkSession, dir: String): String =
+      trainedBuilt.computeIfAbsent(dir, { d =>
+        val emb = graft.Tables.load(spark, d, "embeddings")
+        val n = graft.Tables.cachedCount(spark, d, "embeddings")
+        val stride = Similarity.sqrtStride(n)
+        val trainStride = math.max(1L, n / (4L * stride))
+        val sample = emb.filter(pmod(col("vec_id"), lit(trainStride)) === 0)
+        val out = java.nio.file.Files.createTempDirectory(root, "tx").toString
+        build(emb, "vec_id", "embedding",
+          stride = stride, trainIters = 1, trainOn = Some(sample),
+          nSub = nSub, subDim = subDim,
+          codeStride = math.max(1L, n / 64), outDir = out,
+          cbTrainOn = Some(sample))
+        out
+      })
+    private val trainedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
     /** The battery's SemDeDup threshold (q111/q325/q327/q331's rule) —
       * baked into the cached pairs artifact, so every consumer must agree.
       */
@@ -561,6 +704,35 @@ object IvfIndex {
         out
       })
     private val refreshedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** [[refreshedIndexFor]]'s STREAMING twin for q333: identical 90/10
+      * split and old-corpus build, but the 10% delta arrives as
+      * structured-streaming micro-batches ([[refreshStream]], three
+      * source files replayed one per trigger), pair maintenance included.
+      * Refresh is batch-order independent and exactly-once, so the
+      * drained index must serve identically to the single-batch refresh —
+      * q333 reuses q328's oracle verbatim on that ground.
+      */
+    def streamRefreshedIndexFor(spark: SparkSession, dir: String): String =
+      streamRefreshedBuilt.computeIfAbsent(dir, { d =>
+        val emb = graft.Tables.load(spark, d, "embeddings")
+        val old = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+        val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+        val nOld = oldCount(spark, d)
+        val stride = Similarity.sqrtStride(nOld)
+        val trainStride = math.max(1L, nOld / (4L * stride))
+        val out = java.nio.file.Files.createTempDirectory(root, "sx").toString
+        build(old, "vec_id", "embedding",
+          stride = stride, trainIters = 1,
+          trainOn = Some(old.filter(pmod(col("vec_id"), lit(trainStride)) === 0)),
+          nSub = nSub, subDim = subDim,
+          codeStride = math.max(1L, nOld / 64), outDir = out)
+        buildPairs(spark, out, pairThreshold)
+        refreshStream(spark, out, delta, "vec_id", "embedding", nSub, subDim,
+          pairThreshold = Some(pairThreshold))
+        out
+      })
+    private val streamRefreshedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
     private val oldCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
     /** Memoized count of the 90% "old" sub-corpus — the refreshed-index

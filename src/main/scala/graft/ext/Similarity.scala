@@ -421,6 +421,85 @@ object Similarity {
       .agg(codeCols.head, (codeCols.tail :+ recon): _*)
   }
 
+  /** [[pqEncodeAgainst]] with caller-supplied relations in fixture terms —
+    * the public form an index consumer uses to encode vectors against a
+    * PERSISTED codebook (e.g. measuring reconstruction error of a trained
+    * vs a sampled codebook, or coding an ingest batch outside
+    * [[IvfIndex.refresh]]).
+    */
+  def pqEncodeWith(
+      df: DataFrame, idCol: String, embCol: String,
+      cb: DataFrame, nSub: Int, subDim: Int): DataFrame =
+    pqEncodeAgainst(
+      df.select(col(idCol).as("vid"), toDouble(col(embCol)).as("ve")),
+      cb.select(col("code_id"), col("cbe").as("ce")), nSub, subDim)
+
+  /** Per-subspace Lloyd refinement of a PQ codebook — the FAISS training
+    * recipe (Jégou et al. 2011 §III: k-means per subquantizer), replacing
+    * the strided-corpus-sample codewords that seeded it. ONE iteration on
+    * a bounded sample, mirroring the coarse quantizer's q323 recipe:
+    * assign each training vector's subspace-`s` slice to its nearest seed
+    * codeword (same squared-L2 fold and (d2 asc, code_id asc) tie-break
+    * as [[pqEncodeAgainst]] — the train and encode metrics must agree),
+    * then recompute each (subspace, codeword) cell as the per-position
+    * mean of its members, DECIMAL-accumulated so the result is
+    * partitioning-independent. Assignments are INDEPENDENT across
+    * subspaces — that is the "product" in product quantization — so the
+    * refined codeword `j` is the concatenation of nSub separately-trained
+    * subspace centroids; the storage layout (code_id, cbe full-width)
+    * is unchanged and every downstream slice-based consumer (LUT build,
+    * encode) works unmodified. A (subspace, codeword) cell that attracts
+    * no training member keeps its seed slice (a codeword row cannot be
+    * dropped in one subspace only — the fixed code domain is what the
+    * inverted lists' code columns index into).
+    *
+    * Output width is nSub × subDim (the slice domain the PQ ever reads);
+    * k-means monotonicity gives total reconstruction error ≤ the seed
+    * codebook's, which RecallSpec pins along with served ADC recall.
+    *
+    * Scale shape: the seed codebook broadcasts (nCodewords rows); the
+    * training sample streams once for assignment (sample × nSub rows)
+    * and once for the means — both bounded by the ~4√N sample contract,
+    * never the corpus.
+    */
+  def trainSubCodebooks(
+      train: DataFrame, cb: DataFrame, nSub: Int, subDim: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val subs = train.withColumn("s", explode(sequence(lit(0), lit(nSub - 1))))
+    val d2 = aggregate(
+      sequence(lit(1), lit(subDim)), lit(0.0),
+      (acc, i) => {
+        val off = (col("s") * subDim + i).cast("int")
+        val diff = element_at(col("ve"), off) - element_at(col("cbe"), off)
+        acc + diff * diff
+      })
+    val w = Window.partitionBy(col("vid"), col("s"))
+      .orderBy(col("d2").asc, col("code_id").asc)
+    val best = subs.crossJoin(broadcast(cb))
+      .select(col("vid"), col("s"), col("code_id"), col("ve"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val means = best
+      .select(col("s"), col("code_id"),
+        posexplode(slice(col("ve"), (col("s") * subDim + 1).cast("int"), lit(subDim)))
+          .as(Seq("p", "v")))
+      .groupBy(col("s"), col("code_id"), col("p"))
+      .agg((sum(col("v").cast(DecimalType(38, 18))).cast("double") /
+        count(lit(1)).cast("double")).as("mv"))
+    val seedPos = cb
+      .withColumn("s", explode(sequence(lit(0), lit(nSub - 1))))
+      .select(col("code_id"), col("s"),
+        posexplode(slice(col("cbe"), (col("s") * subDim + 1).cast("int"), lit(subDim)))
+          .as(Seq("p", "sv")))
+    seedPos.join(means, Seq("s", "code_id", "p"), "left")
+      .select(col("code_id"), (col("s") * subDim + col("p")).as("pos"),
+        coalesce(col("mv"), col("sv")).as("v"))
+      .groupBy(col("code_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("cbe"))
+  }
+
   /** IVF+PQ search with asymmetric distance computation (ADC — Jégou et
     * al. 2011 §IV): the billion-vector serving composition of the two
     * structures above. IVF cells (seed-only coarse quantizer, [[ivfTopK]]'s

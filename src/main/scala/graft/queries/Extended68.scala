@@ -108,6 +108,20 @@ object Extended68 {
     * CTEs already defined (c, q, cent1, a3).
     */
   private[queries] def pqAdcServeTailSql(codebookPred: String): String =
+    s"""${adcProbeCtes},
+       |cst AS (SELECT greatest(1, count(*) // 64) AS sv FROM embeddings
+       |        WHERE $codebookPred),
+       |cb AS (SELECT vec_id AS code_id, embedding AS cbe
+       |       FROM embeddings
+       |       WHERE ($codebookPred) AND vec_id % (SELECT sv FROM cst) = 0),
+       |${adcScoreTailSql}""".stripMargin
+
+  /** The ADC probe stage (nProbe=3 over `cent1`) — split out so the
+    * codebook CTE between probe and scoring is pluggable: q326/q329 read
+    * strided-sample codewords; q332 plugs per-subspace-TRAINED codewords
+    * ([[Extended70.trainedCbCtes]]) into the same scoring tail.
+    */
+  private[queries] val adcProbeCtes: String =
     s"""dp AS (SELECT qid, cent_id,
        |         sum(CAST(qe[i] AS DOUBLE) * cent_e[i]) / (qn * cent_n) AS d
        |       FROM q CROSS JOIN cent1 CROSS JOIN range(1, 65) t(i)
@@ -115,13 +129,14 @@ object Extended68 {
        |probe AS (SELECT qid, cent_id FROM (
        |            SELECT qid, cent_id,
        |              row_number() OVER (PARTITION BY qid ORDER BY d DESC, cent_id) rnk
-       |            FROM dp) WHERE rnk <= 3),
-       |cst AS (SELECT greatest(1, count(*) // 64) AS sv FROM embeddings
-       |        WHERE $codebookPred),
-       |cb AS (SELECT vec_id AS code_id, embedding AS cbe
-       |       FROM embeddings
-       |       WHERE ($codebookPred) AND vec_id % (SELECT sv FROM cst) = 0),
-       |pd AS (SELECT v.vec_id, sp.s, cb.code_id,
+       |            FROM dp) WHERE rnk <= 3)""".stripMargin
+
+  /** Encode + LUT + ADC + rerank against whatever `cb` (code_id, cbe) the
+    * caller's CTEs defined — [[pqAdcServeTailSql]]'s scoring stages,
+    * verbatim.
+    */
+  private[queries] val adcScoreTailSql: String =
+    s"""pd AS (SELECT v.vec_id, sp.s, cb.code_id,
        |         sum((CAST(v.embedding[sp.s*16 + i] AS DOUBLE) -
        |              CAST(cb.cbe[sp.s*16 + i] AS DOUBLE)) *
        |             (CAST(v.embedding[sp.s*16 + i] AS DOUBLE) -

@@ -39,7 +39,7 @@ object Extended69 {
     * ranges over the FULL corpus — old rows assigned at build time, delta
     * rows at refresh, identical per-row math either way.
     */
-  private val refreshedBuildCtes: String =
+  private[queries] val refreshedBuildCtes: String =
     s"""${EmbeddingQueries.normCte},
        |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
        |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),

@@ -184,6 +184,36 @@ class Extended69Spec extends SparkSuite {
     }
   }
 
+  test("pair maintenance fails fast when pairs/ is absent or was built at a different threshold") {
+    // ADVICE r14 (medium): an append into a missing or differently-
+    // thresholded pairs/ silently yields a wrong decision table — the
+    // contract is now enforced, not just documented
+    val (_, old, delta) = smallSplit(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_px_guard")
+    try {
+      buildOld(old, old.count(), dir.toString)
+      val noPairs = intercept[RuntimeException] {
+        IvfIndex.refresh(spark, dir.toString, delta, "vec_id", "embedding",
+          nSub, subDim, pairThreshold = Some(0.4))
+      }
+      assert(noPairs.getMessage.contains("buildPairs"),
+        s"missing-pairs error should direct to buildPairs: ${noPairs.getMessage}")
+      IvfIndex.buildPairs(spark, dir.toString, threshold = 0.4)
+      val wrongTh = intercept[IllegalArgumentException] {
+        IvfIndex.refresh(spark, dir.toString, delta, "vec_id", "embedding",
+          nSub, subDim, pairThreshold = Some(0.5))
+      }
+      assert(wrongTh.getMessage.contains("0.4"),
+        s"threshold-mismatch error should name the baked threshold: ${wrongTh.getMessage}")
+      // neither failed call may have touched the inverted file (both must
+      // throw BEFORE any append) — and the matching threshold proceeds
+      assert(spark.read.parquet(s"$dir/invfile").count() == old.count(),
+        "a failed pair-maintenance refresh partially applied its append")
+      IvfIndex.refresh(spark, dir.toString, delta, "vec_id", "embedding",
+        nSub, subDim, pairThreshold = Some(0.4))
+    } finally graft.queries.QueryDef.rmTree(dir)
+  }
+
   test("compact: one file per cell after, rows and serve results identical, cellStats unchanged") {
     val (emb, old, delta) = smallSplit(400)
     val dir = java.nio.file.Files.createTempDirectory("graft_cx")

@@ -46,4 +46,71 @@ class RecallSpec extends SparkSuite {
       assert(recallAt(nCells) == 1.0, "exhaustive probing must be lossless")
     } finally graft.queries.QueryDef.rmTree(root)
   }
+
+  test("trained PQ codebook: reconstruction error strictly below the strided seed's; ADC recall@5 ≥ 0.9 at nProbe=3, 2×cell-load shortlist") {
+    // the q332 quality claims the hash gate can't see: per-subspace Lloyd
+    // training must REDUCE quantization error (k-means monotonicity — the
+    // means step can only lower within-cell SSE, the reassign step only
+    // lowers it further), and the two-stage ADC serve (k=20 code-scored
+    // shortlist, exact-cosine rerank, top-5) must recover planted
+    // structure on clustered data
+    val root = java.nio.file.Files.createTempDirectory("graft_adc_recall")
+    try {
+      GenClustered.run(spark, root.toString, 4096, 64, 64, 0.05)
+      val emb = spark.read.parquet(s"$root/embeddings.parquet")
+      val stride = Similarity.sqrtStride(4096) // 64
+      val trainStride = math.max(1L, 4096L / (4L * stride))
+      val sample = emb.filter(pmod(col("vec_id"), lit(trainStride)) === 0)
+      def buildIx(out: String, cbTrain: Option[org.apache.spark.sql.DataFrame]): Unit =
+        IvfIndex.build(emb, "vec_id", "embedding",
+          stride = stride, trainIters = 1, trainOn = Some(sample),
+          nSub = IvfIndex.Cache.nSub, subDim = IvfIndex.Cache.subDim,
+          codeStride = 64L, outDir = out, cbTrainOn = cbTrain)
+      val ixS = root.resolve("ixs").toString
+      val ixT = root.resolve("ixt").toString
+      buildIx(ixS, None)
+      buildIx(ixT, Some(sample))
+      def reconOf(ix: String): Double = Similarity
+        .pqEncodeWith(emb, "vec_id", "embedding",
+          spark.read.parquet(s"$ix/codebook"), IvfIndex.Cache.nSub, IvfIndex.Cache.subDim)
+        .agg(sum(col("recon"))).head().getDouble(0)
+      val (rS, rT) = (reconOf(ixS), reconOf(ixT))
+      info(f"PQ sum-sq reconstruction error: strided $rS%.1f, trained $rT%.1f (${rT / rS}%.3f)")
+      assert(rT < rS,
+        f"per-subspace training did not reduce reconstruction error: trained $rT%.1f vs strided $rS%.1f")
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def adcPostRecall(ix: String, shortlist: Int): Double = {
+        val served = IvfIndex
+          .servePqTopK(spark, ix, q, "vec_id", "embedding", k = shortlist,
+            nSub = IvfIndex.Cache.nSub, subDim = IvfIndex.Cache.subDim, nProbe = 3)
+          .localCheckpoint(true)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+        val got = served.withColumn("cr", row_number().over(w)).filter(col("cr") <= 5)
+          .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (exact intersect got).size.toDouble / exact.size
+      }
+      // Shortlist sizing is THE ADC serve knob, and this fixture is its
+      // worst case by construction: 64 codewords over 64 planted clusters
+      // → every member of a cluster shares the query's codes exactly, so
+      // the ADC ranking has NO intra-cluster resolution (64 code-tied
+      // candidates, cid tie-break) and a shortlist of 20 can only cover
+      // ~20/64 of the tie set (measured 0.27 — consistent with 5·20/64).
+      // The production rule: rerank shortlist ≥ the code-tied candidate
+      // set — here the cell load (= cluster size, 64) — with headroom for
+      // members whose noise flipped a subspace assignment near a codeword
+      // boundary (their ADC drops below the tie set; measured: shortlist
+      // 64 → 0.82, 128 → recovers). 2× load is the measured knee.
+      val cellLoad = 4096 / 64
+      val adcShort = adcPostRecall(ixT, 20)
+      val adcT = adcPostRecall(ixT, 2 * cellLoad)
+      info(f"ADC post-rerank recall@5 at nProbe=3 (trained codebook): shortlist 20 -> $adcShort%.3f, shortlist $cellLoad -> $adcT%.3f")
+      assert(adcT >= 0.9,
+        f"trained-codebook ADC recall@5 is $adcT%.3f < 0.9 at nProbe=3 with a cell-load shortlist on clustered data")
+      assert(adcT > adcShort,
+        "cell-load shortlist should beat the under-sized shortlist on the code-tied fixture")
+    } finally graft.queries.QueryDef.rmTree(root)
+  }
 }
