@@ -531,28 +531,47 @@ object IvfIndex {
     decisionTable(
       spark.read.parquet(s"$indexDir/pairs"), corpus, idCol)
 
-  /** Index health monitor — the rebuild trigger [[refresh]]'s contract
-    * defers to: one row of cell-histogram rollups over the inverted
-    * file's PARTITION column only (no data pages read; ≤√N groups).
-    * `imbalance_r` (max cell load over mean) is the quantity a deployment
-    * alerts on: the quantizer is frozen at build time, so successive
-    * deltas that drift from the training distribution show up exactly
-    * here, and a rebuild (retrain + reassign) is scheduled when it
-    * crosses a policy threshold. `pair_sum` is the exact-SemDeDup
-    * recurring-term volume ([[invfilePairCount]]'s value, exposed).
+  /** Index health monitor — BOTH maintenance triggers [[refresh]]'s
+    * contract defers to, as one row of cell-histogram rollups over the
+    * inverted file's PARTITION and metadata columns only (no data pages
+    * read; ≤√N groups).
+    *
+    * REBUILD trigger: `imbalance_r` (max cell load over mean) — the
+    * quantizer is frozen at build time, so successive deltas that drift
+    * from the training distribution show up exactly here, and a rebuild
+    * (retrain + reassign) is scheduled when it crosses a policy
+    * threshold. `pair_sum` is the exact-SemDeDup recurring-term volume
+    * ([[invfilePairCount]]'s value, exposed).
+    *
+    * COMPACT trigger: every refresh appends one file per touched cell,
+    * so `max_files_per_cell` climbs by ~1 per refresh and a serve pays
+    * that many file opens per probed cell — the small-files tax
+    * [[compact]] exists to reset. `compact_due` fires when it exceeds
+    * `compactAfter` (the policy knob: how many refreshes between
+    * compactions a deployment tolerates). File identity comes from the
+    * scan's `_metadata.file_path` — a constant per file, so the distinct
+    * count per cell is the cell directory's live file count without a
+    * separate listing job.
     */
-  def cellStats(spark: SparkSession, indexDir: String): DataFrame = {
+  def cellStats(
+      spark: SparkSession, indexDir: String, compactAfter: Int = 4): DataFrame = {
     val avg = col("n_vecs").cast("double") / col("n_cells")
     spark.read.parquet(s"$indexDir/invfile")
-      .groupBy(col("cent_id")).agg(count(lit(1)).as("m"))
+      .select(col("cent_id"), col("_metadata.file_path").as("__f"))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("m"), countDistinct(col("__f")).as("nf"))
       .agg(
         count(lit(1)).as("n_cells"),
         sum(col("m")).as("n_vecs"),
         max(col("m")).as("max_load"),
-        sum(expr("m * (m - 1) div 2")).as("pair_sum"))
+        sum(expr("m * (m - 1) div 2")).as("pair_sum"),
+        sum(col("nf")).as("n_files"),
+        max(col("nf")).as("max_files_per_cell"))
       .select(col("n_cells"), col("n_vecs"), col("max_load"), col("pair_sum"),
         graft.ops.Num.roundTo(avg, 4).as("avg_load_r"),
-        graft.ops.Num.roundTo(col("max_load").cast("double") / avg, 4).as("imbalance_r"))
+        graft.ops.Num.roundTo(col("max_load").cast("double") / avg, 4).as("imbalance_r"),
+        col("n_files"), col("max_files_per_cell"),
+        (col("max_files_per_cell") > compactAfter).as("compact_due"))
   }
 
   /** Compact the inverted file in place: every [[refresh]] appends one

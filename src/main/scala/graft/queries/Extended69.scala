@@ -110,16 +110,22 @@ object Extended69 {
               |${Extended68.pqAdcServeTailSql("vec_id % 10 != 9")}""".stripMargin)),
 
     // ----- q330: index health monitor over the refreshed inverted file --
-    // The rebuild trigger refresh's contract defers to: the quantizer is
-    // frozen at build time, so deltas that drift from the training
-    // distribution surface ONLY in the cell histogram — imbalance_r
-    // (max/mean cell load) is what a deployment alerts on to schedule a
-    // retrain+reassign. One rollup over the PARTITION column (≤√N groups,
-    // no data pages read); pair_sum doubles as the exact-SemDeDup
-    // recurring-volume estimate serveSemDedup sizes its shuffle from.
-    // Hash-gated against the union assignment's histogram — a refresh
-    // that dropped, duplicated, or re-assigned a vector shifts a cell
-    // count and mismatches here.
+    // BOTH maintenance triggers in one rollup (partition + file-identity
+    // metadata only, no data pages). REBUILD: the quantizer is frozen at
+    // build time, so deltas that drift from the training distribution
+    // surface ONLY in the cell histogram — imbalance_r (max/mean cell
+    // load) is what a deployment alerts on to schedule retrain+reassign;
+    // pair_sum doubles as the exact-SemDeDup recurring-volume estimate
+    // serveSemDedup sizes its shuffle from. COMPACT: files accumulate one
+    // per touched cell per refresh — max_files_per_cell and the
+    // compact_due policy bit (threshold 4 = tolerate four refreshes)
+    // drive IvfIndex.compact. The oracle PREDICTS the file counts from
+    // the write discipline the layout specs pin (build: one file per
+    // cell with any old row; the one refresh: one more per cell with any
+    // delta row — count(DISTINCT cid%10=9) counts exactly those one-or-
+    // two writer phases per cell), so a build/refresh that fragmented a
+    // cell into tasks×files — the round-14 small-files defect — is a
+    // hash mismatch here, not just a spec failure.
     QueryDef(
       "q330_ivf_cell_stats",
       (s, dir) => {
@@ -127,13 +133,18 @@ object Extended69 {
         IvfIndex.cellStats(s, ix)
       },
       Some(s"""WITH $refreshedBuildCtes,
-              |h AS (SELECT cent_id, count(*) AS m FROM a3 GROUP BY cent_id)
+              |h AS (SELECT cent_id, count(*) AS m,
+              |        count(DISTINCT cid % 10 = 9) AS nf
+              |      FROM a3 GROUP BY cent_id)
               |SELECT CAST(count(*) AS BIGINT) AS n_cells,
               |       CAST(sum(m) AS BIGINT) AS n_vecs,
               |       CAST(max(m) AS BIGINT) AS max_load,
               |       CAST(sum(m * (m - 1) // 2) AS BIGINT) AS pair_sum,
               |       ${Num.roundSql("CAST(sum(m) AS DOUBLE) / count(*)", 4)} AS avg_load_r,
-              |       ${Num.roundSql("CAST(max(m) AS DOUBLE) / (CAST(sum(m) AS DOUBLE) / count(*))", 4)} AS imbalance_r
+              |       ${Num.roundSql("CAST(max(m) AS DOUBLE) / (CAST(sum(m) AS DOUBLE) / count(*))", 4)} AS imbalance_r,
+              |       CAST(sum(nf) AS BIGINT) AS n_files,
+              |       CAST(max(nf) AS BIGINT) AS max_files_per_cell,
+              |       max(nf) > 4 AS compact_due
               |FROM h""".stripMargin)),
 
     // ----- q331: INCREMENTAL SemDeDup from the maintained pair artifact -

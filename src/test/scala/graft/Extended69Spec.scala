@@ -238,14 +238,65 @@ class Extended69Spec extends SparkSuite {
         .select(Seq(col("cid"), col("cent_id")) ++ (0 until nSub).map(i => col(s"code_$i")): _*)
         .collect().map(_.toSeq).toSet
       val (servedBefore, rowsBefore) = (served, rows)
-      val statsBefore = IvfIndex.cellStats(spark, dir.toString).collect().head.toSeq
+      // histogram columns must survive a compact unchanged; the FILE
+      // columns must not (that drop is the operation's whole point)
+      val histCols = Seq("n_cells", "n_vecs", "max_load", "pair_sum", "avg_load_r", "imbalance_r")
+      def stats = IvfIndex.cellStats(spark, dir.toString).collect().head
+      val statsBefore = stats
+      assert(statsBefore.getAs[Long]("max_files_per_cell") == 2L,
+        "setup: build + 1 refresh should leave max 2 files in some cell")
       IvfIndex.compact(spark, dir.toString)
       assert(partsPerCell.values.forall(_ == 1),
         s"compact left a cell with >1 part file: $partsPerCell")
       assert(rows == rowsBefore, "compact changed the inverted file's content")
       assert(served == servedBefore, "compact changed serve results")
-      assert(IvfIndex.cellStats(spark, dir.toString).collect().head.toSeq == statsBefore,
-        "compact changed the cell histogram")
+      val statsAfter = stats
+      histCols.foreach { c =>
+        assert(statsAfter.getAs[Any](c) == statsBefore.getAs[Any](c),
+          s"compact changed cell-histogram stat $c")
+      }
+      assert(statsAfter.getAs[Long]("max_files_per_cell") == 1L,
+        "compact did not reset max_files_per_cell to 1")
+      assert(statsAfter.getAs[Long]("n_files") == statsAfter.getAs[Long]("n_cells"),
+        "after compact, files should equal cells exactly")
+    } finally graft.queries.QueryDef.rmTree(dir)
+  }
+
+  test("compact trigger: compact_due fires after compactAfter refreshes and clears after compact") {
+    // the monitor's COMPACT half (q330's policy bit): each refresh adds
+    // one file to every touched cell, so after R refreshes some cell
+    // holds R+1 files; with compactAfter = R the bit must flip on, and a
+    // compact must clear it
+    val (_, old, delta) = smallSplit(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctrig")
+    try {
+      buildOld(old, old.count(), dir.toString)
+      val r = 4
+      // replay the same delta in 4 quarter-batches — each touches the
+      // hottest cells, so the max grows by 1 per refresh
+      (0 until r).foreach { i =>
+        IvfIndex.refresh(spark, dir.toString,
+          delta.filter(pmod(col("vec_id"), lit(r)) === i),
+          "vec_id", "embedding", nSub, subDim)
+      }
+      def stats(after: Int) = IvfIndex
+        .cellStats(spark, dir.toString, compactAfter = after).collect().head
+      // files accumulate (some cell was touched by the build and 2+ of
+      // the 4 batches); the policy threshold is set one below the
+      // measured max so the assertion is about the TRIGGER, not about
+      // which cells this particular delta happened to hit
+      val mf = stats(Int.MaxValue).getAs[Long]("max_files_per_cell")
+      assert(mf >= 3L, s"4 refreshes should accumulate ≥3 files in some cell, got $mf")
+      val th = (mf - 1).toInt
+      assert(stats(th).getAs[Boolean]("compact_due"),
+        s"compact_due should fire at max_files_per_cell=$mf > compactAfter=$th")
+      val s4 = stats(th)
+      IvfIndex.compact(spark, dir.toString)
+      val after = stats(th)
+      assert(!after.getAs[Boolean]("compact_due"), "compact_due should clear after a compact")
+      assert(after.getAs[Long]("max_files_per_cell") == 1L)
+      // histogram invariant across the whole cycle
+      assert(after.getAs[Long]("n_vecs") == s4.getAs[Long]("n_vecs"))
     } finally graft.queries.QueryDef.rmTree(dir)
   }
 
