@@ -11,24 +11,66 @@ import org.apache.spark.sql.functions._
   * index property. This fixture has real cluster structure: BenchRecall
   * runs on it measure the index, and RecallSpec pins a threshold.
   *
+  * GENERATOR v2 (round 15). v1 drew center components as
+  * `sin(cl·a + i·b)` — a LINEAR phase in (cl, i), which put every center
+  * on a one-parameter circle inside a single 2-plane of R^64: centers
+  * whose phases nearly coincided (every ~21 cluster ids at the old salt)
+  * were near-identical vectors, so "√N planted clusters" was effectively
+  * ~19 distinct directions at 20k vectors (caught round 15 when
+  * BenchDrift's build reported n_cells = 19 of 141 — Lloyd collapsed the
+  * redundant seeds). v2 draws every component from murmur3
+  * (`hash(cl, i, salt) / 2^31` ∈ (−1, 1)) — genuinely independent per
+  * (cluster, dim, salt), bit-reproducible, fully distributed, and free of
+  * resonances by construction. All recall numbers published against v1
+  * fixtures were re-certified on v2 (BENCH_SF1 round-15 section).
+  *
   * Geometry: cluster = contiguous vec_id block (`vec_id·k / n`, integer
-  * division); center components are pseudo-uniform in [−1,1] (sin of a
-  * per-(cluster, dim) integer — hash-like, stateless, so generation is
-  * fully distributed and bit-reproducible); each point = center + noise ·
-  * per-(vec_id, dim) pseudo-uniform. With noise ≪ 1, same-cluster cosine
-  * ≈ 1 − O(noise²) while cross-cluster cosine ≈ 0 (independent 64-dim
-  * directions) — unambiguous nearest neighbors, the regime real embedding
-  * models produce and the one an IVF recall claim is ABOUT. Defaults:
+  * division); each point = center + noise · per-(vec_id, dim) uniform.
+  * With noise ≪ 1, same-cluster cosine ≈ 1 − O(noise²) while
+  * cross-cluster cosine ≈ 0 (independent 64-dim directions) —
+  * unambiguous nearest neighbors, the regime real embedding models
+  * produce and the one an IVF recall claim is ABOUT. Defaults:
   * kClusters = √nVec (matches the index's cell count rule, so a
   * well-trained quantizer can recover one cell ≈ one cluster), dim 64
   * (the driver fixture's), noise 0.05.
   *
   * Layout contract matches the driver fixture: ONE `embeddings.parquet`
   * file (vec_id long, embedding float[dim]) under dst, 8 MB row groups.
+  * A `CLUSTERED_VERSION` stamp is written LAST (completion sentinel +
+  * staleness guard, the GenScale pattern) so a consumer can refuse a
+  * fixture an older generator wrote.
   *
-  * Usage: runMain graft.GenClustered <dstDir> <nVec> [kClusters] [dim] [noise]
+  * DRIFT mode (round 15): `centerSalt` re-seeds the center generator, so
+  * a second generation with a different salt plants clusters around
+  * entirely NEW centers — independent of the first set (cross-salt
+  * center cosine ≈ 0). With `idOffset` the drifted batch extends the id
+  * space, making it a delta a frozen-quantizer index can refresh with:
+  * the regime where the training distribution no longer describes the
+  * data, which is exactly what q330's imbalance_r monitor and the
+  * rebuild policy exist for (BenchDrift measures the degradation and the
+  * rebuild recovery; RecallSpec pins it).
+  *
+  * Usage: runMain graft.GenClustered <dstDir> <nVec> [kClusters] [dim] [noise] [centerSalt] [idOffset]
   */
 object GenClustered {
+
+  /** Bump when generation logic changes fixture bytes (v2: hash-based
+    * components replacing the 2-plane sin generator).
+    */
+  val generatorVersion = 2
+
+  def stampContent(nVec: Long, kClusters: Int, dim: Int, noise: Double,
+      centerSalt: Long, idOffset: Long): String =
+    s"graft GenClustered v$generatorVersion n=$nVec k=$kClusters dim=$dim noise=$noise salt=$centerSalt off=$idOffset\n"
+
+  def stampMatches(dst: String, nVec: Long, kClusters: Int, dim: Int,
+      noise: Double, centerSalt: Long, idOffset: Long): Boolean = {
+    val p = java.nio.file.Paths.get(s"$dst/CLUSTERED_VERSION")
+    java.nio.file.Files.exists(p) &&
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8") ==
+        stampContent(nVec, kClusters, dim, noise, centerSalt, idOffset)
+  }
+
   def main(args: Array[String]): Unit = {
     val dst = args(0)
     val nVec = args(1).toLong
@@ -36,6 +78,8 @@ object GenClustered {
             else graft.ext.Similarity.sqrtStride(nVec)
     val dim = if (args.length > 3) args(3).toInt else 64
     val noise = if (args.length > 4) args(4).toDouble else 0.05
+    val salt = if (args.length > 5) args(5).toLong else 1L
+    val offset = if (args.length > 6) args(6).toLong else 0L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,7 +88,7 @@ object GenClustered {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, dst, nVec, k, dim, noise)
+    run(spark, dst, nVec, k, dim, noise, salt, offset)
     spark.stop()
   }
 
@@ -52,16 +96,28 @@ object GenClustered {
     * small clustered fixture on demand — same pattern as GenScale.run).
     */
   def run(spark: SparkSession, dst: String, nVec: Long, kClusters: Int,
-      dim: Int, noise: Double): Unit = {
+      dim: Int, noise: Double, centerSalt: Long = 1L,
+      idOffset: Long = 0L): Unit = {
     require(kClusters >= 1 && kClusters <= nVec,
       s"kClusters=$kClusters out of range for nVec=$nVec")
-    val embs: DataFrame = spark.range(nVec).toDF("vec_id")
-      .withColumn("cl", col("vec_id") * kClusters / nVec) // long division: block id
+    // hash() is murmur3 over the integer args: exact, engine-versioned
+    // with Spark itself, and jointly independent across (cl, i, salt) —
+    // no phase structure for the quantizer to accidentally exploit or
+    // collapse. / 2^31 maps the int32 to (−1, 1).
+    val embs: DataFrame = spark.range(nVec).toDF("seq")
+      .withColumn("vec_id", col("seq") + idOffset)
+      // block id via `div` — Column./ is DOUBLE division in Spark, which
+      // made v1's `cl` distinct per row: the "cluster id" was a
+      // continuous phase, and with the sin generator the whole fixture
+      // was a 1-D phase circle, not 64-dim clusters (v1's recall numbers
+      // measured arc locality on that circle)
+      .withColumn("cl", expr(s"(seq * $kClusters) div ${nVec}L"))
       .withColumn("embedding", expr(
         s"""transform(sequence(1, $dim), i ->
-           |  CAST(sin(cl * 1000003.0d + i * 7919.0d) +
-           |       $noise * sin(vec_id * 2654435761.0d + i * 97.0d) AS FLOAT))""".stripMargin))
-      .drop("cl")
+           |  CAST((hash(cl, i, ${centerSalt}L) / 2147483648.0d) +
+           |       $noise * (hash(vec_id, i, 7L) / 2147483648.0d) AS FLOAT))""".stripMargin))
+      .drop("cl", "seq")
+      .select(col("vec_id"), col("embedding"))
     val tmp = s"$dst/__tmp_embeddings"
     embs.coalesce(1).write.mode("overwrite")
       .option("parquet.block.size", 8 * 1024 * 1024)
@@ -74,6 +130,9 @@ object GenClustered {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     new java.io.File(tmp).listFiles().foreach(_.delete())
     new java.io.File(tmp).delete()
-    println(s"""{"gen":"$dst","n_vec":$nVec,"k_clusters":$kClusters,"dim":$dim,"noise":$noise}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dst/CLUSTERED_VERSION"),
+      stampContent(nVec, kClusters, dim, noise, centerSalt, idOffset).getBytes("UTF-8"))
+    println(s"""{"gen":"$dst","v":$generatorVersion,"n_vec":$nVec,"k_clusters":$kClusters,"dim":$dim,"noise":$noise,"center_salt":$centerSalt,"id_offset":$idOffset}""")
   }
 }

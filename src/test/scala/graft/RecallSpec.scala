@@ -47,6 +47,78 @@ class RecallSpec extends SparkSuite {
     } finally graft.queries.QueryDef.rmTree(root)
   }
 
+  test("drift → rebuild: diffuse drifted refreshes degrade delta-query recall below the gate; rebuild restores it") {
+    // the measured other half of q330's monitor: the quantizer is frozen
+    // at build, so an ingest batch whose distribution departs from
+    // training degrades the index. Two regimes, both real: a COHERENT
+    // drifted cluster (new center, tight noise) lands wholly in one old
+    // cell — recall holds, cells bloat, imbalance_r fires (BenchDrift
+    // measures 1.01 → 2.1). A DIFFUSE batch (noise 0.5: members' nearest
+    // old centroid is a near-tie) SPRAYS each new cluster across many
+    // cells — nProbe=3 can't cover it and delta-query recall collapses
+    // while base queries stay perfect. The policy response (retrain on a
+    // union sample + reassign) gives drifted clusters their own cells and
+    // restores recall. BenchDrift records the full curve in BENCH_SF1.
+    val root = java.nio.file.Files.createTempDirectory("graft_drift_spec")
+    try {
+      GenClustered.run(spark, root.toString + "/base", 4096, 64, 64, 0.05)
+      val base = spark.read.parquet(s"$root/base/embeddings.parquet")
+      def buildOn(corpus: org.apache.spark.sql.DataFrame, n: Long, out: String): Unit = {
+        val stride = Similarity.sqrtStride(n)
+        val trainStride = math.max(1L, n / (4L * stride))
+        IvfIndex.build(corpus, "vec_id", "embedding",
+          stride = stride, trainIters = 1,
+          trainOn = Some(corpus.filter(pmod(col("vec_id"), lit(trainStride)) === 0)),
+          nSub = IvfIndex.Cache.nSub, subDim = IvfIndex.Cache.subDim,
+          codeStride = math.max(1L, n / 64), outDir = out)
+      }
+      val ix = s"$root/ix"
+      buildOn(base, 4096, ix)
+      // two drifted batches of 1024 vectors, 32 NEW clusters each (fresh
+      // salt per batch), noise 0.5 — diffuse relative to the base's 0.05.
+      // Degradation COMPOUNDS across drifted refreshes (the second
+      // batch's true neighbors compete with the first batch's spread —
+      // BenchDrift at 20k: 0.72 after one, 0.30 after two), so the gate
+      // is on the second batch's queries.
+      def driftBatch(b: Int): org.apache.spark.sql.DataFrame = {
+        GenClustered.run(spark, root.toString + s"/delta$b", 1024, 32, 64, 0.5,
+          centerSalt = 1000L + b, idOffset = 4096L + (b - 1) * 1024L)
+        val d = spark.read.parquet(s"$root/delta$b/embeddings.parquet")
+        IvfIndex.refresh(spark, ix, d, "vec_id", "embedding",
+          IvfIndex.Cache.nSub, IvfIndex.Cache.subDim)
+        d
+      }
+      driftBatch(1)
+      val delta = driftBatch(2)
+      val union = base
+        .union(spark.read.parquet(s"$root/delta1/embeddings.parquet"))
+        .union(delta)
+      def recallAt5(index: String, queries: org.apache.spark.sql.DataFrame): Double = {
+        val exact = Similarity.bruteForceTopK(union, queries, "vec_id", "embedding", 5)
+          .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = IvfIndex.serveTopK(spark, index, queries, "vec_id", "embedding",
+            k = 5, nProbe = 3)
+          .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (exact intersect got).size.toDouble / exact.size
+      }
+      val deltaQ = delta.filter(col("vec_id") < 4096L + 1024L + 50L)
+      val baseQ = base.filter(col("vec_id") < 50)
+      val (rDrifted, rBase) = (recallAt5(ix, deltaQ), recallAt5(ix, baseQ))
+      val imb = IvfIndex.cellStats(spark, ix).collect().head.getAs[Double]("imbalance_r")
+      info(f"after diffuse drifted refresh: delta-query recall $rDrifted%.3f, base-query recall $rBase%.3f, imbalance_r $imb%.2f")
+      assert(rBase >= 0.9, "drift should not hurt base-data queries before a rebuild")
+      assert(rDrifted < 0.7,
+        f"diffuse drift should degrade delta-query recall well below the 0.9 gate, got $rDrifted%.3f")
+      // the policy response
+      val ix2 = s"$root/ix_rebuilt"
+      buildOn(union, 4096 + 2 * 1024, ix2)
+      val rRebuilt = recallAt5(ix2, deltaQ)
+      info(f"after rebuild: delta-query recall $rRebuilt%.3f")
+      assert(rRebuilt >= 0.9,
+        f"rebuild (retrain + reassign) should restore delta-query recall ≥ 0.9, got $rRebuilt%.3f")
+    } finally graft.queries.QueryDef.rmTree(root)
+  }
+
   test("trained PQ codebook: reconstruction error strictly below the strided seed's; ADC recall@5 ≥ 0.9 at nProbe=3, 2×cell-load shortlist") {
     // the q332 quality claims the hash gate can't see: per-subspace Lloyd
     // training must REDUCE quantization error (k-means monotonicity — the
