@@ -15,6 +15,13 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // Optional wall-clock budget (seconds). The r14/r15 driver artifacts
+    // were both lost to host weather (one unlocalizable outlier, one
+    // rc=124 timeout with zero output under the old buffer-then-print
+    // structure); when the elapsed time crosses HALF the budget, the
+    // remaining queries drop to reps=1 — a degraded-but-complete battery
+    // beats a truncated one, and the artifact records the switch.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BUDGET_SEC").map(_.toDouble)
     // A query that throws must POISON the bench, not flatter it: the old
     // swallow-all catch timed a failing query at near-zero, so a
     // correctness regression would have LOWERED the total. Failures are
@@ -24,12 +31,33 @@ object Bench {
     // optional trailing args: bench only these queries (builder-side
     // iteration; the driver passes no args and times the full battery)
     val only = args.toSet
+    val host0 = Host.sample()
+    val t0Battery = System.nanoTime()
+    var repsDropped = false
+    var done = 0
+    var runningTotal = 0.0
+    // STREAMED output (round 16): each per-query line prints the moment
+    // its reps finish, with a partial_total checkpoint every 25 queries —
+    // so a driver timeout (r15: rc=124, parsed:null, NOTHING printed under
+    // the old everything-at-the-end structure) leaves a parsable prefix
+    // that localizes both coverage (how far the battery got) and cost
+    // (what each completed query took). The combined/top20/total summary
+    // lines still print LAST, so tail-capture consumers are unchanged.
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      val elapsed = (System.nanoTime() - t0Battery) / 1e9
+      val effReps =
+        if (budgetSec.exists(b => elapsed > b / 2)) {
+          if (!repsDropped) {
+            repsDropped = true
+            println(s"""{"metric":"reps_drop","after_sec":$elapsed,"done":$done,"reps":1}""")
+          }
+          1
+        } else reps
       // min over reps: single-run VM noise is ±30%, which manufactures
       // phantom regressions; the min is the stable per-plan cost
-      val times = (1 to reps).map { _ =>
+      val times = (1 to effReps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink materializes every row through the FULL plan —
         // .count() would let Catalyst prune projections and eliminate the
@@ -42,7 +70,17 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      val sec = times.min
+      done += 1
+      runningTotal += sec
+      println(s"""{"query":"$name","sec":$sec}""")
+      if (done % 25 == 0) {
+        println(s"""{"metric":"partial_total","done":$done,"value":$runningTotal,"failures":${failed.size}}""")
+        // cumulative host line at every checkpoint: a timed-out run's
+        // truncated artifact still shows whether the box was contended
+        println(Host.line("partial", host0, Host.sample()))
+      }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -51,23 +89,22 @@ object Bench {
     // stdout, and the combined line alone is ~4 KB — with the headline
     // number at its head, truncation used to eat it (BENCH_r02/r03 both
     // recorded parsed:null). Emit the combined line first (the full
-    // record when nothing truncates), then one short line per query, then
-    // a compact total line LAST so the headline always survives. Only the
-    // LAST line carries "metric":"total" — the combined line is
-    // "total_detail" so grep-all consumers never double-count and
-    // first-match/last-match parsers agree on the schema.
+    // record when nothing truncates), then the top20 self-diagnosis and
+    // host-health lines, then a compact total line LAST so the headline
+    // always survives. Only the LAST line carries "metric":"total" — the
+    // combined line is "total_detail" so grep-all consumers never
+    // double-count and first-match/last-match parsers agree on the schema.
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"failures":${failed.size},"sf":"$sfDir"}""")
-    results.foreach { case (k, v) => println(s"""{"query":"$k","sec":$v}""") }
-    // Self-diagnosis line, emitted just before the total so it survives
-    // tail-truncation alongside it: the 20 slowest queries of THIS run.
-    // A total that moves without these moving localizes a regression (or
-    // an environmental outlier) from the stored artifact alone — the r14
+    // Self-diagnosis: the 20 slowest queries of THIS run. A total that
+    // moves without these moving localizes a regression (or an
+    // environmental outlier) from the stored artifact alone — the r14
     // driver total (639 s vs 402 s re-run) was unlocalizable because the
     // artifact kept only 38 arbitrary per-query lines.
     val top20 = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"top20_slowest","queries":$top20}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failures":${failed.size},"sf":"$sfDir"}""")
+    println(Host.line("battery", host0, Host.sample()))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failures":${failed.size},"reps_dropped":$repsDropped,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"bench had ${failed.size} failing queries: ${failed.mkString(", ")}")

@@ -40,14 +40,8 @@ object BenchDrift {
     val nBatches = if (args.length > 2) args(2).toInt else 3
     val batchFrac = if (args.length > 3) args(3).toDouble else 0.1
     val driftNoise = if (args.length > 4) args(4).toDouble else 0.05
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build()
+    val host0 = Host.sample()
 
     val nDelta = math.max(1L, (nBase * batchFrac).toLong)
     val kBase = Similarity.sqrtStride(nBase)
@@ -109,6 +103,7 @@ object BenchDrift {
     val ix2 = s"$work/ix_rebuilt"
     buildOn(union, nUnion, ix2)
     report("rebuild", ix2, union, Some(lastDelta.orderBy("vec_id").limit(50)))
+    println(Host.line("drift", host0, Host.sample()))
     spark.stop()
   }
 }

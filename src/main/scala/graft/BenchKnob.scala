@@ -21,15 +21,9 @@ object BenchKnob {
     val dir = args(0)
     val cellsList = args(1).split(",").map(_.toInt)
     val reps = if (args.length > 2) args(2).toInt else 2
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build()
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val host0 = Host.sample()
 
     val pri = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
       .cast("bigint")
@@ -60,6 +54,7 @@ object BenchKnob {
         .agg(max(col("n_rows"))).head().getLong(0)
       println(f"""{"knob":"coarseCells","dir":"$dir","cells":$cells,"sec":${times.min}%.2f,"max_rows_per_cell":$maxRows}""")
     }
+    println(Host.line("knob_sweep", host0, Host.sample()))
     spark.stop()
   }
 }

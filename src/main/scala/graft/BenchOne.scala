@@ -11,15 +11,10 @@ object BenchOne {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build()
     spark.range(1000000).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)
+    val host0 = Host.sample()
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       val qe = fn(spark, sfDir).queryExecution
       println("[benchone] === optimized ===")
@@ -34,6 +29,7 @@ object BenchOne {
         println(f"[benchone] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
+    println(Host.line("bench_one", host0, Host.sample()))
     spark.stop()
   }
 }

@@ -28,14 +28,8 @@ object BenchRefresh {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val specs = (if (args.length > 1) args(1) else "0.01,0.02,0.05,0.1").split(",").toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build()
+    val host0 = Host.sample()
 
     val emb = Tables.load(spark, dir, "embeddings")
     val old = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
@@ -105,6 +99,7 @@ object BenchRefresh {
         println(f"""{"bench":"ivf_refresh","dir":"$dir","n_old":$nOld,"cells":$stride,"spec":"$spec","delta_rows":$nDelta,"refresh_sec":$sec%.2f,"build_sec":$buildSec%.2f}""")
       }
     }
+    println(Host.line("refresh_sweep", host0, Host.sample()))
     spark.stop()
   }
 }

@@ -18,15 +18,9 @@ object BenchServe {
     val dir = args(0)
     val batches = args(1).split(",").map(_.toInt)
     val reps = if (args.length > 2) args(2).toInt else 2
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build()
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val host0 = Host.sample()
     val ix = graft.ext.IvfIndex.Cache.indexFor(spark, dir) // untimed build
     for (nQ <- batches) {
       val times = (1 to reps).map { _ =>
@@ -40,6 +34,7 @@ object BenchServe {
       }
       println(f"""{"serve":"ivf_persisted","dir":"$dir","n_queries":$nQ,"sec":${times.min}%.2f}""")
     }
+    println(Host.line("serve_sweep", host0, Host.sample()))
     spark.stop()
   }
 }

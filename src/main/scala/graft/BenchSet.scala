@@ -14,15 +14,9 @@ object BenchSet {
     val names = args(0).split(",").toSeq
     val dirs = args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 2
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build()
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val host0 = Host.sample()
     // A failed rep must NOT contribute its elapsed-until-failure time as a
     // small, passing-looking measurement (the BENCH_SF1 ratio tables are
     // derived from these lines) — record it as None and summarize FAILED.
@@ -46,6 +40,7 @@ object BenchSet {
         println(s"[benchset] $name $dir FAILED (${reps - ok.size}/$reps reps errored)")
       } else println(f"[benchset] $name $dir ${ok.min}%.2f s (min of $reps)")
     }
+    println(Host.line("sweep", host0, Host.sample()))
     spark.stop()
     if (anyFailed) sys.exit(1)
   }
