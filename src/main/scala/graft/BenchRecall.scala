@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Builder-side recall curve for the persisted IVF index: recall@5 of
@@ -10,16 +10,23 @@ import org.apache.spark.sql.functions._
   * at nProbe=3; this sweeps the knob). Exhaustive probing must land at
   * recall 1.0 (the losslessness identity Extended68Spec pins).
   *
-  * Round 15 adds the ADC columns ([[graft.ext.IvfIndex.servePqTopK]]) —
-  * the one serve path whose recall was previously unmeasured — for BOTH
-  * codebooks: the strided-sample codewords (q326's) and the per-subspace
-  * Lloyd-TRAINED codewords (q332's, [[graft.ext.Similarity.trainSubCodebooks]]).
-  * `adc_pre` is recall@5 of the raw ADC ranking (top-5 by code-lookup
-  * score); `adc_post` re-ranks a k=20 ADC shortlist with the exact cosine
-  * and takes its top-5 — the production two-stage serve. The trained
-  * codebook's reconstruction error is also printed (sum of squared PQ
-  * error over the corpus, trained vs strided): k-means monotonicity says
-  * trained ≤ strided, and RecallSpec pins it.
+  * ADC quality (round 15, re-budgeted round 16 per ADVICE — the full
+  * matrix ran at EVERY nProbe point and blew the bench session budget):
+  * the per-nProbe loop now measures only the cheap IVF-Flat recall; the
+  * ADC matrix — strided vs per-subspace-TRAINED codebooks
+  * ([[graft.ext.Similarity.trainSubCodebooks]]), pre-rerank (top-5 by raw
+  * ADC) vs post-rerank (exact-cosine top-5 of a shortlist) at both the
+  * fixed-20 and cell-load shortlist — runs ONCE at a representative
+  * nProbe. The trained codebook's reconstruction error is also printed
+  * (k-means monotonicity says trained ≤ strided; RecallSpec pins it).
+  *
+  * CODEBOOK-SIZE AXIS (round 16, verdict item 4): at the production
+  * 64-codeword × nSub=4 config raw ADC cannot rank within a cluster
+  * (pre-rerank recall 0.012 — code-tied candidates break by cid); the
+  * resolution lever is more/finer codes. The axis sweep builds one index
+  * per geometry — (64,4,16) the battery's, (256,8,8) q334's FAISS
+  * standard, (1024,8,8) — and reports pre-/post-rerank ADC recall at the
+  * representative nProbe, showing recall climb as codes gain resolution.
   *
   * Usage: runMain graft.BenchRecall <sfDir> <nProbe1,nProbe2,...> [nQueries]
   */
@@ -28,14 +35,11 @@ object BenchRecall {
     val dir = args(0)
     val probes = args(1).split(",").map(_.toInt)
     val nQ = if (args.length > 2) args(2).toInt else 100
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build()
+    val host0 = Host.sample()
+    // refuse a stale clustered fixture (ADVICE r15): pre-v2 dirs measure
+    // the collapsed 2-plane geometry, not 64-dim cluster recovery
+    GenClustered.requireCurrentVersion(dir)
     val ix = graft.ext.IvfIndex.Cache.indexFor(spark, dir)
     val ixT = graft.ext.IvfIndex.Cache.trainedIndexFor(spark, dir)
     val emb = Tables.load(spark, dir, "embeddings")
@@ -48,14 +52,15 @@ object BenchRecall {
       (exact intersect got).size.toDouble / exact.size
     // reconstruction error (sum of squared PQ quantization error over the
     // corpus) per codebook — the quality the training buys, printed once
-    def reconOf(index: String): Double = {
+    def reconOf(index: String, nSub: Int, subDim: Int): Double = {
       val cb = spark.read.parquet(s"$index/codebook")
       graft.ext.Similarity
-        .pqEncodeWith(emb, "vec_id", "embedding", cb,
-          graft.ext.IvfIndex.Cache.nSub, graft.ext.IvfIndex.Cache.subDim)
+        .pqEncodeWith(emb, "vec_id", "embedding", cb, nSub, subDim)
         .agg(sum(col("recon"))).head().getDouble(0)
     }
-    val (reconS, reconT) = (reconOf(ix), reconOf(ixT))
+    val (reconS, reconT) = (
+      reconOf(ix, graft.ext.IvfIndex.Cache.nSub, graft.ext.IvfIndex.Cache.subDim),
+      reconOf(ixT, graft.ext.IvfIndex.Cache.nSub, graft.ext.IvfIndex.Cache.subDim))
     println(f"""{"pq_recon":"strided","sum_sq_err":$reconS%.2f}""")
     println(f"""{"pq_recon":"trained","sum_sq_err":$reconT%.2f,"vs_strided":${reconT / reconS}%.4f}""")
     // ADC shortlist = avg cell load: PQ code resolution bounds the ADC
@@ -67,33 +72,62 @@ object BenchRecall {
     val nVec = emb.count()
     val nCells = spark.read.parquet(s"$ix/centroids").count()
     val load = math.max(20L, nVec / math.max(1L, nCells)).toInt
+
+    // pre-rerank = top-5 by raw ADC score; post = exact-cosine top-5 of a
+    // `shortlist`-deep ADC shortlist (the two-stage serve)
+    def adcRecalls(index: String, nSub: Int, subDim: Int, nProbe: Int,
+        shortlist: Int): (Double, Double) = {
+      val served = graft.ext.IvfIndex
+        .servePqTopK(spark, index, q, "vec_id", "embedding", k = shortlist,
+          nSub = nSub, subDim = subDim, nProbe = nProbe)
+        .localCheckpoint(true)
+      val pre = recallOf(pairSet(served.filter(col("rn") <= 5)))
+      val wCos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+      val post = recallOf(pairSet(
+        served.withColumn("cr", row_number().over(wCos)).filter(col("cr") <= 5)))
+      (pre, post)
+    }
+
     for (nProbe <- probes) {
       val t0 = System.nanoTime()
       val got = pairSet(graft.ext.IvfIndex
         .serveTopK(spark, ix, q, "vec_id", "embedding", k = 5, nProbe = nProbe))
       val sec = (System.nanoTime() - t0) / 1e9
-      // pre-rerank = top-5 by raw ADC score; post = exact-cosine top-5 of
-      // a k-deep ADC shortlist (the two-stage serve)
-      def adcRecalls(index: String, shortlist: Int): (Double, Double) = {
-        val served = graft.ext.IvfIndex
-          .servePqTopK(spark, index, q, "vec_id", "embedding", k = shortlist,
-            nSub = graft.ext.IvfIndex.Cache.nSub,
-            subDim = graft.ext.IvfIndex.Cache.subDim, nProbe = nProbe)
-          .localCheckpoint(true)
-        val pre = recallOf(pairSet(served.filter(col("rn") <= 5)))
-        val wCos = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-        val post = recallOf(pairSet(
-          served.withColumn("cr", row_number().over(wCos)).filter(col("cr") <= 5)))
-        (pre, post)
-      }
-      val (_, post20S) = adcRecalls(ix, 20)
-      val (preS, postS) = adcRecalls(ix, load)
-      val (_, post20T) = adcRecalls(ixT, 20)
-      val (preT, postT) = adcRecalls(ixT, load)
       val recall = recallOf(got)
-      println(f"""{"recall_curve":"ivf_persisted","dir":"$dir","n_probe":$nProbe,"recall_at_5":$recall%.4f,"adc_shortlist":$load,"adc_pre_strided":$preS%.4f,"adc_post_strided":$postS%.4f,"adc_post20_strided":$post20S%.4f,"adc_pre_trained":$preT%.4f,"adc_post_trained":$postT%.4f,"adc_post20_trained":$post20T%.4f,"sec":$sec%.2f}""")
+      println(f"""{"recall_curve":"ivf_persisted","dir":"$dir","n_probe":$nProbe,"recall_at_5":$recall%.4f,"sec":$sec%.2f}""")
     }
+
+    // ADC matrix at ONE representative nProbe (the middle of the sweep)
+    val rep = probes(probes.length / 2)
+    val (ns, sd) = (graft.ext.IvfIndex.Cache.nSub, graft.ext.IvfIndex.Cache.subDim)
+    val (_, post20S) = adcRecalls(ix, ns, sd, rep, 20)
+    val (preS, postS) = adcRecalls(ix, ns, sd, rep, load)
+    val (_, post20T) = adcRecalls(ixT, ns, sd, rep, 20)
+    val (preT, postT) = adcRecalls(ixT, ns, sd, rep, load)
+    println(f"""{"adc_matrix":"$dir","n_probe":$rep,"adc_shortlist":$load,"adc_pre_strided":$preS%.4f,"adc_post_strided":$postS%.4f,"adc_post20_strided":$post20S%.4f,"adc_pre_trained":$preT%.4f,"adc_post_trained":$postT%.4f,"adc_post20_trained":$post20T%.4f}""")
+
+    // Codebook-size axis at the same representative nProbe: one ad-hoc
+    // index per geometry (coarse quantizer recipe unchanged), pre/post
+    // ADC recall at the cell-load shortlist.
+    val stride = graft.ext.Similarity.sqrtStride(nVec)
+    val trainStride = math.max(1L, nVec / (4L * stride))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_cb_axis")
+    try {
+      for ((cw, cns, csd) <- Seq((64, 4, 16), (256, 8, 8), (1024, 8, 8))) {
+        val out = java.nio.file.Files.createTempDirectory(tmpRoot, "cb").toString
+        graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
+          stride = stride, trainIters = 1,
+          trainOn = Some(emb.filter(pmod(col("vec_id"), lit(trainStride)) === 0)),
+          nSub = cns, subDim = csd,
+          codeStride = math.max(1L, nVec / cw), outDir = out)
+        val t0 = System.nanoTime()
+        val (pre, post) = adcRecalls(out, cns, csd, rep, load)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"adc_codebook_axis":"$dir","n_probe":$rep,"n_codewords":$cw,"n_sub":$cns,"sub_dim":$csd,"adc_shortlist":$load,"adc_pre":$pre%.4f,"adc_post":$post%.4f,"sec":$sec%.2f}""")
+      }
+    } finally graft.queries.QueryDef.rmTree(tmpRoot)
+    println(Host.line("recall_sweep", host0, Host.sample()))
     spark.stop()
   }
 }

@@ -71,6 +71,24 @@ object GenClustered {
         stampContent(nVec, kClusters, dim, noise, centerSalt, idOffset)
   }
 
+  /** Refuse a clustered fixture an OLDER generator wrote (ADVICE r15: the
+    * stamp existed but nothing ever checked it, so a pre-v2 dir — the
+    * collapsed 2-plane geometry every round-15 recall number had to be
+    * re-certified away from — would be consumed silently). Consumers that
+    * read a pre-generated dir (BenchRecall, BENCH_SF1 sweep sessions)
+    * call this before reading; a dir with NO stamp is not a GenClustered
+    * fixture (the driver's random fixture) and passes.
+    */
+  def requireCurrentVersion(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(s"$dir/CLUSTERED_VERSION")
+    if (java.nio.file.Files.exists(p)) {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      require(s.startsWith(s"graft GenClustered v$generatorVersion "),
+        s"$dir holds a stale clustered fixture (stamp: ${s.trim}) — " +
+          s"regenerate with GenClustered v$generatorVersion before measuring on it")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dst = args(0)
     val nVec = args(1).toLong
@@ -80,14 +98,7 @@ object GenClustered {
     val noise = if (args.length > 4) args(4).toDouble else 0.05
     val salt = if (args.length > 5) args(5).toLong else 1L
     val offset = if (args.length > 6) args(6).toLong else 0L
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build()
     run(spark, dst, nVec, k, dim, noise, salt, offset)
     spark.stop()
   }
@@ -100,6 +111,15 @@ object GenClustered {
       idOffset: Long = 0L): Unit = {
     require(kClusters >= 1 && kClusters <= nVec,
       s"kClusters=$kClusters out of range for nVec=$nVec")
+    // Skip-or-regenerate on the stamp (the GenScale/BatteryPlanSpec
+    // pattern): an exact match means this generator version already wrote
+    // these bytes (the stamp is written LAST, so it doubles as the
+    // completion sentinel); any mismatch — including a stale v1 stamp —
+    // falls through and regenerates.
+    if (stampMatches(dst, nVec, kClusters, dim, noise, centerSalt, idOffset)) {
+      println(s"""{"gen":"$dst","v":$generatorVersion,"skipped":"stamp matches"}""")
+      return
+    }
     // hash() is murmur3 over the integer args: exact, engine-versioned
     // with Spark itself, and jointly independent across (cl, i, salt) —
     // no phase structure for the quantizer to accidentally exploit or

@@ -127,6 +127,7 @@ object IvfIndex {
       spark: SparkSession, indexDir: String, delta: DataFrame,
       idCol: String, embCol: String, nSub: Int, subDim: Int,
       pairThreshold: Option[Double] = None): Unit = {
+    recover(indexDir)
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebook")
       .select(col("code_id"), col("cbe").as("ce"))
@@ -142,9 +143,26 @@ object IvfIndex {
       // with a DIFFERENT baked threshold) yields an incomplete or
       // mixed-threshold set that serveSemDedupFromPairs would serve as a
       // wrong decision table with no error (ADVICE r14, medium).
-      val baked = pairsThresholdOf(indexDir).getOrElse(sys.error(
-        s"refresh(pairThreshold=$th): $indexDir/pairs does not exist or lacks its " +
-          "_THRESHOLD sidecar — run buildPairs on this index before maintaining pairs"))
+      // Migration (ADVICE r15): a pairs/ dir WITHOUT the sidecar is a
+      // durable artifact written before the sidecar existed — adopt it
+      // once by writing the sidecar from the caller's threshold (with a
+      // warning; the caller owned the threshold contract alone in the
+      // pre-sidecar format, so its value is the only record there is)
+      // instead of forcing a full buildPairs rebuild of a valid artifact.
+      val baked = pairsThresholdOf(indexDir).orElse {
+        val pdir = java.nio.file.Paths.get(s"$indexDir/pairs")
+        if (java.nio.file.Files.isDirectory(pdir)) {
+          System.err.println(
+            s"[graft] adopting pre-sidecar pairs/ artifact at $indexDir: writing " +
+              s"_THRESHOLD=$th from this call's threshold (the pre-sidecar format " +
+              "kept no record; future refreshes validate against it)")
+          java.nio.file.Files.write(
+            pdir.resolve("_THRESHOLD"), th.toString.getBytes("UTF-8"))
+          Some(th)
+        } else None
+      }.getOrElse(sys.error(
+        s"refresh(pairThreshold=$th): $indexDir/pairs does not exist — " +
+          "run buildPairs on this index before maintaining pairs"))
       require(baked == th,
         s"refresh(pairThreshold=$th): pairs/ was built at threshold $baked — " +
           "maintaining it at a different threshold would mix pair sets; " +
@@ -268,6 +286,7 @@ object IvfIndex {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, embCol: String, nProbe: Int,
       maxProbePairs: Int): (DataFrame, Array[Long]) = {
+    recover(indexDir)
     val qBound = math.max(1, maxProbePairs / math.max(1, nProbe))
     val nQ = queries.select(col(idCol)).limit(qBound + 1).count()
     require(nQ <= qBound,
@@ -442,8 +461,10 @@ object IvfIndex {
 
   def serveSemDedup(
       spark: SparkSession, indexDir: String, corpus: DataFrame, idCol: String,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    recover(indexDir)
     decisionTable(cellPairs(spark, indexDir, threshold), corpus, idCol)
+  }
 
   /** Every within-cell pair of the inverted file at or above `threshold`
     * — [[Similarity.semanticPairs]]' semantics (cell equi-join, cid
@@ -527,9 +548,11 @@ object IvfIndex {
     */
   def serveSemDedupFromPairs(
       spark: SparkSession, indexDir: String, corpus: DataFrame,
-      idCol: String): DataFrame =
+      idCol: String): DataFrame = {
+    recover(indexDir)
     decisionTable(
       spark.read.parquet(s"$indexDir/pairs"), corpus, idCol)
+  }
 
   /** Index health monitor — BOTH maintenance triggers [[refresh]]'s
     * contract defers to, as one row of cell-histogram rollups over the
@@ -555,6 +578,7 @@ object IvfIndex {
     */
   def cellStats(
       spark: SparkSession, indexDir: String, compactAfter: Int = 4): DataFrame = {
+    recover(indexDir)
     val avg = col("n_vecs").cast("double") / col("n_cells")
     spark.read.parquet(s"$indexDir/invfile")
       .select(col("cent_id"), col("_metadata.file_path").as("__f"))
@@ -595,32 +619,166 @@ object IvfIndex {
     */
   def compact(
       spark: SparkSession, indexDir: String, maxRecordsPerFile: Long = 0): Unit = {
-    val tmp = s"$indexDir/invfile__compact"
+    recover(indexDir)
+    val staged = s"$indexDir/invfile__staged"
     val srcRows = spark.read.parquet(s"$indexDir/invfile").count() // footer-only
     spark.read.parquet(s"$indexDir/invfile")
       .repartition(col("cent_id"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("cent_id").parquet(tmp)
+      .partitionBy("cent_id").parquet(staged)
     // Sanity-gate the swap (ADVICE r14): a compacted tree that silently
     // dropped rows must never replace the source, and the source must not
     // be deleted until the replacement is verified. Both counts are local
     // footer reads — nearly free.
-    val dstRows = spark.read.parquet(tmp).count()
+    val dstRows = spark.read.parquet(staged).count()
     require(dstRows == srcRows,
       s"compact wrote $dstRows rows for a $srcRows-row inverted file — aborting before the swap; " +
-        s"the original invfile is untouched and $tmp can be deleted")
+        s"the original invfile is untouched and $staged can be deleted")
+    swapStaged(indexDir, Seq("invfile"))
+  }
+
+  /** Marker file for in-place artifact swaps ([[compact]]/[[rebuild]]):
+    * written (with the component list) before the first rename, deleted
+    * only once every component is in place. Its presence means a swap was
+    * interrupted and [[recover]] must run before the index is used.
+    */
+  private val swapMarker = "_SWAP_IN_PROGRESS"
+  private def markerPath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, swapMarker)
+
+  /** Crash recovery for an interrupted swap (ADVICE r15: the old compact
+    * had a window between its two renames where the index had NO invfile
+    * and recovery was a documented manual move). Rolls the index BACK to
+    * the retired (pre-swap) artifacts — always safe, because retired
+    * copies are deleted only after the marker, so a marker's presence
+    * guarantees every component is recoverable; the interrupted
+    * compact/rebuild simply re-runs. Invoked automatically at every
+    * serve/maintenance entry point (one Files.exists when healthy).
+    * Returns true if a recovery was performed.
+    */
+  def recover(indexDir: String): Boolean = {
+    val m = markerPath(indexDir)
+    if (!java.nio.file.Files.exists(m)) return false
+    val comps = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+      .trim.split(",").filter(_.nonEmpty)
+    System.err.println(
+      s"[graft] interrupted swap detected at $indexDir (${comps.mkString(",")}) — " +
+        "restoring the pre-swap artifacts")
     val root = java.nio.file.Paths.get(indexDir)
-    val retired = root.resolve("invfile__retired")
-    // Crash-window recovery: between the two renames invfile is briefly
-    // absent — if a failure lands there, move invfile__retired back to
-    // invfile by hand. The retired copy is only deleted after the
-    // verified replacement is in place.
-    java.nio.file.Files.move(root.resolve("invfile"), retired,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(root.resolve("invfile__compact"), root.resolve("invfile"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    graft.queries.QueryDef.rmTree(retired)
+    comps.foreach { name =>
+      val retired = root.resolve(s"${name}__retired")
+      if (java.nio.file.Files.exists(retired)) {
+        val live = root.resolve(name)
+        if (java.nio.file.Files.exists(live)) graft.queries.QueryDef.rmTree(live)
+        java.nio.file.Files.move(retired, live,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      val staged = root.resolve(s"${name}__staged")
+      if (java.nio.file.Files.exists(staged)) graft.queries.QueryDef.rmTree(staged)
+    }
+    java.nio.file.Files.delete(m)
+    pairStats.remove(indexDir)
+    true
+  }
+
+  /** Swap verified staged components (`<name>__staged`) into place under
+    * the recovery marker: retire each live dir, promote its staged
+    * replacement, then — only after EVERY component is live — delete the
+    * marker and the retired copies. A crash anywhere inside the window
+    * leaves the marker, and [[recover]] restores the complete pre-swap
+    * index; a crash after the marker delete leaves at worst orphaned
+    * `__retired` garbage, which the next swap clears.
+    */
+  private def swapStaged(indexDir: String, components: Seq[String]): Unit = {
+    val root = java.nio.file.Paths.get(indexDir)
+    def retiredOf(n: String) = root.resolve(s"${n}__retired")
+    // leftover retired dirs from a crash AFTER a previous marker delete
+    // are confirmed garbage (the marker outlives every recoverable state)
+    components.foreach { n =>
+      if (java.nio.file.Files.exists(retiredOf(n)))
+        graft.queries.QueryDef.rmTree(retiredOf(n))
+    }
+    java.nio.file.Files.write(
+      markerPath(indexDir), components.mkString(",").getBytes("UTF-8"))
+    components.foreach { n =>
+      val live = root.resolve(n)
+      if (java.nio.file.Files.exists(live))
+        java.nio.file.Files.move(live, retiredOf(n),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(root.resolve(s"${n}__staged"), live,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    java.nio.file.Files.delete(markerPath(indexDir))
+    components.foreach { n =>
+      if (java.nio.file.Files.exists(retiredOf(n)))
+        graft.queries.QueryDef.rmTree(retiredOf(n))
+    }
+  }
+
+  /** REBUILD — the monitor's other trigger promoted to a first-class
+    * lifecycle operator (round-15 verdict item 5: BenchDrift demonstrated
+    * the drift → rebuild cycle inline but the library had no callable
+    * target). Retrains the coarse quantizer on the CURRENT accumulated
+    * corpus, reassigns and re-encodes every vector, rebuilds the pairs
+    * artifact if one exists (at its baked threshold), and swaps all
+    * components in atomically under the recovery marker — the old index
+    * stays fully readable until the flip.
+    *
+    * The corpus is read from the index's own inverted file (cid, ce): the
+    * invfile carries every vector as the exact `toDouble` of the original
+    * embedding (parquet round-trips IEEE doubles), so a rebuild is
+    * BIT-IDENTICAL to a fresh [[build]] over the accumulated corpus with
+    * the same derived parameters — the identity q335 hash-gates (serve
+    * after build(90%)+refresh(10%)+rebuild ≡ q324's fresh-build oracle on
+    * the full corpus) and BenchDrift measures the recall value of. No
+    * separate corpus copy is scanned: at 100 TB the index IS the
+    * authoritative vector store, and rebuild costs exactly one build
+    * (O(N·√N) assignment + O(N) encode) plus the pairs term when present.
+    *
+    * Parameterization is re-derived from the CURRENT corpus size — that
+    * is the point of a rebuild: √N' cells, ~4√N' training sample, one
+    * Lloyd iteration (the q323 recipe), N'/nCodewords codebook. Pass
+    * `cbTrain = true` for the per-subspace-trained codebook (q332's
+    * FAISS recipe) when the original build used one.
+    */
+  def rebuild(
+      spark: SparkSession, indexDir: String, nSub: Int, subDim: Int,
+      trainIters: Int = 1, nCodewords: Int = 64, cbTrain: Boolean = false): Unit = {
+    recover(indexDir)
+    val corpus = spark.read.parquet(s"$indexDir/invfile")
+      .select(col("cid").as("vec_id"), col("ce").as("embedding"))
+    val n = corpus.count()
+    val stride = Similarity.sqrtStride(n)
+    val trainStride = math.max(1L, n / (4L * stride))
+    val sample = corpus.filter(pmod(col("vec_id"), lit(trainStride)) === 0)
+    val staging = s"$indexDir/__rebuild"
+    build(corpus, "vec_id", "embedding",
+      stride = stride, trainIters = trainIters, trainOn = Some(sample),
+      nSub = nSub, subDim = subDim,
+      codeStride = math.max(1L, n / nCodewords), outDir = staging,
+      cbTrainOn = if (cbTrain) Some(sample) else None)
+    val pairsTh = pairsThresholdOf(indexDir)
+    pairsTh.foreach(th => buildPairs(spark, staging, th))
+    // same verification gate as compact: a staged tree that dropped rows
+    // must never replace the live index
+    val stagedRows = spark.read.parquet(s"$staging/invfile").count()
+    require(stagedRows == n,
+      s"rebuild staged $stagedRows rows for a $n-row corpus — aborting before the swap; " +
+        s"the live index is untouched and $staging can be deleted")
+    val comps = Seq("centroids", "codebook", "invfile") ++
+      pairsTh.map(_ => "pairs").toSeq
+    val root = java.nio.file.Paths.get(indexDir)
+    comps.foreach { c =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(staging, c), root.resolve(s"${c}__staged"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    graft.queries.QueryDef.rmTree(java.nio.file.Paths.get(staging))
+    swapStaged(indexDir, comps)
+    pairStats.remove(indexDir)
+    pairStats.remove(staging)
+    ()
   }
 
   /** Battery-side index cache: ONE build per (fixture dir) per JVM, under
@@ -686,6 +844,73 @@ object IvfIndex {
         out
       })
     private val trainedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** The HI-RESOLUTION PQ geometry for q334 — the codebook-size axis of
+      * the ADC quality story. The battery's 64-codeword × nSub=4 config
+      * (q125's oracle-pinned rule) tie-saturates raw ADC within a cluster
+      * (measured pre-rerank recall 0.012, BENCH_SF1 r15): 4 subspaces ×
+      * 64 codewords cannot distinguish members of a tight cluster, so PQ
+      * COMPRESSION was demonstrated but PQ RANKING was not. 256 codewords
+      * × nSub=8 × subDim=8 is the standard FAISS geometry (8-bit codes);
+      * finer subspaces + a 4× codeword domain give raw ADC real
+      * within-cluster rank resolution — BenchRecall sweeps the axis and
+      * RecallSpec pins hi-res pre-rerank ≥ the production config's.
+      */
+    val nSubHi = 8
+    val subDimHi = 8
+    val nCodewordsHi = 256
+
+    /** [[indexFor]]'s hi-res-PQ twin (same coarse quantizer recipe; only
+      * the PQ geometry differs), for q334.
+      */
+    def hiResIndexFor(spark: SparkSession, dir: String): String =
+      hiResBuilt.computeIfAbsent(dir, { d =>
+        val emb = graft.Tables.load(spark, d, "embeddings")
+        val n = graft.Tables.cachedCount(spark, d, "embeddings")
+        val stride = Similarity.sqrtStride(n)
+        val trainStride = math.max(1L, n / (4L * stride))
+        val out = java.nio.file.Files.createTempDirectory(root, "hx").toString
+        build(emb, "vec_id", "embedding",
+          stride = stride, trainIters = 1,
+          trainOn = Some(emb.filter(pmod(col("vec_id"), lit(trainStride)) === 0)),
+          nSub = nSubHi, subDim = subDimHi,
+          codeStride = math.max(1L, n / nCodewordsHi), outDir = out)
+        out
+      })
+    private val hiResBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** The full-lifecycle index for q335/q336: build on the 90% old
+      * corpus + pairs + refresh with the 10% delta (exactly
+      * [[refreshedIndexFor]]'s recipe, but in its OWN directory — rebuild
+      * mutates in place and the shared refreshed index must stay pristine
+      * for q328–q331), then [[IvfIndex.rebuild]]. Because rebuild
+      * re-derives every parameter from the accumulated corpus size (= the
+      * full fixture) and the invfile round-trips the vectors exactly, the
+      * rebuilt index must equal a FRESH [[build]] on the full corpus —
+      * q335 serves it against q324's oracle verbatim, and q336 gates the
+      * rebuilt pairs artifact against q327's.
+      */
+    def rebuiltIndexFor(spark: SparkSession, dir: String): String =
+      rebuiltBuilt.computeIfAbsent(dir, { d =>
+        val emb = graft.Tables.load(spark, d, "embeddings")
+        val old = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+        val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+        val nOld = oldCount(spark, d)
+        val stride = Similarity.sqrtStride(nOld)
+        val trainStride = math.max(1L, nOld / (4L * stride))
+        val out = java.nio.file.Files.createTempDirectory(root, "bx").toString
+        build(old, "vec_id", "embedding",
+          stride = stride, trainIters = 1,
+          trainOn = Some(old.filter(pmod(col("vec_id"), lit(trainStride)) === 0)),
+          nSub = nSub, subDim = subDim,
+          codeStride = math.max(1L, nOld / 64), outDir = out)
+        buildPairs(spark, out, pairThreshold)
+        refresh(spark, out, delta, "vec_id", "embedding", nSub, subDim,
+          pairThreshold = Some(pairThreshold))
+        rebuild(spark, out, nSub, subDim)
+        out
+      })
+    private val rebuiltBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
     /** The battery's SemDeDup threshold (q111/q325/q327/q331's rule) —
       * baked into the cached pairs artifact, so every consumer must agree.

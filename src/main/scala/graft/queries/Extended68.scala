@@ -77,7 +77,7 @@ object Extended68 {
     * round-trip), and the pair/CC/keeper stages are identical, so the
     * served decision table equals the lazy one by construction.
     */
-  private val sampledSemDedupOracleSql: String =
+  private[queries] val sampledSemDedupOracleSql: String =
     s"""WITH RECURSIVE ${EmbeddingQueries.normCte},
        |c AS (SELECT e.vec_id cid, e.embedding ce, n.nrm cn
        |      FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
@@ -108,13 +108,22 @@ object Extended68 {
     * CTEs already defined (c, q, cent1, a3).
     */
   private[queries] def pqAdcServeTailSql(codebookPred: String): String =
+    pqAdcServeTailSqlFor(codebookPred, nSub = 4, subDim = 16, nCodewords = 64)
+
+  /** [[pqAdcServeTailSql]] with the PQ geometry as parameters — the
+    * resolution lever q334 sweeps (256 codewords × nSub=8: finer codes,
+    * real within-cluster ADC rank resolution). nSub × subDim must equal
+    * the embedding dim (64).
+    */
+  private[queries] def pqAdcServeTailSqlFor(
+      codebookPred: String, nSub: Int, subDim: Int, nCodewords: Int): String =
     s"""${adcProbeCtes},
-       |cst AS (SELECT greatest(1, count(*) // 64) AS sv FROM embeddings
+       |cst AS (SELECT greatest(1, count(*) // $nCodewords) AS sv FROM embeddings
        |        WHERE $codebookPred),
        |cb AS (SELECT vec_id AS code_id, embedding AS cbe
        |       FROM embeddings
        |       WHERE ($codebookPred) AND vec_id % (SELECT sv FROM cst) = 0),
-       |${adcScoreTailSql}""".stripMargin
+       |${adcScoreTailSqlFor(nSub, subDim)}""".stripMargin
 
   /** The ADC probe stage (nProbe=3 over `cent1`) — split out so the
     * codebook CTE between probe and scoring is pluggable: q326/q329 read
@@ -135,26 +144,28 @@ object Extended68 {
     * caller's CTEs defined — [[pqAdcServeTailSql]]'s scoring stages,
     * verbatim.
     */
-  private[queries] val adcScoreTailSql: String =
+  private[queries] val adcScoreTailSql: String = adcScoreTailSqlFor(4, 16)
+
+  private[queries] def adcScoreTailSqlFor(nSub: Int, subDim: Int): String =
     s"""pd AS (SELECT v.vec_id, sp.s, cb.code_id,
-       |         sum((CAST(v.embedding[sp.s*16 + i] AS DOUBLE) -
-       |              CAST(cb.cbe[sp.s*16 + i] AS DOUBLE)) *
-       |             (CAST(v.embedding[sp.s*16 + i] AS DOUBLE) -
-       |              CAST(cb.cbe[sp.s*16 + i] AS DOUBLE))) AS d2
+       |         sum((CAST(v.embedding[sp.s*$subDim + i] AS DOUBLE) -
+       |              CAST(cb.cbe[sp.s*$subDim + i] AS DOUBLE)) *
+       |             (CAST(v.embedding[sp.s*$subDim + i] AS DOUBLE) -
+       |              CAST(cb.cbe[sp.s*$subDim + i] AS DOUBLE))) AS d2
        |       FROM embeddings v
-       |       CROSS JOIN range(0, 4) sp(s)
+       |       CROSS JOIN range(0, $nSub) sp(s)
        |       CROSS JOIN cb
-       |       CROSS JOIN range(1, 17) t(i)
+       |       CROSS JOIN range(1, ${subDim + 1}) t(i)
        |       GROUP BY v.vec_id, sp.s, cb.code_id),
        |codes AS (SELECT vec_id, s, code_id FROM (
        |            SELECT vec_id, s, code_id,
        |              row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code_id) rnk
        |            FROM pd) WHERE rnk = 1),
        |lut AS (SELECT q.qid, sp.s, cb.code_id,
-       |          sum(CAST(q.qe[sp.s*16 + i] AS DOUBLE) *
-       |              CAST(cb.cbe[sp.s*16 + i] AS DOUBLE)) AS v
-       |        FROM q CROSS JOIN range(0, 4) sp(s) CROSS JOIN cb
-       |        CROSS JOIN range(1, 17) t(i)
+       |          sum(CAST(q.qe[sp.s*$subDim + i] AS DOUBLE) *
+       |              CAST(cb.cbe[sp.s*$subDim + i] AS DOUBLE)) AS v
+       |        FROM q CROSS JOIN range(0, $nSub) sp(s) CROSS JOIN cb
+       |        CROSS JOIN range(1, ${subDim + 1}) t(i)
        |        GROUP BY q.qid, sp.s, cb.code_id),
        |cand AS (SELECT p.qid, a.cid
        |         FROM probe p JOIN a3 a USING (cent_id) WHERE a.cid != p.qid),
