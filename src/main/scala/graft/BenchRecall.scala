@@ -76,11 +76,15 @@ object BenchRecall {
     // pre-rerank = top-5 by raw ADC score; post = exact-cosine top-5 of a
     // `shortlist`-deep ADC shortlist (the two-stage serve)
     def adcRecalls(index: String, nSub: Int, subDim: Int, nProbe: Int,
-        shortlist: Int): (Double, Double) = {
-      val served = graft.ext.IvfIndex
-        .servePqTopK(spark, index, q, "vec_id", "embedding", k = shortlist,
-          nSub = nSub, subDim = subDim, nProbe = nProbe)
-        .localCheckpoint(true)
+        shortlist: Int, residual: Boolean = false): (Double, Double) = {
+      val served0 =
+        if (residual) graft.ext.IvfIndex
+          .servePqResidualTopK(spark, index, q, "vec_id", "embedding", k = shortlist,
+            nSub = nSub, subDim = subDim, nProbe = nProbe)
+        else graft.ext.IvfIndex
+          .servePqTopK(spark, index, q, "vec_id", "embedding", k = shortlist,
+            nSub = nSub, subDim = subDim, nProbe = nProbe)
+      val served = served0.localCheckpoint(true)
       val pre = recallOf(pairSet(served.filter(col("rn") <= 5)))
       val wCos = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
@@ -114,17 +118,26 @@ object BenchRecall {
     val trainStride = math.max(1L, nVec / (4L * stride))
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_cb_axis")
     try {
-      for ((cw, cns, csd) <- Seq((64, 4, 16), (256, 8, 8), (1024, 8, 8))) {
+      val configs = Seq( // (codewords, nSub, subDim, residual?)
+        (64, 4, 16, false), (256, 8, 8, false), (1024, 8, 8, false),
+        (256, 8, 8, true))
+      for ((cw, cns, csd, residual) <- configs) {
         val out = java.nio.file.Files.createTempDirectory(tmpRoot, "cb").toString
-        graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
-          stride = stride, trainIters = 1,
-          trainOn = Some(emb.filter(pmod(col("vec_id"), lit(trainStride)) === 0)),
-          nSub = cns, subDim = csd,
-          codeStride = math.max(1L, nVec / cw), outDir = out)
+        val trainOn = Some(emb.filter(pmod(col("vec_id"), lit(trainStride)) === 0))
+        if (residual)
+          graft.ext.IvfIndex.buildResidual(emb, "vec_id", "embedding",
+            stride = stride, trainIters = 1, trainOn = trainOn,
+            nSub = cns, subDim = csd,
+            codeStride = math.max(1L, nVec / cw), outDir = out)
+        else
+          graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
+            stride = stride, trainIters = 1, trainOn = trainOn,
+            nSub = cns, subDim = csd,
+            codeStride = math.max(1L, nVec / cw), outDir = out)
         val t0 = System.nanoTime()
-        val (pre, post) = adcRecalls(out, cns, csd, rep, load)
+        val (pre, post) = adcRecalls(out, cns, csd, rep, load, residual)
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"adc_codebook_axis":"$dir","n_probe":$rep,"n_codewords":$cw,"n_sub":$cns,"sub_dim":$csd,"adc_shortlist":$load,"adc_pre":$pre%.4f,"adc_post":$post%.4f,"sec":$sec%.2f}""")
+        println(f"""{"adc_codebook_axis":"$dir","n_probe":$rep,"n_codewords":$cw,"n_sub":$cns,"sub_dim":$csd,"residual":$residual,"adc_shortlist":$load,"adc_pre":$pre%.4f,"adc_post":$post%.4f,"sec":$sec%.2f}""")
       }
     } finally graft.queries.QueryDef.rmTree(tmpRoot)
     println(Host.line("recall_sweep", host0, Host.sample()))

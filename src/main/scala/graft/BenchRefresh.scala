@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *     should scan the existing inverted lists.
   *
   * Delta specs: `0.05` = every (0.1/0.05)=2nd vector of the 10% pool
-  * (≈5% of the corpus); `abs:2000` = ≈2000 pool vectors by stride.
+  * (≈5% of the corpus); `abs:2000` = ≈2000 pool vectors by stride;
+  * `pairs:<frac>` additionally maintains the SemDeDup pair artifact;
+  * `compact` times the one-file-per-cell rewrite after a full-pool
+  * refresh; `rebuild` times [[graft.ext.IvfIndex.rebuild]] on the union.
   *
   * Usage: runMain graft.BenchRefresh <sfDir> [spec1,spec2,...]
   *        (default "0.01,0.02,0.05,0.1")
@@ -75,6 +78,19 @@ object BenchRefresh {
         graft.ext.IvfIndex.compact(spark, work.toString)
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"bench":"ivf_compact","dir":"$dir","n_old":$nOld,"cells":$stride,"compact_sec":$sec%.2f,"build_sec":$buildSec%.2f}""")
+      } else if (spec == "rebuild") {
+        // rebuild cost: the policy response the monitor schedules — one
+        // full build's work (retrain + reassign + re-encode) re-derived
+        // from the accumulated corpus, plus the verified swap. Refresh
+        // the 10% pool in first so the rebuilt N is the union (the state
+        // a real rebuild fires from).
+        graft.ext.IvfIndex.refresh(spark, work.toString, pool, "vec_id", "embedding",
+          nSub = graft.ext.IvfIndex.Cache.nSub, subDim = graft.ext.IvfIndex.Cache.subDim)
+        val t0 = System.nanoTime()
+        graft.ext.IvfIndex.rebuild(spark, work.toString,
+          graft.ext.IvfIndex.Cache.nSub, graft.ext.IvfIndex.Cache.subDim)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"bench":"ivf_rebuild","dir":"$dir","n_union":${nOld + nPool},"rebuild_sec":$sec%.2f,"build_sec":$buildSec%.2f}""")
       } else {
         // pool keep-stride: every mth pool vector → ≈ nPool/m delta rows;
         // a "pairs:" prefix additionally maintains the SemDeDup pair

@@ -85,6 +85,122 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$outDir/invfile")
   }
 
+  /** [[build]]'s RESIDUAL-PQ variant — the full IVFADC recipe (Jégou et
+    * al. 2011 §IV: "the residual is quantized"): codes encode
+    * `x − centroid(cell(x))` instead of `x` itself. On clustered data —
+    * the regime real embedding corpora live in — raw-vector PQ spends its
+    * entire bit budget re-encoding the cluster CENTER all members share,
+    * so the quantization error is the same magnitude as the intra-cluster
+    * spread being ranked and raw ADC rank resolution is noise-bound at
+    * ANY codebook size (measured on the clustered fixture: pre-rerank
+    * recall 0.084 at 64 codewords, 0.072 at 256 — the round-16 axis sweep
+    * that motivated this path). Residual coding spends the same bytes on
+    * exactly the component that distinguishes neighbors; RecallSpec pins
+    * the pre-rerank recall it buys.
+    *
+    * On-disk layout is [[build]]'s plus a `_PQ_RESIDUAL` sidecar (the
+    * codebook lives in residual space — a serve must add the cell
+    * centroid's contribution back, [[servePqResidualTopK]]); the
+    * inverted lists and centroids are byte-compatible, so IVF-Flat serve
+    * ([[serveTopK]]) works unchanged on either layout.
+    *
+    * Scale shape: one extra broadcast join (√N centroids) to form
+    * residuals, assignment checkpointed so the N×√N pass is paid once
+    * (it feeds both the strided-residual codebook and the invfile write).
+    */
+  def buildResidual(
+      corpus: DataFrame, idCol: String, embCol: String,
+      stride: Int, trainIters: Int, trainOn: Option[DataFrame],
+      nSub: Int, subDim: Int, codeStride: Long, outDir: String): Unit = {
+    val spark = corpus.sparkSession
+    centroidsOf(corpus, idCol, embCol, stride, trainIters, trainOn)
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+    val cent = spark.read.parquet(s"$outDir/centroids")
+    val c = normalizedRel(corpus, idCol, embCol, "cid", "ce")
+    val assigned = graft.ops.Ckpt(
+      assignToCells(c, cent)
+        .join(broadcast(cent.select(col("cent_id"), col("cent_e"))), "cent_id")
+        .withColumn("res", zip_with(col("ce"), col("cent_e"), (a, b) => a - b))
+        .drop("cent_e"))
+    // the seed codebook is the strided sample's RESIDUALS — same stride
+    // rule as build's, same oracle-replayable determinism, but the
+    // codewords live in the residual space the codes quantize
+    assigned.filter(pmod(col("cid"), lit(codeStride)) === 0)
+      .select(col("cid").as("code_id"), col("res").as("cbe"))
+      .write.mode("overwrite").parquet(s"$outDir/codebook")
+    val codes = Similarity.pqEncodeAgainst(
+      assigned.select(col("cid").as("vid"), col("res").as("ve")),
+      spark.read.parquet(s"$outDir/codebook").select(col("code_id"), col("cbe").as("ce")),
+      nSub, subDim)
+      .drop("recon")
+    assigned.drop("res")
+      .join(codes, col("cid") === col("vid")).drop("vid")
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$outDir/invfile")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/_PQ_RESIDUAL"), "1".getBytes("UTF-8"))
+    ()
+  }
+
+  /** IVF+PQ ADC serve against a RESIDUAL-coded index ([[buildResidual]]):
+    * the candidate's approximate dot decomposes as
+    * `dot(q, x̂) = dot(q, centroid(cell)) + dot(q, residual-codeword)` —
+    * the first term is one bounded probe-pair computation (≤ maxProbePairs
+    * rows against the broadcast √N centroid table), the second is the
+    * same nSub LUT lookups as [[servePqTopK]], summed in DECIMAL. Rerank
+    * stays exact-cosine over the shortlist's inline vectors. Refuses a
+    * non-residual index (the sidecar is the contract).
+    */
+  def servePqResidualTopK(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, nSub: Int, subDim: Int,
+      nProbe: Int, maxProbePairs: Int = 1000000): DataFrame = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$indexDir/_PQ_RESIDUAL")),
+      s"$indexDir was not built by buildResidual — its codes live in raw-vector " +
+        "space; use servePqTopK")
+    val (probes, cells) = collectedProbes(
+      spark, indexDir, queries, idCol, embCol, nProbe, maxProbePairs)
+    val inv = prunedInvfile(spark, indexDir, cells)
+    val q = normalizedRel(queries, idCol, embCol, "qid", "qe")
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val off = (col("s") * subDim + 1).cast("int")
+    val lut = q.select(col("qid"), col("qe"))
+      .withColumn("s", explode(sequence(lit(0), lit(nSub - 1))))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("s"), col("code_id"),
+        dot(slice(col("qe"), off, lit(subDim)), slice(col("cbe"), off, lit(subDim))).as("v"))
+    // dot(q, centroid) per probed (qid, cent_id) — bounded by the probe
+    // pair list; computed fresh (not un-normalized from the probe cosine:
+    // a multiply-back would be a different IEEE op than never dividing)
+    val centDot = broadcast(probes)
+      .join(q.select(col("qid"), col("qe")), "qid")
+      .join(broadcast(cent.select(col("cent_id"), col("cent_e"))), "cent_id")
+      .select(col("qid"), col("cent_id"), dot(col("qe"), col("cent_e")).as("cdot"))
+    val candCodes = broadcast(probes)
+      .join(inv, "cent_id")
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("cent_id"),
+        explode(array((0 until nSub).map(i =>
+          struct(lit(i).as("s"), col(s"code_$i").as("code_id"))): _*)).as("sc"))
+      .select(col("qid"), col("cid"), col("cent_id"),
+        col("sc.s").as("s"), col("sc.code_id").as("code_id"))
+    val adc = candCodes.join(broadcast(lut), Seq("qid", "s", "code_id"))
+      .groupBy(col("qid"), col("cid"), col("cent_id"))
+      .agg(sum(col("v").cast(DecimalType(38, 18))).cast("double").as("radc"))
+      .join(broadcast(centDot), Seq("qid", "cent_id"))
+      .select(col("qid"), col("cid"), (col("radc") + col("cdot")).as("adc"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid").asc)
+    val top = adc.withColumn("rn", row_number().over(wTop).cast("bigint"))
+      .filter(col("rn") <= k)
+    broadcast(top)
+      .join(inv.select(col("cid"), col("ce"), col("ce_n")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"), col("rn"), col("adc"),
+        (dot(col("qe"), col("ce")) / (col("qe_n") * col("ce_n"))).as("cos"))
+  }
+
   /** Incremental index refresh — the operation a growing corpus runs per
     * ingest batch, completing the lifecycle (build once / refresh per
     * batch / serve per query): assign ONLY the ΔN new vectors against the
@@ -878,6 +994,27 @@ object IvfIndex {
         out
       })
     private val hiResBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** [[hiResIndexFor]]'s RESIDUAL-coded twin ([[buildResidual]] at the
+      * same hi-res geometry) for q337 — the full IVFADC recipe, and the
+      * lever that actually buys pre-rerank rank resolution (the raw
+      * hi-res axis measured flat; see buildResidual's scaladoc).
+      */
+    def residualIndexFor(spark: SparkSession, dir: String): String =
+      residualBuilt.computeIfAbsent(dir, { d =>
+        val emb = graft.Tables.load(spark, d, "embeddings")
+        val n = graft.Tables.cachedCount(spark, d, "embeddings")
+        val stride = Similarity.sqrtStride(n)
+        val trainStride = math.max(1L, n / (4L * stride))
+        val out = java.nio.file.Files.createTempDirectory(root, "px").toString
+        buildResidual(emb, "vec_id", "embedding",
+          stride = stride, trainIters = 1,
+          trainOn = Some(emb.filter(pmod(col("vec_id"), lit(trainStride)) === 0)),
+          nSub = nSubHi, subDim = subDimHi,
+          codeStride = math.max(1L, n / nCodewordsHi), outDir = out)
+        out
+      })
+    private val residualBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
     /** The full-lifecycle index for q335/q336: build on the 90% old
       * corpus + pairs + refresh with the 10% delta (exactly

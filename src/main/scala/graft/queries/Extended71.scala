@@ -45,6 +45,79 @@ object Extended71 {
        |$tail""".stripMargin
   }
 
+  /** q337's oracle: the sampled-train build, then the RESIDUAL ADC serve
+    * unrolled — every corpus vector's residual is `embedding − cent_e` of
+    * its a3-assigned centroid; the strided codebook lives in residual
+    * space (codeword = strided vector's residual); the candidate score is
+    * `dot(q, centroid) + Σ_s lut(q, s, code_s)` with the cross-subspace
+    * sum DECIMAL-accumulated, mirroring servePqResidualTopK term for
+    * term. Component arithmetic keeps Spark's op order exactly:
+    * `(v[i] − cent_v[i]) − (w[i] − cent_w[i])` is the same three IEEE
+    * subtractions as Spark's residual-array-then-diff fold.
+    */
+  private val residualOracleSql: String = {
+    val (ns, sd, cw) =
+      (IvfIndex.Cache.nSubHi, IvfIndex.Cache.subDimHi, IvfIndex.Cache.nCodewordsHi)
+    val idx = s"sp.s*$sd + i"
+    s"""${EmbeddingQueries.sampledTrainBuildCtes},
+       |${Extended68.adcProbeCtes},
+       |cst AS (SELECT greatest(1, count(*) // $cw) AS sv FROM embeddings),
+       |cbr AS (SELECT a.cid AS code_id, a.cent_id FROM a3 a
+       |        WHERE a.cid % (SELECT sv FROM cst) = 0),
+       |pd AS (SELECT v.vec_id, sp.s, b.code_id,
+       |         sum(((CAST(v.embedding[$idx] AS DOUBLE) - cv.cent_e[$idx]) -
+       |              (CAST(w.embedding[$idx] AS DOUBLE) - cw.cent_e[$idx])) *
+       |             ((CAST(v.embedding[$idx] AS DOUBLE) - cv.cent_e[$idx]) -
+       |              (CAST(w.embedding[$idx] AS DOUBLE) - cw.cent_e[$idx]))) AS d2
+       |       FROM embeddings v
+       |       JOIN a3 av ON av.cid = v.vec_id
+       |       JOIN cent1 cv ON cv.cent_id = av.cent_id
+       |       CROSS JOIN range(0, $ns) sp(s)
+       |       CROSS JOIN cbr b
+       |       JOIN embeddings w ON w.vec_id = b.code_id
+       |       JOIN cent1 cw ON cw.cent_id = b.cent_id
+       |       CROSS JOIN range(1, ${sd + 1}) t(i)
+       |       GROUP BY v.vec_id, sp.s, b.code_id),
+       |codes AS (SELECT vec_id, s, code_id FROM (
+       |            SELECT vec_id, s, code_id,
+       |              row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code_id) rnk
+       |            FROM pd) WHERE rnk = 1),
+       |lut AS (SELECT q.qid, sp.s, b.code_id,
+       |          sum(CAST(q.qe[$idx] AS DOUBLE) *
+       |              (CAST(w.embedding[$idx] AS DOUBLE) - cw.cent_e[$idx])) AS v
+       |        FROM q CROSS JOIN range(0, $ns) sp(s)
+       |        CROSS JOIN cbr b
+       |        JOIN embeddings w ON w.vec_id = b.code_id
+       |        JOIN cent1 cw ON cw.cent_id = b.cent_id
+       |        CROSS JOIN range(1, ${sd + 1}) t(i)
+       |        GROUP BY q.qid, sp.s, b.code_id),
+       |qc AS (SELECT p.qid, p.cent_id,
+       |         sum(CAST(q.qe[i] AS DOUBLE) * cent1.cent_e[i]) AS cdot
+       |       FROM probe p JOIN q USING (qid) JOIN cent1 USING (cent_id)
+       |       CROSS JOIN range(1, 65) t(i)
+       |       GROUP BY p.qid, p.cent_id),
+       |cand AS (SELECT p.qid, a.cid, a.cent_id
+       |         FROM probe p JOIN a3 a USING (cent_id) WHERE a.cid != p.qid),
+       |adc AS (SELECT cd.qid, cd.cid, cd.cent_id,
+       |          CAST(sum(CAST(l.v AS DECIMAL(38,18))) AS DOUBLE) AS radc
+       |        FROM cand cd
+       |        JOIN codes co ON co.vec_id = cd.cid
+       |        JOIN lut l ON l.qid = cd.qid AND l.s = co.s AND l.code_id = co.code_id
+       |        GROUP BY cd.qid, cd.cid, cd.cent_id),
+       |r AS (SELECT a.qid, a.cid, (a.radc + qc.cdot) AS adc,
+       |        row_number() OVER (
+       |          PARTITION BY a.qid ORDER BY (a.radc + qc.cdot) DESC, a.cid) AS rn
+       |      FROM adc a JOIN qc ON qc.qid = a.qid AND qc.cent_id = a.cent_id),
+       |x AS (SELECT r.qid, r.cid, r.rn, r.adc,
+       |        sum(CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)) / (q.qn * c.cn) AS cos
+       |      FROM r JOIN q USING (qid) JOIN c ON c.cid = r.cid
+       |      CROSS JOIN range(1, 65) t(i)
+       |      WHERE r.rn <= 5
+       |      GROUP BY r.qid, r.cid, r.rn, r.adc, q.qn, c.cn)
+       |SELECT qid, cid, rn, ${Num.roundSql("adc", 4)} AS adc_r, ${Num.roundSql("cos", 4)} AS cos_r
+       |FROM x ORDER BY qid, rn""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     // ----- q334: hi-resolution PQ ADC serve (256 codewords × nSub=8) ----
     // Same persisted ADC serve plan as q326; only the PQ geometry
@@ -99,6 +172,31 @@ object Extended71 {
           .serveSemDedupFromPairs(s, ix, tbl(s, dir, "embeddings"), "vec_id")
           .orderBy("id")
       },
-      Some(Extended68.sampledSemDedupOracleSql))
+      Some(Extended68.sampledSemDedupOracleSql)),
+
+    // ----- q337: RESIDUAL-PQ ADC serve (the full IVFADC recipe) ---------
+    // The lever that actually buys pre-rerank rank resolution: q334's
+    // raw-vector axis measured FLAT (0.084 → 0.072 pre-rerank recall from
+    // 64 → 256 codewords on clustered data) because raw codes re-encode
+    // the cluster center all members share; residual codes (x − centroid)
+    // spend the same bytes on the distinguishing component. Hash-gated
+    // end to end: residual formation against the a3 assignment, the
+    // residual-space strided codebook, encode tie-breaks, the
+    // decomposed ADC score (centroid dot + DECIMAL-summed LUT terms),
+    // and the exact rerank.
+    QueryDef(
+      "q337_pq_residual_adc_serve",
+      (s, dir) => {
+        val ix = IvfIndex.Cache.residualIndexFor(s, dir)
+        val emb = tbl(s, dir, "embeddings")
+        IvfIndex
+          .servePqResidualTopK(s, ix, emb.filter(col("vec_id") < 10), "vec_id",
+            "embedding", k = 5, nSub = IvfIndex.Cache.nSubHi,
+            subDim = IvfIndex.Cache.subDimHi, nProbe = 3)
+          .select(col("qid"), col("cid"), col("rn"),
+            R(col("adc"), 4).as("adc_r"), R(col("cos"), 4).as("cos_r"))
+          .orderBy("qid", "rn")
+      },
+      Some(residualOracleSql))
   )
 }

@@ -114,6 +114,8 @@ class BatteryPlanSpec extends SparkSuite {
     "q326_ivfpq_persisted_serve" -> "query side vec_id < 10; LUT crossJoin broadcasts the persisted ~64-codeword codebook (N/64 stride — constant at any corpus size); probe crossJoin is eager, outside the served plan",
     "q329_ivfpq_refresh_serve" -> "q326's LUT shape over the REFRESHED index: persisted ~64-codeword codebook (N_old/64 stride), query side vec_id < 10",
     "q332_pq_trained_codebook" -> "q326's LUT shape over the TRAINED-codebook index: the broadcast side is the persisted codebook parquet — trainSubCodebooks preserves the seed's code domain (Extended70Spec pins it), so it is the same ~64-codeword constant-size relation at any corpus size",
+    "q334_pq_hires_adc_serve" -> "q326's LUT shape at the hi-res geometry: the broadcast side is the persisted ~256-codeword codebook (N/256 stride — constant at any corpus size); query side vec_id < 10",
+    "q337_pq_residual_adc_serve" -> "q326's LUT shape over the RESIDUAL-coded index: the broadcast side is the persisted ~256-codeword residual codebook (N/256 stride — constant at any corpus size); the centroid-dot side is the bounded probe-pair list against the √N centroid broadcast; query side vec_id < 10",
     "q315_hybrid_retrieval" -> "dense query side bounded by literal filter vec_id < 5; sparse broadcasts bounded by the 5 probe docs' term set (qt/dfT) and a 1-row stats scalar",
     "q123_ann_recall" -> "both arms' query sides bounded by vec_id < 10",
     "q304_matryoshka_overlap" -> "anchor side bounded by literal filter vec_id < 10",

@@ -116,6 +116,14 @@ class RecallSpec extends SparkSuite {
       info(f"after rebuild: delta-query recall $rRebuilt%.3f")
       assert(rRebuilt >= 0.9,
         f"rebuild (retrain + reassign) should restore delta-query recall ≥ 0.9, got $rRebuilt%.3f")
+      // the same recovery through the FIRST-CLASS operator (round 16):
+      // IvfIndex.rebuild retrains IN PLACE from the index's own inverted
+      // file — the callable target the monitor's trigger schedules
+      IvfIndex.rebuild(spark, ix, IvfIndex.Cache.nSub, IvfIndex.Cache.subDim)
+      val rInPlace = recallAt5(ix, deltaQ)
+      info(f"after in-place IvfIndex.rebuild: delta-query recall $rInPlace%.3f")
+      assert(rInPlace >= 0.9,
+        f"in-place rebuild should restore delta-query recall ≥ 0.9, got $rInPlace%.3f")
     } finally graft.queries.QueryDef.rmTree(root)
   }
 
@@ -183,6 +191,135 @@ class RecallSpec extends SparkSuite {
         f"trained-codebook ADC recall@5 is $adcT%.3f < 0.9 at nProbe=3 with a cell-load shortlist on clustered data")
       assert(adcT > adcShort,
         "cell-load shortlist should beat the under-sized shortlist on the code-tied fixture")
+    } finally graft.queries.QueryDef.rmTree(root)
+  }
+
+  test("PQ resolution axis: raw-vector codes are noise-bound at ANY codebook size; RESIDUAL codes buy real pre-rerank rank resolution") {
+    // The round-16 axis measurement: raw-vector PQ at 256 codewords ×
+    // nSub=8 did NOT outrank the 64-codeword config (0.072 vs 0.084
+    // pre-rerank recall) — on clustered data raw codes re-encode the
+    // cluster CENTER all members share, so quantization error stays the
+    // same magnitude as the intra-cluster spread being ranked, at any
+    // practical codebook size. The lever that works is the full IVFADC
+    // recipe (Jégou §IV): encode the RESIDUAL x − centroid(cell) — the
+    // same bytes spent entirely on the component that distinguishes
+    // neighbors. This pins all three measured facts: raw-hi-res buys
+    // reconstruction error but NOT rank recall; residual coding buys
+    // both.
+    val root = java.nio.file.Files.createTempDirectory("graft_adc_axis")
+    try {
+      GenClustered.run(spark, root.toString, 4096, 64, 64, 0.05)
+      val emb = spark.read.parquet(s"$root/embeddings.parquet")
+      val stride = Similarity.sqrtStride(4096) // 64
+      val trainStride = math.max(1L, 4096L / (4L * stride))
+      val sample = emb.filter(pmod(col("vec_id"), lit(trainStride)) === 0)
+      def buildIx(out: String, nSub: Int, subDim: Int, nCw: Long,
+          residual: Boolean): Unit =
+        if (residual)
+          IvfIndex.buildResidual(emb, "vec_id", "embedding",
+            stride = stride, trainIters = 1, trainOn = Some(sample),
+            nSub = nSub, subDim = subDim,
+            codeStride = math.max(1L, 4096L / nCw), outDir = out)
+        else
+          IvfIndex.build(emb, "vec_id", "embedding",
+            stride = stride, trainIters = 1, trainOn = Some(sample),
+            nSub = nSub, subDim = subDim,
+            codeStride = math.max(1L, 4096L / nCw), outDir = out)
+      val ixLo = root.resolve("lo").toString
+      val ixHi = root.resolve("hi").toString
+      val ixRes = root.resolve("res").toString
+      buildIx(ixLo, IvfIndex.Cache.nSub, IvfIndex.Cache.subDim, 64L, residual = false)
+      buildIx(ixHi, IvfIndex.Cache.nSubHi, IvfIndex.Cache.subDimHi,
+        IvfIndex.Cache.nCodewordsHi.toLong, residual = false)
+      buildIx(ixRes, IvfIndex.Cache.nSubHi, IvfIndex.Cache.subDimHi,
+        IvfIndex.Cache.nCodewordsHi.toLong, residual = true)
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def preRecall(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select("qid", "cid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (exact intersect got).size.toDouble / exact.size
+      }
+      // ADC approximates the UNNORMALIZED dot — so the resolution climb
+      // must be measured against the exact-DOT top-5 (its own target
+      // metric). Against the COSINE ground truth, pre-rerank recall is
+      // METRIC-MISMATCH-BOUND on this fixture regardless of codebook:
+      // within a cluster the candidate-norm variation (~dot(center,
+      // noise)/‖center‖, std ≈ 0.6% of the norm) is ~20× the cosine
+      // signal (dot(noise_q, noise_c), ≈ 0.03%), so even EXACT dot
+      // ranking misorders the cosine top-5 — which is exactly why the
+      // production serve is two-stage (ADC prune + exact-cosine rerank)
+      // at every geometry. Measured (round 16): 0.084 / 0.072 / 0.120
+      // for raw64 / raw256 / residual256 vs cosine.
+      import org.apache.spark.sql.expressions.Window
+      val cq = emb.select(col("vec_id").as("qid"),
+        graft.ext.Similarity.toDouble(col("embedding")).as("qe")).filter(col("qid") < 50)
+      val cc = emb.select(col("vec_id").as("cid"),
+        graft.ext.Similarity.toDouble(col("embedding")).as("ce"))
+      val wD = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cid").asc)
+      val exactDot = cq.crossJoin(cc).filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          graft.ext.Similarity.dot(col("qe"), col("ce")).as("d"))
+        .withColumn("rn", row_number().over(wD)).filter(col("rn") <= 5)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def dotRecall(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select("qid", "cid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (exactDot intersect got).size.toDouble / exactDot.size
+      }
+      def serveLo() = IvfIndex.servePqTopK(spark, ixLo, q, "vec_id", "embedding",
+        k = 5, nSub = IvfIndex.Cache.nSub, subDim = IvfIndex.Cache.subDim, nProbe = 3)
+      def serveHi() = IvfIndex.servePqTopK(spark, ixHi, q, "vec_id", "embedding",
+        k = 5, nSub = IvfIndex.Cache.nSubHi, subDim = IvfIndex.Cache.subDimHi, nProbe = 3)
+      def serveRes() = IvfIndex.servePqResidualTopK(spark, ixRes, q, "vec_id",
+        "embedding", k = 5, nSub = IvfIndex.Cache.nSubHi,
+        subDim = IvfIndex.Cache.subDimHi, nProbe = 3)
+      val (preLo, preHi, preRes) =
+        (preRecall(serveLo()), preRecall(serveHi()), preRecall(serveRes()))
+      val (dLo, dHi, dRes) =
+        (dotRecall(serveLo()), dotRecall(serveHi()), dotRecall(serveRes()))
+      info(f"pre-rerank ADC recall@5 vs COSINE top-5: raw64 $preLo%.3f, raw256 $preHi%.3f, RESIDUAL256 $preRes%.3f (metric-mismatch-bound)")
+      info(f"pre-rerank ADC recall@5 vs exact-DOT top-5: raw64 $dLo%.3f, raw256 $dHi%.3f, RESIDUAL256 $dRes%.3f")
+      // reconstruction error: raw hi-res < raw lo-res (what extra raw
+      // codes DO buy), residual ≪ raw hi-res (the recipe's whole point)
+      def reconRaw(ix: String, ns: Int, sd: Int): Double = Similarity
+        .pqEncodeWith(emb, "vec_id", "embedding",
+          spark.read.parquet(s"$ix/codebook"), ns, sd)
+        .agg(sum(col("recon"))).head().getDouble(0)
+      def reconResidual(ix: String, ns: Int, sd: Int): Double = {
+        val cent = spark.read.parquet(s"$ix/centroids")
+          .select(col("cent_id"), col("cent_e"))
+        val res = spark.read.parquet(s"$ix/invfile")
+          .withColumn("cent_id", col("cent_id").cast("long"))
+          .join(broadcast(cent), "cent_id")
+          .select(col("cid").as("rid"),
+            zip_with(col("ce"), col("cent_e"), (a, b) => a - b).as("resv"))
+        Similarity.pqEncodeWith(res, "rid", "resv",
+          spark.read.parquet(s"$ix/codebook"), ns, sd)
+          .agg(sum(col("recon"))).head().getDouble(0)
+      }
+      val rLo = reconRaw(ixLo, IvfIndex.Cache.nSub, IvfIndex.Cache.subDim)
+      val rHi = reconRaw(ixHi, IvfIndex.Cache.nSubHi, IvfIndex.Cache.subDimHi)
+      val rRes = reconResidual(ixRes, IvfIndex.Cache.nSubHi, IvfIndex.Cache.subDimHi)
+      info(f"sum-sq reconstruction error: raw64 $rLo%.1f, raw256 $rHi%.1f, residual256 $rRes%.1f")
+      assert(rHi < rLo, "4x codewords + finer subspaces must reduce raw reconstruction error")
+      assert(rRes < rHi, "residual coding must reconstruct tighter than raw at the same geometry")
+      // on ADC's own metric, resolution must climb — measured (round 16,
+      // deterministic fixture): raw64 0.000 → raw256 0.204 → residual256
+      // 0.800. Pinned with headroom below the measured points.
+      assert(dHi > dLo,
+        f"more/finer raw codes should climb on the dot metric: $dHi%.3f vs $dLo%.3f")
+      assert(dRes > math.max(dLo, dHi),
+        f"residual codes should outrank both raw configs on the dot metric: $dRes%.3f vs raw $dLo%.3f/$dHi%.3f")
+      assert(dRes >= 0.7,
+        f"residual pre-rerank recall vs exact-dot is $dRes%.3f — the resolution lever did not engage (measured 0.800)")
+      // the cosine-metric negative result stays pinned: if this ever
+      // rises above the mismatch bound, the analysis above is stale
+      assert(math.max(preLo, math.max(preHi, preRes)) < 0.35,
+        "cosine-metric pre-rerank recall escaped the metric-mismatch bound — re-derive the analysis")
+      assert(preRes > math.max(preLo, preHi),
+        f"residual codes should still edge out raw configs vs cosine: $preRes%.3f vs $preLo%.3f/$preHi%.3f")
     } finally graft.queries.QueryDef.rmTree(root)
   }
 }
