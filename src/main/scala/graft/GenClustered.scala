@@ -35,7 +35,8 @@ import org.apache.spark.sql.functions._
   * (the driver fixture's), noise 0.05.
   *
   * Layout contract matches the driver fixture: ONE `embeddings.parquet`
-  * file (vec_id long, embedding float[dim]) under dst, 8 MB row groups.
+  * file (vec_id long, embedding float[dim]) under dst, ≥32 row groups
+  * (v3 — see generatorVersion).
   * A `CLUSTERED_VERSION` stamp is written LAST (completion sentinel +
   * staleness guard, the GenScale pattern) so a consumer can refuse a
   * fixture an older generator wrote.
@@ -55,9 +56,13 @@ import org.apache.spark.sql.functions._
 object GenClustered {
 
   /** Bump when generation logic changes fixture bytes (v2: hash-based
-    * components replacing the 2-plane sin generator).
+    * components replacing the 2-plane sin generator; v3: source-size-aware
+    * row groups targeting ≥32 per file — VALUES identical to v2, but the
+    * v2 single 8 MB row group made every corpus scan a ONE-TASK stage,
+    * which serialized the whole interpreted-encode stage of the round-16
+    * codebook-axis sweep; the GenScale v2 lesson, applied here).
     */
-  val generatorVersion = 2
+  val generatorVersion = 3
 
   def stampContent(nVec: Long, kClusters: Int, dim: Int, noise: Double,
       centerSalt: Long, idOffset: Long): String =
@@ -139,8 +144,14 @@ object GenClustered {
       .drop("cl", "seq")
       .select(col("vec_id"), col("embedding"))
     val tmp = s"$dst/__tmp_embeddings"
+    // Row-group sizing (v3): a row group is parquet's atomic read unit —
+    // one oversized group serializes every scan stage onto one task.
+    // Target ≥32 groups from the raw data size (floats here are murmur3
+    // noise, nearly incompressible, so raw size ≈ file size).
+    val rawBytes = nVec * dim * 4L
+    val block = math.max(64L * 1024, math.min(8L * 1024 * 1024, rawBytes / 32))
     embs.coalesce(1).write.mode("overwrite")
-      .option("parquet.block.size", 8 * 1024 * 1024)
+      .option("parquet.block.size", block)
       .parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))

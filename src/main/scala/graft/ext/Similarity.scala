@@ -399,14 +399,14 @@ object Similarity {
     */
   private[ext] def pqEncodeAgainst(
       v: DataFrame, cb: DataFrame, nSub: Int, subDim: Int): DataFrame = {
+    // native codegen'd slice distance (round 16): the aggregate-HOF form
+    // this replaces evaluated an interpreted lambda per element — jstack'd
+    // as the single dominant cost of every PQ encode. Bit-identical fold
+    // (ascending index from 0.0), so codes and oracles are unchanged.
+    graft.functions.VectorExpressions.register(v.sparkSession)
     val subs = v.withColumn("s", explode(sequence(lit(0), lit(nSub - 1))))
-    val d2 = aggregate(
-      sequence(lit(1), lit(subDim)), lit(0.0),
-      (acc, i) => {
-        val off = (col("s") * subDim + i).cast("int")
-        val diff = element_at(col("ve"), off) - element_at(col("ce"), off)
-        acc + diff * diff
-      })
+    val d2 = graft.functions.VectorExpressions.vecSliceSqDist(
+      col("ve"), col("ce"), (col("s") * subDim).cast("int"), lit(subDim))
     val w = Window.partitionBy(col("vid"), col("s"))
       .orderBy(col("d2").asc, col("code_id").asc)
     val best = subs.crossJoin(broadcast(cb))
@@ -465,14 +465,12 @@ object Similarity {
   def trainSubCodebooks(
       train: DataFrame, cb: DataFrame, nSub: Int, subDim: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // same native slice distance as pqEncodeAgainst — train and encode
+    // must share the metric bit-for-bit
+    graft.functions.VectorExpressions.register(train.sparkSession)
     val subs = train.withColumn("s", explode(sequence(lit(0), lit(nSub - 1))))
-    val d2 = aggregate(
-      sequence(lit(1), lit(subDim)), lit(0.0),
-      (acc, i) => {
-        val off = (col("s") * subDim + i).cast("int")
-        val diff = element_at(col("ve"), off) - element_at(col("cbe"), off)
-        acc + diff * diff
-      })
+    val d2 = graft.functions.VectorExpressions.vecSliceSqDist(
+      col("ve"), col("cbe"), (col("s") * subDim).cast("int"), lit(subDim))
     val w = Window.partitionBy(col("vid"), col("s"))
       .orderBy(col("d2").asc, col("code_id").asc)
     val best = subs.crossJoin(broadcast(cb))
