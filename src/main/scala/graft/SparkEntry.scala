@@ -49,7 +49,7 @@ object SparkEntry {
       graft.queries.Extended65.all ++ graft.queries.Extended66.all ++
       graft.queries.Extended67.all ++ graft.queries.Extended68.all ++
       graft.queries.Extended69.all ++ graft.queries.Extended70.all ++
-      graft.queries.Extended71.all
+      graft.queries.Extended71.all ++ graft.queries.Extended72.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's daily-aggregate shape (v5_group_project_dag.py:167-172)

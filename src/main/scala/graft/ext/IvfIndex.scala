@@ -142,6 +142,19 @@ object IvfIndex {
     ()
   }
 
+  /** Whether `indexDir` was written by [[buildResidual]] — its codebook
+    * and codes live in residual space. The `_PQ_RESIDUAL` sidecar is the
+    * contract every lifecycle operation keys on: serve picks the ADC
+    * decomposition ([[servePqResidualTopK]] vs [[servePqTopK]], each
+    * refusing the other's layout), [[refresh]] picks the encode space for
+    * delta codes, [[rebuild]] picks the staging builder. Centroids,
+    * inverted lists, and the inline vectors are byte-compatible either
+    * way, so the IVF-Flat and SemDeDup paths never consult it.
+    */
+  def isResidual(indexDir: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$indexDir/_PQ_RESIDUAL"))
+
   /** IVF+PQ ADC serve against a RESIDUAL-coded index ([[buildResidual]]):
     * the candidate's approximate dot decomposes as
     * `dot(q, x̂) = dot(q, centroid(cell)) + dot(q, residual-codeword)` —
@@ -155,8 +168,7 @@ object IvfIndex {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, embCol: String, k: Int, nSub: Int, subDim: Int,
       nProbe: Int, maxProbePairs: Int = 1000000): DataFrame = {
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$indexDir/_PQ_RESIDUAL")),
+    require(isResidual(indexDir),
       s"$indexDir was not built by buildResidual — its codes live in raw-vector " +
         "space; use servePqTopK")
     val (probes, cells) = collectedProbes(
@@ -244,15 +256,18 @@ object IvfIndex {
       idCol: String, embCol: String, nSub: Int, subDim: Int,
       pairThreshold: Option[Double] = None): Unit = {
     recover(indexDir)
+    val residual = isResidual(indexDir)
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebook")
       .select(col("code_id"), col("cbe").as("ce"))
     val d = normalizedRel(delta, idCol, embCol, "cid", "ce")
     val assignedRaw = assignToCells(d, cent)
-    // pair maintenance reads the assignment twice (pairs + append):
+    // pair maintenance reads the assignment twice (pairs + append), and
+    // the residual encode reads it once more (codes need cent_id):
     // checkpoint so the ΔN×√N assignment scan runs once
     val assigned =
-      if (pairThreshold.isDefined) graft.ops.Ckpt(assignedRaw) else assignedRaw
+      if (pairThreshold.isDefined || residual) graft.ops.Ckpt(assignedRaw)
+      else assignedRaw
     pairThreshold.foreach { th =>
       // Fail fast on a maintenance call that would corrupt the artifact:
       // appending to a pairs/ that buildPairs never created (or created
@@ -319,9 +334,22 @@ object IvfIndex {
       dOld.union(dNew).filter(col("cos") >= th).select(col("a_id"), col("b_id"))
         .write.mode("append").parquet(s"$indexDir/pairs")
     }
-    val codes = Similarity.pqEncodeAgainst(
-      delta.select(col(idCol).as("vid"), toDouble(col(embCol)).as("ve")),
-      cb, nSub, subDim).drop("recon")
+    // Delta codes must live in the space the PERSISTED codebook
+    // quantizes: raw vectors for a [[build]] index, x − centroid(cell(x))
+    // for a [[buildResidual]] one ([[isResidual]] — the sidecar is the
+    // contract). Encoding the delta raw against a residual-space codebook
+    // would append codes that decode as garbage ADC scores with no error
+    // anywhere — the exact-rerank vectors (`ce`) are unaffected, which is
+    // precisely what would keep it silent. q338 hash-gates this branch
+    // (its oracle forms every corpus vector's residual, delta included).
+    val toEncode =
+      if (residual)
+        assigned
+          .join(broadcast(cent.select(col("cent_id"), col("cent_e"))), "cent_id")
+          .select(col("cid").as("vid"),
+            zip_with(col("ce"), col("cent_e"), (a, b) => a - b).as("ve"))
+      else delta.select(col(idCol).as("vid"), toDouble(col(embCol)).as("ve"))
+    val codes = Similarity.pqEncodeAgainst(toEncode, cb, nSub, subDim).drop("recon")
     // same one-file-per-cell rule as build: the append adds at most ONE
     // file per touched cell per refresh instead of tasks×cells
     assigned
@@ -509,6 +537,12 @@ object IvfIndex {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, embCol: String, k: Int, nSub: Int, subDim: Int,
       nProbe: Int, maxProbePairs: Int = 1000000): DataFrame = {
+    // the symmetric contract to servePqResidualTopK's: raw ADC against
+    // residual-space codes would score dot(q, x − centroid) with no
+    // centroid term — plausible numbers, silently wrong ranks
+    require(!isResidual(indexDir),
+      s"$indexDir was built by buildResidual — its codes live in residual " +
+        "space; use servePqResidualTopK")
     // the ADC path rebuilds its LUT and rerank from the query relation
     // directly, so the slim (qid, cent_id) pair relation is all it needs
     val (probes, cells) = collectedProbes(
@@ -862,6 +896,16 @@ object IvfIndex {
       spark: SparkSession, indexDir: String, nSub: Int, subDim: Int,
       trainIters: Int = 1, nCodewords: Int = 64, cbTrain: Boolean = false): Unit = {
     recover(indexDir)
+    // A residual-coded index must stage through buildResidual: rebuilding
+    // it with raw codes while the live _PQ_RESIDUAL sidecar survives the
+    // swap (components move; sidecars stay) would leave an index
+    // servePqResidualTopK still ACCEPTS but whose codes lost their
+    // centroid offset — silent ADC corruption. q339 hash-gates the
+    // residual staging; Extended72Spec pins the sidecar round-trip.
+    val residual = isResidual(indexDir)
+    require(!(cbTrain && residual),
+      "rebuild(cbTrain=true) on a residual-coded index: buildResidual has no " +
+        "per-subspace-trained form — its codebook is the strided residual seed")
     val corpus = spark.read.parquet(s"$indexDir/invfile")
       .select(col("cid").as("vec_id"), col("ce").as("embedding"))
     val n = corpus.count()
@@ -869,11 +913,17 @@ object IvfIndex {
     val trainStride = math.max(1L, n / (4L * stride))
     val sample = corpus.filter(pmod(col("vec_id"), lit(trainStride)) === 0)
     val staging = s"$indexDir/__rebuild"
-    build(corpus, "vec_id", "embedding",
-      stride = stride, trainIters = trainIters, trainOn = Some(sample),
-      nSub = nSub, subDim = subDim,
-      codeStride = math.max(1L, n / nCodewords), outDir = staging,
-      cbTrainOn = if (cbTrain) Some(sample) else None)
+    if (residual)
+      buildResidual(corpus, "vec_id", "embedding",
+        stride = stride, trainIters = trainIters, trainOn = Some(sample),
+        nSub = nSub, subDim = subDim,
+        codeStride = math.max(1L, n / nCodewords), outDir = staging)
+    else
+      build(corpus, "vec_id", "embedding",
+        stride = stride, trainIters = trainIters, trainOn = Some(sample),
+        nSub = nSub, subDim = subDim,
+        codeStride = math.max(1L, n / nCodewords), outDir = staging,
+        cbTrainOn = if (cbTrain) Some(sample) else None)
     val pairsTh = pairsThresholdOf(indexDir)
     pairsTh.foreach(th => buildPairs(spark, staging, th))
     // same verification gate as compact: a staged tree that dropped rows
@@ -1015,6 +1065,62 @@ object IvfIndex {
         out
       })
     private val residualBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** [[refreshedIndexFor]]'s RESIDUAL twin for q338: [[buildResidual]]
+      * on the 90% old corpus (hi-res geometry, all parameters derived
+      * from the OLD count), then [[IvfIndex.refresh]] with the 10% delta.
+      * The refresh must notice the `_PQ_RESIDUAL` sidecar and encode the
+      * delta's RESIDUALS against the persisted residual-space codebook —
+      * a raw encode (the [[build]]-index behavior) is a hash mismatch in
+      * every delta candidate's ADC score under q338's oracle, which forms
+      * residuals for the FULL corpus while restricting the codebook seed
+      * to the old sub-corpus (mirroring q329's codebook-provenance gate).
+      */
+    def residualRefreshedIndexFor(spark: SparkSession, dir: String): String =
+      residualRefreshedBuilt.computeIfAbsent(dir, { d =>
+        val emb = graft.Tables.load(spark, d, "embeddings")
+        val old = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+        val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+        val nOld = oldCount(spark, d)
+        val stride = Similarity.sqrtStride(nOld)
+        val trainStride = math.max(1L, nOld / (4L * stride))
+        val out = java.nio.file.Files.createTempDirectory(root, "prx").toString
+        buildResidual(old, "vec_id", "embedding",
+          stride = stride, trainIters = 1,
+          trainOn = Some(old.filter(pmod(col("vec_id"), lit(trainStride)) === 0)),
+          nSub = nSubHi, subDim = subDimHi,
+          codeStride = math.max(1L, nOld / nCodewordsHi), outDir = out)
+        refresh(spark, out, delta, "vec_id", "embedding", nSubHi, subDimHi)
+        out
+      })
+    private val residualRefreshedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** [[rebuiltIndexFor]]'s RESIDUAL twin for q339 — the residual
+      * lifecycle's close: buildResidual(90%) → refresh(10%) → rebuild.
+      * rebuild stages through buildResidual at parameters re-derived from
+      * the union count, so the swapped-in index must equal a FRESH
+      * [[buildResidual]] on the full corpus — q339 reuses q337's oracle
+      * verbatim (the identity q335 pins for the raw lifecycle).
+      */
+    def residualRebuiltIndexFor(spark: SparkSession, dir: String): String =
+      residualRebuiltBuilt.computeIfAbsent(dir, { d =>
+        val emb = graft.Tables.load(spark, d, "embeddings")
+        val old = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+        val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+        val nOld = oldCount(spark, d)
+        val stride = Similarity.sqrtStride(nOld)
+        val trainStride = math.max(1L, nOld / (4L * stride))
+        val out = java.nio.file.Files.createTempDirectory(root, "brx").toString
+        buildResidual(old, "vec_id", "embedding",
+          stride = stride, trainIters = 1,
+          trainOn = Some(old.filter(pmod(col("vec_id"), lit(trainStride)) === 0)),
+          nSub = nSubHi, subDim = subDimHi,
+          codeStride = math.max(1L, nOld / nCodewordsHi), outDir = out)
+        refresh(spark, out, delta, "vec_id", "embedding", nSubHi, subDimHi)
+        rebuild(spark, out, nSubHi, subDimHi, nCodewords = nCodewordsHi)
+        out
+      })
+    private val residualRebuiltBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
     /** The full-lifecycle index for q335/q336: build on the 90% old
       * corpus + pairs + refresh with the 10% delta (exactly

@@ -45,25 +45,35 @@ object Extended71 {
        |$tail""".stripMargin
   }
 
-  /** q337's oracle: the sampled-train build, then the RESIDUAL ADC serve
-    * unrolled — every corpus vector's residual is `embedding − cent_e` of
-    * its a3-assigned centroid; the strided codebook lives in residual
-    * space (codeword = strided vector's residual); the candidate score is
+  /** The RESIDUAL ADC serve unrolled as CTE tail text (probe → residual
+    * formation → residual-space codebook → encode → LUT → decomposed ADC
+    * → rerank), against whatever `cent1`/`a3`/`c`/`q` build CTEs the
+    * caller prepends — every corpus vector's residual is
+    * `embedding − cent_e` of its a3-assigned centroid; the strided
+    * codebook lives in residual space (codeword = strided vector's
+    * residual); the candidate score is
     * `dot(q, centroid) + Σ_s lut(q, s, code_s)` with the cross-subspace
     * sum DECIMAL-accumulated, mirroring servePqResidualTopK term for
     * term. Component arithmetic keeps Spark's op order exactly:
     * `(v[i] − cent_v[i]) − (w[i] − cent_w[i])` is the same three IEEE
     * subtractions as Spark's residual-array-then-diff fold.
+    *
+    * `cstPred` (over embeddings.vec_id) restricts the corpus count that
+    * SIZES the codebook stride; `cbrPred` (over a.cid) restricts which
+    * assigned rows seed codewords — both "TRUE" for a full-corpus build
+    * (q337/q339), the 90% predicate for the refreshed index whose
+    * codebook was built before the delta arrived (q338, mirroring q329's
+    * codebook-provenance parameterization).
     */
-  private val residualOracleSql: String = {
+  private[queries] def residualAdcTailSql(cstPred: String, cbrPred: String): String = {
     val (ns, sd, cw) =
       (IvfIndex.Cache.nSubHi, IvfIndex.Cache.subDimHi, IvfIndex.Cache.nCodewordsHi)
     val idx = s"sp.s*$sd + i"
-    s"""${EmbeddingQueries.sampledTrainBuildCtes},
-       |${Extended68.adcProbeCtes},
-       |cst AS (SELECT greatest(1, count(*) // $cw) AS sv FROM embeddings),
+    s"""${Extended68.adcProbeCtes},
+       |cst AS (SELECT greatest(1, count(*) // $cw) AS sv FROM embeddings
+       |        WHERE $cstPred),
        |cbr AS (SELECT a.cid AS code_id, a.cent_id FROM a3 a
-       |        WHERE a.cid % (SELECT sv FROM cst) = 0),
+       |        WHERE ($cbrPred) AND a.cid % (SELECT sv FROM cst) = 0),
        |pd AS (SELECT v.vec_id, sp.s, b.code_id,
        |         sum(((CAST(v.embedding[$idx] AS DOUBLE) - cv.cent_e[$idx]) -
        |              (CAST(w.embedding[$idx] AS DOUBLE) - cw.cent_e[$idx])) *
@@ -117,6 +127,14 @@ object Extended71 {
        |SELECT qid, cid, rn, ${Num.roundSql("adc", 4)} AS adc_r, ${Num.roundSql("cos", 4)} AS cos_r
        |FROM x ORDER BY qid, rn""".stripMargin
   }
+
+  /** q337's oracle (reused verbatim by q339, whose rebuilt index must
+    * equal this fresh full-corpus build): the sampled-train build CTEs +
+    * the residual ADC tail, unrestricted.
+    */
+  private[queries] val residualOracleSql: String =
+    s"""${EmbeddingQueries.sampledTrainBuildCtes},
+       |${residualAdcTailSql("TRUE", "TRUE")}""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     // ----- q334: hi-resolution PQ ADC serve (256 codewords × nSub=8) ----
