@@ -116,6 +116,8 @@ class BatteryPlanSpec extends SparkSuite {
     "q332_pq_trained_codebook" -> "q326's LUT shape over the TRAINED-codebook index: the broadcast side is the persisted codebook parquet — trainSubCodebooks preserves the seed's code domain (Extended70Spec pins it), so it is the same ~64-codeword constant-size relation at any corpus size",
     "q334_pq_hires_adc_serve" -> "q326's LUT shape at the hi-res geometry: the broadcast side is the persisted ~256-codeword codebook (N/256 stride — constant at any corpus size); query side vec_id < 10",
     "q337_pq_residual_adc_serve" -> "q326's LUT shape over the RESIDUAL-coded index: the broadcast side is the persisted ~256-codeword residual codebook (N/256 stride — constant at any corpus size); the centroid-dot side is the bounded probe-pair list against the √N centroid broadcast; query side vec_id < 10",
+    "q338_residual_refresh_serve" -> "q337's serve shape over the residual-REFRESHED index: same persisted ~256-codeword residual codebook broadcast (N_old/256 stride — constant at any corpus size), bounded probe-pair centroid-dot side, query side vec_id < 10",
+    "q339_residual_rebuild_serve" -> "q337's serve shape over the residual-REBUILT index: rebuild re-derives the codebook at N_union/256 stride (still a constant-size broadcast), bounded probe-pair centroid-dot side, query side vec_id < 10",
     "q315_hybrid_retrieval" -> "dense query side bounded by literal filter vec_id < 5; sparse broadcasts bounded by the 5 probe docs' term set (qt/dfT) and a 1-row stats scalar",
     "q123_ann_recall" -> "both arms' query sides bounded by vec_id < 10",
     "q304_matryoshka_overlap" -> "anchor side bounded by literal filter vec_id < 10",
