@@ -22,6 +22,31 @@ import graft.schema.Schemas
   */
 object Streaming {
 
+  /** Run `body` (typically: start a StreamingQuery and await it) with the
+    * session's shuffle width temporarily set to `n`, restoring the prior
+    * value afterwards (no conf ratchets — the r10 buildBloom lesson).
+    *
+    * WHY (r16 measurement): every stateful streaming operator opens one
+    * state-store instance per shuffle partition per store (a stream-stream
+    * join opens FOUR per partition per side) in EVERY micro-batch, and the
+    * HDFS-backed provider pays file create/commit per instance per batch.
+    * On the bounded single-box replays the battery runs, that fixed cost
+    * dominates the actual data: q317 measured 14.5 s at 32 partitions vs
+    * 5.7 s at 4 (round-11 note), and r16's sweep found the same shape in
+    * every stream entry still running at the session default. The width is
+    * baked into each query's EPHEMERAL checkpoint at batch 0, so it is a
+    * per-run deploy knob: a production cluster sizes it to executors ×
+    * cores like any stateful job; 4 fits a single-box ~100k-row replay.
+    * It also matches the width the correctness gate verifies at
+    * (Verify.scala defaults to 4 cpus / 4 shuffle partitions).
+    */
+  def withStreamShuffleWidth[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** File-source stream over an events parquet directory (replays the
     * fixture as a stream). maxFilesPerTrigger throttles micro-batches so
     * tests exercise multi-batch accumulation.

@@ -97,16 +97,20 @@ object Extended11 {
           .agg(
             count(lit(1)).as("n"),
             sum(R(col("value"), 4).cast(DecimalType(18, 4))).as("__vs"))
-        val q = agg.writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("overwrite").parquet(out)
-            ()
-          }
-          .start()
-        q.awaitTermination()
+        // stream runs at shuffle width 4: state-store fixed cost per
+        // partition per batch (see Streaming.withStreamShuffleWidth)
+        Streaming.withStreamShuffleWidth(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("overwrite").parquet(out)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
         // localCheckpoint(eager) materializes off the sink files so the
         // scratch trio deletes NOW instead of leaking per invocation
         s.read.parquet(out)
@@ -154,16 +158,19 @@ object Extended11 {
           .agg(
             count(lit(1)).as("n_events"),
             sum(R(col("value"), 4).cast(DecimalType(18, 4))).as("__vs"))
-        val q = agg.writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("overwrite").parquet(out)
-            ()
-          }
-          .start()
-        q.awaitTermination()
+        // stream runs at shuffle width 4 (see withStreamShuffleWidth)
+        Streaming.withStreamShuffleWidth(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("overwrite").parquet(out)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(out)
           .select(
             col("user_id"),
@@ -417,16 +424,21 @@ object Extended11 {
           val stream = Streaming.eventsFileStream(s, src.toString)
             .select(col("user_id"),
               (R(col("value"), 4).cast(DecimalType(18, 4)) * 10000).cast("long").as("units"))
-          val q = Streaming.runningUserTotalsExact(stream).toDF().writeStream
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow())
-            .foreachBatch { (b: DataFrame, id: Long) =>
-              b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
-              ()
-            }
-            .start()
-          q.awaitTermination()
+          // stream runs at shuffle width 4 — transformWithState opens a
+          // RocksDB instance per partition per batch, the priciest
+          // store-per-partition case (see withStreamShuffleWidth)
+          Streaming.withStreamShuffleWidth(s, 4) {
+            val q = Streaming.runningUserTotalsExact(stream).toDF().writeStream
+              .outputMode("update")
+              .option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow())
+              .foreachBatch { (b: DataFrame, id: Long) =>
+                b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+                ()
+              }
+              .start()
+            q.awaitTermination()
+          }
         } finally prior match {
           case Some(p) => s.conf.set(providerKey, p)
           case None => s.conf.unset(providerKey)

@@ -62,19 +62,25 @@ object Extended46 {
           col("p_uid") === col("user_id") &&
             col("p_ts") >= col("s_ts") &&
             col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
-        val q = joined
-          .select(col("user_id"),
-            unix_micros(col("s_ts")).as("st"), unix_micros(col("p_ts")).as("pt"))
-          .writeStream
-          .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(out)
-            ()
-          }
-          .start()
-        q.awaitTermination()
+        // stream runs at shuffle width 4: a stream-stream join opens 4
+        // state stores per partition per side per batch — at the session's
+        // 32 partitions that fixed cost dominated this query (r16 sweep:
+        // ~10-14 s; see Streaming.withStreamShuffleWidth)
+        Streaming.withStreamShuffleWidth(s, 4) {
+          val q = joined
+            .select(col("user_id"),
+              unix_micros(col("s_ts")).as("st"), unix_micros(col("p_ts")).as("pt"))
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(out)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_pairs"),

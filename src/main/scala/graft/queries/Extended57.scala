@@ -47,16 +47,19 @@ object Extended57 {
         val agg = Streaming.slidingCounts(
           Streaming.eventsFileStream(s, src.toString),
           window_ = "1 hour", slide = "15 minutes")
-        val q = agg.writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            b.write.mode("overwrite").parquet(out)
-            ()
-          }
-          .start()
-        q.awaitTermination()
+        // stream runs at shuffle width 4 (see withStreamShuffleWidth)
+        Streaming.withStreamShuffleWidth(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("overwrite").parquet(out)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
         // localCheckpoint(eager) materializes off the sink files so the
         // scratch trio (incl. the events.parquet copy) deletes NOW
         // instead of leaking one trio per verify/bench invocation

@@ -54,16 +54,20 @@ object Extended60 {
           .dropDuplicates("user_id", "event_type")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_distinct_users"))
-        val q = agg.writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            b.write.mode("overwrite").parquet(out)
-            ()
-          }
-          .start()
-        q.awaitTermination()
+        // stream runs at shuffle width 4 — dedup + agg = two stateful
+        // operators' stores per partition (see withStreamShuffleWidth)
+        Streaming.withStreamShuffleWidth(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("overwrite").parquet(out)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(out)
           .select(col("event_type"), col("n_distinct_users"))
           .orderBy("event_type")

@@ -153,16 +153,19 @@ object Extended61 {
           .join(broadcast(dim), col("user_id") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
-        val q = agg.writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            b.write.mode("overwrite").parquet(out)
-            ()
-          }
-          .start()
-        q.awaitTermination()
+        // stream runs at shuffle width 4 (see withStreamShuffleWidth)
+        Streaming.withStreamShuffleWidth(s, 4) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("overwrite").parquet(out)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(out)
           .select(col("c_mktsegment"), col("n_events"),
             R(col("value_sum"), 4).as("value_sum_r"))

@@ -62,9 +62,7 @@ object Extended63 {
         // stateful job; 4 fits a single-box 100k-row replay. Restore the
         // session conf either way (the r10 buildBloom lesson: no conf
         // ratchets).
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "4")
+        Streaming.withStreamShuffleWidth(s, 4) {
           val q = joined
             .select(col("user_id"), col("s_id"),
               unix_micros(col("s_ts")).as("st"), unix_micros(col("p_ts")).as("pt"))
@@ -78,7 +76,7 @@ object Extended63 {
             }
             .start()
           q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
         // localCheckpoint materializes eagerly, so cleanup in the finally
         // is safe on success AND runs on failure (no leaked events copy)
           s.read.parquet(out)

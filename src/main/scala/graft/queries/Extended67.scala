@@ -64,9 +64,7 @@ object Extended67 {
           .groupBy(window(col("p_ts"), "1 hour").as("w"))
           .agg(count(lit(1)).as("n_pairs"),
             sum(col("p_value")).as("v"))
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "4")
+        Streaming.withStreamShuffleWidth(s, 4) {
           val q = agg
             .select(unix_micros(col("w.start")).as("wstart_us"),
               col("n_pairs"), col("v"))
@@ -80,7 +78,7 @@ object Extended67 {
             }
             .start()
           q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
           s.read.parquet(out)
             .filter(col("wstart_us") < Streaming.SentinelEpochUs)
             .withColumn("hr", (col("wstart_us") / lit(3600000000L)).cast("long"))
