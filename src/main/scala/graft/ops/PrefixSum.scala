@@ -158,8 +158,17 @@ object PrefixSum {
     // null values contribute 0, exactly like the window sum skipping them
     // (the twin `sum(value).over(...preceding,-1)` ignores nulls; the
     // inclusive-minus-current trick below would otherwise null the row)
-    val keyed = df.withColumn("__pval", coalesce(value, lit(0)))
-      .withColumn("__pv", qv)
+    //
+    // Ckpt BEFORE the eager approxQuantile pass (r16): the input lineage
+    // is consumed THREE times — the boundary scan below, the subtotal
+    // branch, and the celled side of the offsets join — and without a
+    // materialization point each consumer recomputes the caller's whole
+    // upstream plan (q283's rank rollup re-ran its lineitem scan+agg 3×
+    // per call; the plan showed 5 lineitem scans for 2 rank calls).
+    // One localCheckpoint (reliable checkpoint under graft.checkpoint.dir
+    // — the Ckpt production switch) pays the input once.
+    val keyed = Ckpt(df.withColumn("__pval", coalesce(value, lit(0)))
+      .withColumn("__pv", qv))
     val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
     val bounds =
       if (coarseCells <= 1) Array.empty[Double]
@@ -221,8 +230,11 @@ object PrefixSum {
   def exclusiveMaxLong(
       df: DataFrame, order: Column, ties: Seq[Column],
       value: Column, out: String, coarseCells: Int = 64): DataFrame = {
-    val keyed = df.withColumn("__pval", value.cast("long"))
-      .withColumn("__pv", order.cast("double"))
+    // Ckpt for the same three-consumer reason as exclusiveSum: the
+    // boundary scan, the bounded cellMax collect, and the final plan
+    // would each recompute the caller's upstream lineage
+    val keyed = Ckpt(df.withColumn("__pval", value.cast("long"))
+      .withColumn("__pv", order.cast("double")))
     val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
     val bounds =
       if (coarseCells <= 1) Array.empty[Double]

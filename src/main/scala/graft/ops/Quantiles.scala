@@ -83,10 +83,19 @@ object Quantiles {
     require(n > 0, s"ntile bucket count must be positive, got $n")
     require(keys.nonEmpty, "at least one ntile sort key required")
     val qvName = keys.indices.map(i => s"__qv$i")
-    val keyed = keys.zipWithIndex.foldLeft(df) { case (d, (k, i)) =>
+    // Ckpt BEFORE the eager passes (r16): the input lineage is consumed
+    // by the boundary scan, by EVERY key's bounded cell-count collect,
+    // and by the final plan — without a materialization point each
+    // consumer recomputes the caller's whole upstream plan (2 + k full
+    // computations for k ntile keys). One localCheckpoint (reliable
+    // checkpoint under graft.checkpoint.dir) pays the input once; the
+    // per-key counts then read the materialized base directly instead of
+    // the folded chain, so key i's collect no longer replays keys 1..i−1's
+    // window joins either.
+    val keyed = Ckpt(keys.zipWithIndex.foldLeft(df) { case (d, (k, i)) =>
       val dir = if (k.ascending) k.value.cast("double") else negate(k.value.cast("double"))
       d.withColumn(qvName(i), dir)
-    }
+    })
     // pass 1: coarse boundaries for ALL sort keys in one scan
     // (driver-side doubles; membership-neutral)
     val probs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
@@ -96,17 +105,21 @@ object Quantiles {
         // -0.0 -> 0.0 BEFORE distinct: CellBucket.search requires distinct bounds
         .toSeq.map(_.map(_ + 0.0).distinct.sorted)
     keys.zipWithIndex.foldLeft(keyed) { case (d, (k, i)) =>
-      oneKey(d, n, k, col(qvName(i)), bounds(i), ties)
+      oneKey(d, keyed, n, k, col(qvName(i)), bounds(i), ties)
     }.drop(qvName: _*)
   }
 
   private def oneKey(
-      df: DataFrame, n: Int, k: NtileKey, qv: Column,
+      df: DataFrame, base: DataFrame, n: Int, k: NtileKey, qv: Column,
       bounds: Array[Double], ties: Seq[Column]): DataFrame = {
     val celled = df.withColumn("__qc", cellOf(df.sparkSession, qv, bounds, "Quantiles.exactNtile"))
     // pass 2: exact per-cell counts → global rank offsets (≤ coarseCells
-    // rows — bounded, never data-sized)
-    val counts = celled.groupBy(col("__qc")).agg(count(lit(1)).as("__qn"))
+    // rows — bounded, never data-sized). Counted off the MATERIALIZED
+    // base (cell membership depends only on qv + bounds, not on other
+    // keys' outputs), so this eager collect never replays the fold chain.
+    val counts = base
+      .withColumn("__qc", cellOf(base.sparkSession, qv, bounds, "Quantiles.exactNtile"))
+      .groupBy(col("__qc")).agg(count(lit(1)).as("__qn"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val total = counts.map(_._2).sum
     val offsets = counts.map(_._1)
