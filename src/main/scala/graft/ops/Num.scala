@@ -35,4 +35,32 @@ object Num {
 
   def roundSql(expr: String, n: Int): String =
     s"(sign($expr) * floor(abs($expr) * 1e$n + 0.5) / 1e$n + 0.0)"
+
+  /** Driver-side scalar twin of [[roundTo]] — the identical IEEE op
+    * sequence (multiply, add 0.5, floor, divide, −0.0 normalize), so a
+    * value rounded on the driver is bit-equal to the Column expression's
+    * result. (Spark's `floor` goes through BIGINT; for |x|·10ⁿ < 2⁶³ the
+    * long↔double round-trip is value-preserving, so `math.floor` — which
+    * is also what DuckDB computes — agrees bit-for-bit.) Used by the
+    * bounded-graph driver iterations (q144/q163/q274 family).
+    */
+  def roundToD(x: Double, n: Int): Double = {
+    val p = math.pow(10, n.toDouble)
+    math.signum(x) * math.floor(math.abs(x) * p + 0.5) / p + 0.0
+  }
+
+  /** Driver-side twin of `CAST(x AS DECIMAL(24,12))`: Spark's
+    * double→decimal cast parses `Double.toString` (shortest decimal
+    * string — `java.math.BigDecimal.valueOf` does exactly that) and
+    * rescales HALF_UP. Summing these BigDecimals is exact decimal
+    * addition, order-free — the same contract the Column-side
+    * `sum(cast(... as DECIMAL(24,12)))` provides.
+    */
+  def dec12(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** `sum(CAST(term AS DECIMAL(24,12))).cast("double")`, driver-side. */
+  def dec12Sum(terms: IterableOnce[Double]): Double =
+    terms.iterator.foldLeft(java.math.BigDecimal.ZERO)((a, t) => a.add(dec12(t)))
+      .doubleValue
 }

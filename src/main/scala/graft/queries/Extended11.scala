@@ -206,15 +206,16 @@ object Extended11 {
 
     // BFS shortest-hops from nation 0 over the directed trade graph
     // (customer-nation → supplier-nation, the q144 edge relation
-    // unweighted). The iterative-frontier template: the distance vector
-    // is vertex-sized and BROADCASTS into each round's edge join; the
-    // edge relation is Ckpt-truncated once (reliable under
-    // graft.checkpoint.dir); per-round cost is one map-side join + one
-    // hash agg over edges. Six rounds bound the walk on both engines, so
-    // results agree even if a component's diameter exceeded the bound.
-    // Pure integer arithmetic — no rounding contract needed. The oracle
-    // is a recursive CTE whose UNION dedup keeps (v, dist) pairs finite
-    // on the cyclic graph.
+    // unweighted). The heavy work — the 4-way fact rollup producing the
+    // edge relation — is distributed; the ITERATION state is dimension-
+    // bounded (≤ |nation|² = 625 edges by schema at ANY data scale), so
+    // the 6 relaxation rounds run on the driver over the collected edge
+    // list (TinyGraph decision rule) instead of paying ~5 scheduler
+    // rounds per hop for microseconds of integer arithmetic. Pure
+    // integer arithmetic — no rounding contract needed; row-identical
+    // to the former distributed least()/min() relaxation by monotone
+    // induction. The oracle is a recursive CTE whose UNION dedup keeps
+    // (v, dist) pairs finite on the cyclic graph.
     QueryDef(
       "q153_bfs_hops",
       (s, dir) => {
@@ -226,21 +227,29 @@ object Extended11 {
           .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey").as("w")),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("u"), col("w").as("v")).distinct()
-          .transform(graft.ops.Ckpt.apply)
-        val vtx = tbl(s, dir, "nation").select(col("n_nationkey").as("v"))
-        var dist = vtx.select(col("v"),
-          when(col("v") === 0, lit(0)).otherwise(lit(null).cast("int")).as("hops"))
+        val adj = graft.ops.TinyGraph.collectBounded(eg, "q153 trade edges")
+          .map(r => (r.getInt(0), r.getInt(1)))
+          .groupMap(_._1)(_._2)
+        val vtx = graft.ops.TinyGraph.collectBounded(
+          tbl(s, dir, "nation").select(col("n_nationkey")), "q153 vertices")
+          .map(_.getInt(0))
+        val hops = scala.collection.mutable.Map(0 -> 0)
         (1 to BfsMaxHops).foreach { _ =>
-          val frontier = dist.filter(col("hops").isNotNull)
-            .select(col("v").as("u"), col("hops").as("du"))
-          val reached = eg.join(broadcast(frontier), "u")
-            .groupBy(col("v")).agg(min(col("du") + 1).as("nd"))
-          // least() skips NULLs, so: both null → still unreached; one
-          // side set → that distance; both set → the smaller
-          dist = dist.join(broadcast(reached), Seq("v"), "left")
-            .select(col("v"), least(col("hops"), col("nd")).as("hops"))
+          hops.toSeq.foreach { case (u, du) =>
+            adj.getOrElse(u, Array.empty[Int]).foreach { v =>
+              if (!hops.contains(v) || hops(v) > du + 1) hops(v) = du + 1
+            }
+          }
         }
-        dist.orderBy("v")
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(vtx.sorted.map(v =>
+            org.apache.spark.sql.Row(v, hops.get(v).map(Int.box).orNull)): _*)
+        s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("hops",
+              org.apache.spark.sql.types.IntegerType))))
+          .orderBy("v")
       },
       Some(s"""WITH RECURSIVE eg AS (
               |  SELECT DISTINCT c.c_nationkey AS u, s.s_nationkey AS v
@@ -468,13 +477,13 @@ object Extended11 {
               |ORDER BY user_id""".stripMargin)),
 
     // Weighted shortest paths from nation 0 (Bellman-Ford, min-plus
-    // semiring) over the trade graph, edge cost = trade-pair count. Six
-    // relaxation rounds; each is one broadcast join of the vertex-sized
-    // distance vector into the edge relation plus a hash-agg min — the
-    // weighted sibling of q153's BFS and the min-plus instance of the
-    // q144 iteration template. All-long arithmetic: bit-exact on any
-    // engine, no rounding contract. Unreachable-at-6-hops vertices
-    // report NULL on both sides by construction.
+    // semiring) over the trade graph, edge cost = trade-pair count. The
+    // weighted-edge rollup stays distributed; the six relaxation rounds
+    // run on the driver over the dimension-bounded edge list (TinyGraph
+    // decision rule — the weighted sibling of q153). All-long
+    // arithmetic: bit-exact on any engine, no rounding contract.
+    // Unreachable-at-6-hops vertices report NULL on both sides by
+    // construction.
     QueryDef(
       "q157_weighted_paths",
       (s, dir) => {
@@ -486,18 +495,28 @@ object Extended11 {
           .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey").as("w")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("u"), col("w").as("v")).agg(count(lit(1)).as("wt"))
-          .transform(graft.ops.Ckpt.apply)
-        val vtx = tbl(s, dir, "nation").select(col("n_nationkey").as("v"))
-        var dist = vtx.filter(col("v") === 0)
-          .select(col("v"), lit(0L).as("dist"))
+        val adj = graft.ops.TinyGraph.collectBounded(eg, "q157 trade edges")
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+          .groupMap(_._1)(e => (e._2, e._3))
+        val vtx = graft.ops.TinyGraph.collectBounded(
+          tbl(s, dir, "nation").select(col("n_nationkey")), "q157 vertices")
+          .map(_.getInt(0))
+        val dist = scala.collection.mutable.Map(0 -> 0L)
         (1 to BfRounds).foreach { _ =>
-          val relaxed = eg
-            .join(broadcast(dist.select(col("v").as("u"), col("dist").as("du"))), "u")
-            .select(col("v"), (col("du") + col("wt")).as("dist"))
-          dist = dist.unionAll(relaxed).groupBy("v").agg(min(col("dist")).as("dist"))
+          dist.toSeq.foreach { case (u, du) =>
+            adj.getOrElse(u, Array.empty[(Int, Long)]).foreach { case (v, w) =>
+              if (!dist.contains(v) || dist(v) > du + w) dist(v) = du + w
+            }
+          }
         }
-        vtx.join(broadcast(dist), Seq("v"), "left")
-          .select(col("v"), col("dist").as("cost"))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(vtx.sorted.map(v =>
+            org.apache.spark.sql.Row(v, dist.get(v).map(Long.box).orNull)): _*)
+        s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("cost",
+              org.apache.spark.sql.types.LongType))))
           .orderBy("v")
       },
       Some(bellmanFordSql)))

@@ -263,24 +263,43 @@ object Extended12 {
       "q160_label_prop",
       (s, dir) => {
         val dg = tradeEdges(s, dir).filter(col("u") =!= col("v"))
-        val eg = dg.union(dg.select(col("v").as("u"), col("u").as("v")))
-          .distinct().transform(graft.ops.Ckpt.apply)
-        var labels = tbl(s, dir, "nation")
-          .select(col("n_nationkey").as("v"), col("n_nationkey").as("lab"))
+        // the symmetric nation-level edge relation is dimension-bounded
+        // (≤ |nation|² rows by schema) — the 4 synchronous LPA rounds run
+        // on the driver over the collected edges (TinyGraph decision
+        // rule; all-integer argmax with the identical (count DESC, label
+        // ASC) tie-break), instead of 4 × (join + agg + window + Ckpt)
+        // scheduler rounds. The fact rollup producing dg stays
+        // distributed; a data-sized graph keeps the distributed loop.
+        val edges = graft.ops.TinyGraph.collectBounded(dg, "q160 trade edges")
+          .map(r => (r.getInt(0), r.getInt(1)))
+        val sym = (edges ++ edges.map(e => (e._2, e._1))).distinct
+        val inTo = sym.groupMap(_._1)(_._2) // u -> neighbors v (labels flow v→u)
+        val vtx = graft.ops.TinyGraph.collectBounded(
+          tbl(s, dir, "nation").select(col("n_nationkey")), "q160 vertices")
+          .map(_.getInt(0))
+        var labels: Map[Int, Int] = vtx.map(v => v -> v).toMap
         (1 to LpaRounds).foreach { _ =>
-          val nb = eg.join(labels.select(col("v"), col("lab")), "v")
-            .select(col("u").as("v"), col("lab"))
-          val cnt = nb.groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
-          val pick = cnt
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(col("v")).orderBy(col("c").desc, col("lab").asc)))
-            .filter(col("rn") === 1)
-            .select(col("v"), col("lab").as("nl"))
-          labels = labels.join(pick, Seq("v"), "left")
-            .select(col("v"), coalesce(col("nl"), col("lab")).as("lab"))
-            .transform(graft.ops.Ckpt.apply)
+          val snap = labels
+          labels = vtx.map { v =>
+            val nbLabels = inTo.getOrElse(v, Array.empty[Int]).toSeq.map(snap)
+            if (nbLabels.isEmpty) v -> snap(v)
+            else {
+              val best = nbLabels.groupBy(identity).view
+                .mapValues(_.size).toSeq
+                .minBy { case (lab, c) => (-c, lab) }._1
+              v -> best
+            }
+          }.toMap
         }
-        labels.select(col("v"), col("lab").as("community")).orderBy("v")
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(vtx.sorted.map(v =>
+            org.apache.spark.sql.Row(v, labels(v))): _*)
+        s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("community",
+              org.apache.spark.sql.types.IntegerType))))
+          .orderBy("v")
       },
       Some(lpaSql)),
 
@@ -403,27 +422,44 @@ object Extended12 {
     QueryDef(
       "q163_harmonic_centrality",
       (s, dir) => {
-        val eg = tradeEdges(s, dir).transform(graft.ops.Ckpt.apply)
-        val vtx = tbl(s, dir, "nation").select(col("n_nationkey").as("v"))
-        var dist = vtx.select(col("v").as("src"), col("v"), lit(0).as("d"))
+        // dimension-bounded all-source BFS state (≤ |nation|² (src, v)
+        // pairs by schema) — the 6 hop rounds run on the driver over the
+        // collected edge list (TinyGraph decision rule); the 1/d terms
+        // accumulate via Num.dec12Sum, the bit-exact driver twin of the
+        // former sum(CAST(roundTo(1/d,12) AS DECIMAL(24,12))). The fact
+        // rollup stays distributed; HyperBall sketches remain the
+        // documented web-scale path.
+        val adj = graft.ops.TinyGraph.collectBounded(
+            tradeEdges(s, dir), "q163 trade edges")
+          .map(r => (r.getInt(0), r.getInt(1)))
+          .groupMap(_._1)(_._2)
+        val vtx = graft.ops.TinyGraph.collectBounded(
+          tbl(s, dir, "nation").select(col("n_nationkey")), "q163 vertices")
+          .map(_.getInt(0))
+        val dist = scala.collection.mutable.Map[(Int, Int), Int](
+          vtx.map(v => (v, v) -> 0).toSeq: _*)
         (1 to HcMaxHops).foreach { _ =>
-          val nd = dist.join(eg.select(col("u").as("v"), col("v").as("nv")), "v")
-            .groupBy(col("src"), col("nv")).agg(min(col("d") + 1).as("cand"))
-            .select(col("src"), col("nv").as("v"), col("cand"))
-          dist = dist.join(nd, Seq("src", "v"), "full")
-            .select(col("src"), col("v"),
-              least(col("d"), col("cand")).as("d"))
-            .transform(graft.ops.Ckpt.apply)
+          dist.toSeq.foreach { case ((src, u), d) =>
+            adj.getOrElse(u, Array.empty[Int]).foreach { v =>
+              val k = (src, v)
+              if (!dist.contains(k) || dist(k) > d + 1) dist(k) = d + 1
+            }
+          }
         }
-        val h = dist.filter(col("d") > 0)
-          .groupBy(col("src")).agg(
-            count(lit(1)).as("n_reached"),
-            sum(R(lit(1.0) / col("d").cast("double"), 12).cast(DecimalType(24, 12)))
-              .cast("double").as("hsum"))
-        vtx.join(h, vtx("v") === h("src"), "left")
-          .select(col("v"),
-            coalesce(col("n_reached"), lit(0L)).as("n_reached"),
-            R(coalesce(col("hsum"), lit(0.0)), 4).as("harmonic_r"))
+        val bySrc = dist.toSeq.filter(_._2 > 0).groupMap(_._1._1)(_._2)
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(vtx.sorted.map { v =>
+            val ds = bySrc.getOrElse(v, Seq.empty[Int]).toSeq
+            org.apache.spark.sql.Row(v, ds.size.toLong,
+              Num.roundToD(Num.dec12Sum(ds.map(d => Num.roundToD(1.0 / d, 12))), 4))
+          }: _*)
+        s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("n_reached",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("harmonic_r",
+              org.apache.spark.sql.types.DoubleType))))
           .orderBy("v")
       },
       Some(harmonicSql))

@@ -78,42 +78,54 @@ object Extended48 {
           .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey").as("v")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-          .select(col("u"), col("v"), col("w").cast("double").as("w"))
-          .transform(graft.ops.Ckpt.apply)
-        val vtx = tbl(s, dir, "nation").select(col("n_nationkey").as("v"))
-        val dec = DecimalType(24, 12)
-        def l1norm(x: DataFrame, key: String, value: String): DataFrame = {
-          val t = x.agg(sum(R(col(value), 12).cast(dec)).cast("double").as("t"))
-          x.crossJoin(broadcast(t))
-            .select(col(key), R(col(value) / col("t"), 12).as(value))
+        // dimension-bounded iteration state (≤ |nation|² edges by
+        // schema): the 8 HITS rounds — 2 matrix-vector products + 2 L1
+        // normalizations each — run on the driver over the collected
+        // weighted edges (TinyGraph decision rule). Num.roundToD/
+        // dec12Sum are the bit-exact driver twins of the former
+        // roundTo/DECIMAL(24,12) column arithmetic, so every
+        // intermediate vector is bit-identical to the distributed
+        // loop's (and to the oracle's unrolled CTEs). The fact rollup
+        // stays distributed.
+        val edges = graft.ops.TinyGraph.collectBounded(eg, "q274 trade edges")
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2).toDouble))
+        val byDst = edges.groupMap(_._2)(e => (e._1, e._3))
+        val bySrc = edges.groupMap(_._1)(e => (e._2, e._3))
+        val nations = graft.ops.TinyGraph.collectBounded(
+          tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+          "q274 vertices")
+          .map(r => (r.getInt(0), r.getString(1)))
+        val vtx = nations.map(_._1)
+        def l1norm(x: Map[Int, Double]): Map[Int, Double] = {
+          val t = Num.dec12Sum(x.valuesIterator.map(Num.roundToD(_, 12)).toSeq)
+          x.map { case (k, v) => k -> Num.roundToD(v / t, 12) }
         }
-        var h = vtx.select(col("v").as("u"), lit(0.04).as("h"))
-        var a = vtx.select(col("v"), lit(0.0).as("a"))
+        var h: Map[Int, Double] = vtx.map(v => v -> 0.04).toMap
+        var a: Map[Int, Double] = vtx.map(v => v -> 0.0).toMap
         (1 to Iters).foreach { _ =>
-          val araw = eg.join(broadcast(h), "u")
-            .groupBy(col("v"))
-            .agg(sum(R(col("h") * col("w"), 12).cast(dec)).cast("double").as("s"))
-          a = l1norm(
-            vtx.join(broadcast(araw), Seq("v"), "left")
-              .select(col("v"), coalesce(col("s"), lit(0.0)).as("a")), "v", "a")
-          val hraw = eg.join(broadcast(a), "v")
-            .groupBy(col("u"))
-            .agg(sum(R(col("a") * col("w"), 12).cast(dec)).cast("double").as("s"))
-          h = l1norm(
-            vtx.select(col("v").as("u"))
-              .join(broadcast(hraw), Seq("u"), "left")
-              .select(col("u"), coalesce(col("s"), lit(0.0)).as("h")), "u", "h")
-          // cut lineage each round: 8 rounds × (2 joins + 2 normalizations)
-          // otherwise compounds into a plan Catalyst re-optimizes for
-          // minutes (the vectors are ≤25 rows — checkpointing is free)
-          a = graft.ops.Ckpt(a)
-          h = graft.ops.Ckpt(h)
+          a = l1norm(vtx.map { v =>
+            v -> Num.dec12Sum(byDst.getOrElse(v, Array.empty[(Int, Double)]).toSeq
+              .flatMap { case (u, w) => h.get(u).map(hu => Num.roundToD(hu * w, 12)) })
+          }.toMap)
+          h = l1norm(vtx.map { u =>
+            u -> Num.dec12Sum(bySrc.getOrElse(u, Array.empty[(Int, Double)]).toSeq
+              .flatMap { case (v, w) => a.get(v).map(av => Num.roundToD(av * w, 12)) })
+          }.toMap)
         }
-        a.join(broadcast(h), col("v") === col("u"))
-          .join(broadcast(tbl(s, dir, "nation")
-            .select(col("n_nationkey").as("nv"), col("n_name"))), col("v") === col("nv"))
-          .select(col("v"), col("n_name"),
-            R(col("a"), 6).as("authority_r"), R(col("h"), 6).as("hub_r"))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(nations.sortBy(_._1).map { case (v, name) =>
+            org.apache.spark.sql.Row(v, name,
+              Num.roundToD(a(v), 6), Num.roundToD(h(v), 6))
+          }: _*)
+        s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("n_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("authority_r",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("hub_r",
+              org.apache.spark.sql.types.DoubleType))))
           .orderBy("v")
       },
       Some(hitsSql))

@@ -146,11 +146,15 @@ object Extended50 {
     QueryDef(
       "q284_item_cf",
       (s, dir) => {
-        val b = tbl(s, dir, "orders")
+        // Ckpt (r16): the basket relation feeds the eager pair-count
+        // sizing action AND (via bb) three branches of the final plan —
+        // without a materialization point the orders⋈lineitem distinct
+        // recomputed up to 7× per run. Pay the fact join once.
+        val b = graft.ops.Ckpt(tbl(s, dir, "orders")
           .join(tbl(s, dir, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
-          .distinct()
+          .distinct())
         val sizes = b.groupBy(col("u"))
           .agg(count(lit(1)).as("bs"))
           .filter(col("bs") <= MaxBasket)
@@ -168,7 +172,9 @@ object Extended50 {
           .agg(coalesce(sum(expr("bs * (bs - 1) div 2")), lit(0L)))
           .head().getLong(0)
         val pairParts = math.max(32L, math.min(4096L, nPairs / 4000000L)).toInt
-        val bb = b.join(keep, "u")
+        // bb is consumed three times (np, both self-join sides) —
+        // materialize the capped basket relation once as well
+        val bb = graft.ops.Ckpt(b.join(keep, "u"))
         val np = bb.groupBy(col("p")).agg(count(lit(1)).as("np"))
         val pairs = bb.select(col("u"), col("p").as("pa"))
           .join(bb.select(col("u"), col("p").as("pb")), Seq("u"))
@@ -229,14 +235,18 @@ object Extended50 {
     QueryDef(
       "q285_adamic_adar",
       (s, dir) => {
-        val b = tbl(s, dir, "orders")
+        // Ckpt (r16): b feeds the part-frequency rollup and both sides of
+        // the pair self-join (via bp) — the orders⋈lineitem distinct
+        // otherwise recomputed 3×; bp (rare-part rows only) feeds both
+        // self-join sides
+        val b = graft.ops.Ckpt(tbl(s, dir, "orders")
           .join(tbl(s, dir, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
-          .distinct()
+          .distinct())
         val np = b.groupBy(col("p")).agg(count(lit(1)).as("np"))
           .filter(col("np") >= 2 && col("np") <= AaMaxDf)
-        val bp = b.join(np, "p")
+        val bp = graft.ops.Ckpt(b.join(np, "p"))
         val terms = bp.select(col("p"), col("u").as("u1"), col("np"))
           .join(bp.select(col("p"), col("u").as("u2")), Seq("p"))
           .filter(col("u1") < col("u2"))

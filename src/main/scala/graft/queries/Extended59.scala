@@ -45,8 +45,11 @@ object Extended59 {
           .withColumn("cluster_id", coalesce(col("cl"), col("doc_id")))
           .drop("cl")
         val h = md5(col("cluster_id").cast("string"))
-        val out = assigned.withColumn("split",
-          when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+        // Ckpt (r16): out feeds FOUR consumers (both leak lookup sides,
+        // the cluster-size rollup, the final per-split rollup) — each
+        // would replay the docs⋈components join otherwise
+        val out = graft.ops.Ckpt(assigned.withColumn("split",
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test")))
         val leak = pairs
           .join(out.select(col("doc_id").as("a_id"), col("split").as("sa")), "a_id")
           .join(out.select(col("doc_id").as("b_id"), col("split").as("sb")), "b_id")
@@ -121,11 +124,13 @@ object Extended59 {
           docs, "doc_id", "text", 3, 0.5, maxDf = Dedup.BatteryMaxDf)
           .select(col("a_id"), col("b_id"))
         val src = docs.select(col("doc_id"), col("source"))
-        val keyed = pairs
+        // Ckpt (r16): keyed feeds the total agg AND the matrix rollup —
+        // without it the whole guarded pair generation ran twice
+        val keyed = graft.ops.Ckpt(pairs
           .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
           .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
           .select(least(col("sa"), col("sb")).as("source_a"),
-            greatest(col("sa"), col("sb")).as("source_b"))
+            greatest(col("sa"), col("sb")).as("source_b")))
         val tot = keyed.agg(count(lit(1)).as("n_total"))
         keyed.groupBy(col("source_a"), col("source_b"))
           .agg(count(lit(1)).as("n_pairs"))

@@ -160,26 +160,48 @@ object Extended9 {
           .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey").as("v")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-        val outd = eg.groupBy("u").agg(sum(col("w")).as("outw"))
-        val ew = eg.join(outd, "u")
-          .select(col("u"), col("v"),
-            (col("w").cast("double") / col("outw").cast("double")).as("frac"))
-          .transform(graft.ops.Ckpt.apply)
-        val vtx = tbl(s, dir, "nation").select(col("n_nationkey").as("v"))
-        var r = vtx.withColumn("r", lit(0.04))
+        // dimension-bounded iteration state (≤ |nation|² edges by
+        // schema): the 6 rank rounds run on the driver over the
+        // collected weighted edges (TinyGraph decision rule), with
+        // Num.roundToD/dec12Sum as the bit-exact driver twins of the
+        // former roundTo/DECIMAL(24,12) column arithmetic. The fact
+        // rollup producing eg stays distributed — on a data-sized graph
+        // (billions of vertices) the former broadcast-loop shape is
+        // still the template.
+        val edges = graft.ops.TinyGraph.collectBounded(eg, "q144 trade edges")
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        val outw = edges.groupMapReduce(_._1)(_._3)(_ + _)
+        val byDst = edges
+          .map { case (u, v, w) => (v, u, w.toDouble / outw(u).toDouble) }
+          .groupMap(_._1)(e => (e._2, e._3))
+        val nations = graft.ops.TinyGraph.collectBounded(
+          tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+          "q144 vertices")
+          .map(r => (r.getInt(0), r.getString(1)))
+        val vtx = nations.map(_._1)
+        var rank: Map[Int, Double] = vtx.map(v => v -> 0.04).toMap
         (1 to PrIters).foreach { _ =>
-          val contrib = ew
-            .join(broadcast(r.select(col("v").as("u"), col("r").as("ru"))), "u")
-            .groupBy(col("v"))
-            .agg(sum(R(col("ru") * col("frac"), 12).cast(DecimalType(24, 12)))
-              .cast("double").as("s"))
-          r = vtx.join(broadcast(contrib), Seq("v"), "left")
-            .select(col("v"),
-              R(lit(0.006) + lit(0.85) * coalesce(col("s"), lit(0.0)), 12).as("r"))
+          val snap = rank
+          rank = vtx.map { v =>
+            // snap.get mirrors the former inner join on u: an edge whose
+            // source is not a nation key contributes nothing
+            val s0 = Num.dec12Sum(byDst.getOrElse(v, Array.empty[(Int, Double)]).toSeq
+              .flatMap { case (u, frac) =>
+                snap.get(u).map(ru => Num.roundToD(ru * frac, 12)) })
+            v -> Num.roundToD(0.006 + 0.85 * s0, 12)
+          }.toMap
         }
-        r.join(broadcast(
-            tbl(s, dir, "nation").select(col("n_nationkey").as("v"), col("n_name"))), "v")
-          .select(col("v"), col("n_name"), col("r").as("pagerank"))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(nations.sortBy(_._1).map { case (v, name) =>
+            org.apache.spark.sql.Row(v, name, rank(v))
+          }: _*)
+        s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("n_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("pagerank",
+              org.apache.spark.sql.types.DoubleType))))
           .orderBy("v")
       },
       Some(pagerankSql)),
