@@ -59,7 +59,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int): DataFrame = {
     require(0 < tauNum && tauNum <= tauDen, "need 0 < tau <= 1")
-    val toks = tokenSet(df, idCol, textCol)
+    // Ckpt (r16): the token-set pass feeds dfreq, the prefix window and
+    // both exact-verify sides — pay the tokenize+explode+distinct once
+    val toks = graft.ops.Ckpt(tokenSet(df, idCol, textCol))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val prefix = prefixed(toks, dfreq, tauNum, tauDen)
     val cand = prefix.as("a")
@@ -90,8 +92,10 @@ object Dedup {
       probe: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int): DataFrame = {
     require(0 < tauNum && tauNum <= tauDen, "need 0 < tau <= 1")
-    val tp = tokenSet(probe, idCol, textCol)
-    val tc = tokenSet(corpus, idCol, textCol)
+    // Ckpt (r16): both token-set passes are multi-consumer (dfreq /
+    // prefix / exact verify) — pay each tokenize+explode+distinct once
+    val tp = graft.ops.Ckpt(tokenSet(probe, idCol, textCol))
+    val tc = graft.ops.Ckpt(tokenSet(corpus, idCol, textCol))
     val dfreq = tc.groupBy("tok").agg(count(lit(1)).as("df"))
     val cand = prefixed(tp, dfreq, tauNum, tauDen).as("a")
       .join(prefixed(tc, dfreq, tauNum, tauDen).as("b"),
@@ -210,9 +214,15 @@ object Dedup {
       maxDf: Int = Int.MaxValue): DataFrame = {
     // join/shuffle on the 64-bit shingle hash, not the ~25-byte string:
     // ~2-3× less shuffle volume; collision risk over a corpus dictionary
-    // is (d²/2)/2⁶⁴ — immaterial (≈2e-11 at 27k distinct shingles)
-    val sh = shingleRel(df, idCol, textCol, k)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    // is (d²/2)/2⁶⁴ — immaterial (≈2e-11 at 27k distinct shingles).
+    // Ckpt (r16): the shingle relation — the tokenize+explode text pass,
+    // the most expensive input here — feeds up to SEVEN consumers (both
+    // size joins; and in the guarded branch dfreq + both cold sides +
+    // both hot sides); without a materialization point each consumer
+    // re-ran the text pass. One localCheckpoint (reliable checkpoint
+    // under graft.checkpoint.dir) pays it once.
+    val sh = graft.ops.Ckpt(shingleRel(df, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     if (maxDf == Int.MaxValue) {
       sh.as("x")

@@ -115,8 +115,12 @@ object Extended55 {
         // intersections — every emitted containment value is exact (the
         // oracle applies no guard), the guard only bounds recall to pairs
         // sharing at least one cold shingle.
-        val sh = Dedup.shingleRel(tbl(s, dir, "documents"), "doc_id", "text", 3)
-          .distinct()
+        // Ckpt (r16): the distinct shingle relation feeds six consumers
+        // (sizes, hotKeys, both cold sides, both hot sides) — pay the
+        // text pass once
+        val sh = graft.ops.Ckpt(
+          Dedup.shingleRel(tbl(s, dir, "documents"), "doc_id", "text", 3)
+            .distinct())
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         val hotKeys = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
           .filter(col("sdf") > Dedup.BatteryMaxDf).select(col("shingle"))
