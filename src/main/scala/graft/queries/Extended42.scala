@@ -53,29 +53,50 @@ object Extended42 {
     QueryDef(
       "q263_grid_dbscan",
       (s, dir) => {
-        val cells = tbl(s, dir, "events")
+        // Ckpt (r16): the cell rollup — a full events scan with per-row
+        // md5 — feeds the threshold agg, the dense relation (3 consumers)
+        // and the noise rollup; it otherwise recomputed ~5×
+        val cells = graft.ops.Ckpt(tbl(s, dir, "events")
           .select(least(col("value"), lit(299.99)).as("x"),
             mdFrac(col("event_id")).as("y"))
           .groupBy(floor(col("x") / 10.0).cast("long").as("cx"),
             floor(col("y") / 0.125).cast("long").as("cy"))
-          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n")))
         val thr = cells.agg((sum(col("n")).cast("double") /
           count(lit(1)).cast("double")).as("a"))
         val dense = cells.crossJoin(broadcast(thr))
           .filter(col("n").cast("double") >= lit(1.5) * col("a"))
           .select((col("cx") * 8 + col("cy")).as("id"),
             col("cx"), col("cy"), col("n"))
-        val e1 = dense.select(col("id").as("a_id"), col("cx"), col("cy"))
-        val e2 = dense.select(col("id").as("b_id"),
-          col("cx").as("cx2"), col("cy").as("cy2"))
-        val pairs = e1.join(e2,
-          abs(col("cx") - col("cx2")) <= 1 && abs(col("cy") - col("cy2")) <= 1 &&
-            col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"))
-        val labeled = graft.ext.Dedup.connectedComponents(pairs)
-          .select(col("doc_id").as("id"), col("cluster_id").as("label"))
-        // isolated dense cells never appear in pairs — self-label them
-        val lab = dense.join(labeled, Seq("id"), "left")
+        // the dense-cell adjacency graph is GEOMETRY-bounded (≤ 30×8 =
+        // 240 cells by grid construction at any data scale) — driver CC
+        // over the collected cells (TinyGraph decision rule), min-label
+        // components identical to Dedup.connectedComponents
+        val denseCells = graft.ops.TinyGraph.collectBounded(dense, "q263 dense cells")
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val label = scala.collection.mutable.Map(
+          denseCells.map { case (id, _, _) => id -> id }.toSeq: _*)
+        var changed = true
+        while (changed) {
+          changed = false
+          for ((ia, xa, ya) <- denseCells; (ib, xb, yb) <- denseCells
+               if ia < ib && math.abs(xa - xb) <= 1 && math.abs(ya - yb) <= 1) {
+            val m = math.min(label(ia), label(ib))
+            if (label(ia) != m) { label(ia) = m; changed = true }
+            if (label(ib) != m) { label(ib) = m; changed = true }
+          }
+        }
+        val labRows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(denseCells.map { case (id, _, _) =>
+            org.apache.spark.sql.Row(id, label(id)): org.apache.spark.sql.Row
+          }: _*)
+        val labeled = s.createDataFrame(labRows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("label",
+              org.apache.spark.sql.types.LongType))))
+        val lab = dense.join(broadcast(labeled), Seq("id"), "left")
           .select(col("id"), coalesce(col("label"), col("id")).as("cluster"),
             col("cx"), col("cy"), col("n"))
         val clusters = lab.groupBy(col("cluster"))

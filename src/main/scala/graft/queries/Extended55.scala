@@ -50,8 +50,10 @@ object Extended55 {
       "q298_blocking_quality",
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        val keyed = docs.select(col("doc_id"),
-          md5(concat_ws(" ", slice(Text.tokensNorm(col("text")), 1, 5))).as("bk"))
+        // Ckpt (r16): keyed feeds four consumers (total, block stats, both
+        // truth lookup sides) — pay the tokenize+md5 pass once
+        val keyed = graft.ops.Ckpt(docs.select(col("doc_id"),
+          md5(concat_ws(" ", slice(Text.tokensNorm(col("text")), 1, 5))).as("bk")))
         val tot = keyed.agg(count(lit(1)).as("n_docs"))
         val bstats = keyed.groupBy(col("bk")).agg(count(lit(1)).as("nb"))
           .agg(count(lit(1)).as("n_blocks"),

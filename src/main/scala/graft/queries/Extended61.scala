@@ -189,9 +189,11 @@ object Extended61 {
         val segArr = transform(
           sequence(lit(0), lastSeg),
           j => concat_ws(" ", slice(toks, (j * 5 + 1).cast("int"), lit(5))))
-        val segs = tbl(s, dir, "documents")
+        // Ckpt (r16): segs feeds the hot-fingerprint rollup AND the
+        // join-back — the tokenize+segment+md5 pass otherwise ran twice
+        val segs = graft.ops.Ckpt(tbl(s, dir, "documents")
           .select(col("doc_id"), posexplode(segArr).as(Seq("pos", "seg")))
-          .withColumn("fp", md5(col("seg")))
+          .withColumn("fp", md5(col("seg"))))
         // corpus-wide boilerplate fingerprints: one hash agg on a
         // high-cardinality key, then an equi-join back (both shuffle on
         // fp — distributes at any scale; no broadcast assumption, the

@@ -154,8 +154,10 @@ object Extended8 {
         val li = tbl(s, dir, "lineitem")
           .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
         val med = li.groupBy("flag").agg(expr("percentile(x, 0.5)").as("med"))
-        val dev = li.join(broadcast(med), "flag")
-          .withColumn("dev", abs(col("x") - col("med")))
+        // Ckpt (r16): dev feeds the MAD percentile AND the final rollup —
+        // the lineitem scan + median join otherwise ran twice
+        val dev = graft.ops.Ckpt(li.join(broadcast(med), "flag")
+          .withColumn("dev", abs(col("x") - col("med"))))
         val mad = dev.groupBy("flag").agg(expr("percentile(dev, 0.5)").as("mad"))
         dev.join(broadcast(mad), "flag")
           .groupBy("flag")

@@ -301,10 +301,12 @@ object Extended9 {
     QueryDef(
       "q146_linear_interp",
       (s, dir) => {
-        val ev = tbl(s, dir, "events")
+        // Ckpt (r16): ev feeds the span rollup AND the timeline join-back
+        // — the events scan+agg+repartition otherwise ran twice
+        val ev = graft.ops.Ckpt(tbl(s, dir, "events")
           .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
           .agg(R(avg(col("value")), 4).as("v"))
-          .repartition(col("user_id"))
+          .repartition(col("user_id")))
         val timeline = ev.groupBy(col("user_id"))
           .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
           .select(col("user_id"),
