@@ -38,13 +38,16 @@ object Extended32 {
     QueryDef(
       "q232_theil_sen",
       (s, dir) => {
-        // Ckpt (r16): daily feeds both pair-join sides AND the intercept
-        // re-walk — the lineitem scan+rollup otherwise ran 3×
-        val daily = graft.ops.Ckpt(tbl(s, dir, "lineitem")
+        // NOT Ckpt'd (r16 decision): materializing daily would hide the
+        // aggregate from the battery-wide structural boundedness gate
+        // (the partition-less slope window's child must show the
+        // calendar-saturating rollup), and the saved pass is one
+        // day-rollup recompute — the strict gate is worth more.
+        val daily = tbl(s, dir, "lineitem")
           .groupBy(datediff(to_date(col("l_shipdate")), lit("1995-01-01"))
             .cast("long").as("x"))
           .agg(sum(R(col("l_extendedprice") * 100.0, 0).cast(DecimalType(18, 0)))
-            .cast("double").as("y")))
+            .cast("double").as("y"))
         val a = daily.select(col("x").as("xi"), col("y").as("yi"))
         val b = daily.select(col("x").as("xj"), col("y").as("yj"))
         val slopes = a.join(b, col("xi") < col("xj"))

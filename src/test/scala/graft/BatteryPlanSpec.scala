@@ -158,7 +158,15 @@ class BatteryPlanSpec extends SparkSuite {
     "q140_sorted_neighborhood" -> "PrefixSum.rank in-cell windows over docs blocked by 8-char prefix — cells (packed post-prefix bytes) split hot blocks; cells are the load parameter",
     "q171_weighted_median" -> "PrefixSum.exclusiveSum in-cell windows over raw lineitem — cells are the load parameter (N/(3·cells) per task)",
     "q172_rfm" -> "exactNtiles in-cell windows over the Ckpt'd per-customer rollup (the Ckpt hides the agg from the structural check) — cells are the load parameter",
-    "q203_lift_curve" -> "exactNtile in-cell windows over the Ckpt'd per-order score relation — cells are the load parameter")
+    "q203_lift_curve" -> "exactNtile in-cell windows over the Ckpt'd per-order score relation — cells are the load parameter",
+    // r16: exactNtiles/PrefixSum now Ckpt their prepared input (one
+    // materialization instead of 2+k recomputes), which hides the
+    // bin/frequency rollup beneath from the structural check — the
+    // windows themselves are the same domain-saturating lattices the
+    // detector admitted structurally before the materialization
+    "q222_woe_iv" -> "exactNtile in-cell windows over the Ckpt'd n_chars-bin rollup (Ckpt hides the agg; bins saturate at the length domain)",
+    "q236_qini_curve" -> "exactNtile in-cell windows over the Ckpt'd per-decile rollup (Ckpt hides the agg; deciles saturate at the score domain)",
+    "q283_spearman" -> "PrefixSum in-cell windows over the Ckpt'd (g, value) frequency rollup (Ckpt hides the agg; quantity saturates at 50 distinct, price at ~100k — the q165 argument)")
 
 
   private def bounded(p: SparkPlan): Boolean = planNodes(p).exists {
@@ -323,13 +331,14 @@ class BatteryPlanSpec extends SparkSuite {
     * N/(keys·cells) and not hot-value multiplicity.
     */
   private val latticeDocDecadeBounded: Map[String, String] = Map(
+    // r16: q145/q203/q314 dropped — with the PrefixSum/exactNtiles input
+    // materialization their in-cell windows no longer register as
+    // candidates on this axis (stale-entry rule: a whitelist entry can't
+    // outlive its flag)
     "q113_mix_materialize" -> "PrefixSum in-cell window over (source, cell): N/(sources·64) per task, coarseCells is the cluster knob",
     "q142_topp_nucleus" -> "PrefixSum in-cell window over (source, cell): N/(sources·64) per task, coarseCells is the cluster knob",
-    "q145_er_pipeline" -> "PrefixSum in-cell window over (blk, cell), shuffled offsets: N/(blocks·64) per task, coarseCells is the cluster knob",
     "q190_quantile_normalize" -> "PrefixSum in-cell window over (source, cell), tieCell-split integer order: N/(sources·64) per task",
-    "q203_lift_curve" -> "Quantiles.exactNtile in-cell window over (cell): N/64 per task — same machinery, coarseCells is the cluster knob",
-    "q309_stratified_sample" -> "PrefixSum in-cell window over (source, cell): N/(sources·64) per task, coarseCells is the cluster knob",
-    "q314_balanced_shards" -> "PrefixSum in-cell window over (source, cell), tieCell-split integer order: N/(sources·64) per task")
+    "q309_stratified_sample" -> "PrefixSum in-cell window over (source, cell): N/(sources·64) per task, coarseCells is the cluster knob")
 
   /** Shared measurement loop for both lattice sweeps: max-rows-per-key
     * growth of every candidate window across (smallDir, bigDir). An empty
