@@ -57,7 +57,7 @@ object Bench {
         } else reps
       // min over reps: single-run VM noise is ±30%, which manufactures
       // phantom regressions; the min is the stable per-plan cost
-      val times = (1 to effReps).map { _ =>
+      def oneRep(): Double = {
         val t0 = System.nanoTime()
         // noop sink materializes every row through the FULL plan —
         // .count() would let Catalyst prune projections and eliminate the
@@ -69,6 +69,29 @@ object Bench {
             System.err.println(s"BENCH FAIL $name: ${String.valueOf(e).take(300)}")
         }
         (System.nanoTime() - t0) / 1e9
+      }
+      val times = scala.collection.mutable.ArrayBuffer.fill(effReps)(oneRep())
+      // Stall-hardening extra reps (r17, per the r16 verdict's top item —
+      // declared in OPTIMIZATION_r17.md): this box shows stochastic
+      // multi-second HOST stalls (not GC — a full-battery GC log shows
+      // zero Full GCs and max pauses ~0.1 s) that can inflate one rep
+      // (spread trigger) or BOTH reps of one query (r16 driver: q293
+      // 19.5 s min-of-2 vs 5.1 s isolated min-of-3; r17 baseline: q325
+      // 7.4 s vs 3.8 s in an identical battery slice). Up to two extra
+      // reps run when the measurement looks stall-contaminated; min over
+      // all reps is unchanged as the statistic, extra draws only reject
+      // stalls. Budget-degraded runs (reps already dropped to 1) skip
+      // extras. No timed-region change: each rep is the same full
+      // plan+execute as before.
+      if (!repsDropped && effReps > 1) {
+        var extra = 0
+        def suspicious =
+          times.min > 0.3 && (times.max / times.min > 3.0 ||
+            (times.min > 2.5 && extra == 0))
+        while (extra < 2 && suspicious && !failed.contains(name)) {
+          times += oneRep()
+          extra += 1
+        }
       }
       val sec = times.min
       // Post-query block hygiene, OUTSIDE the timed region: localCheckpoint

@@ -40,6 +40,23 @@ object Streaming {
     * It also matches the width the correctness gate verifies at
     * (Verify.scala defaults to 4 cpus / 4 shuffle partitions).
     */
+  /** The ONE definition of the bounded-replay stream width (r16 verdict
+    * item: nine call sites carried the literal 4 — a cluster deploy now
+    * changes this line, or sets `graft.stream.shuffle.width` on the
+    * session, instead of editing every stream query). 4 fits the
+    * single-box ~100k-row replays and equals the width the Verify gate
+    * runs at; production sizes it to executors × cores.
+    */
+  val LocalReplayWidth = 4
+
+  /** [[withStreamShuffleWidth]] at the deploy-knob width: the session
+    * conf `graft.stream.shuffle.width` when set, else [[LocalReplayWidth]].
+    */
+  def withReplayWidth[T](s: SparkSession)(body: => T): T =
+    withStreamShuffleWidth(
+      s, s.conf.getOption("graft.stream.shuffle.width")
+        .map(_.toInt).getOrElse(LocalReplayWidth))(body)
+
   def withStreamShuffleWidth[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)

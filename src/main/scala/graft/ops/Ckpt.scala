@@ -30,4 +30,19 @@ object Ckpt {
       case None => df.localCheckpoint()
     }
   }
+
+  /** Materialize at a BOUNDED block count: `coalesce(width)` before the
+    * checkpoint (narrow — merges partitions without a shuffle, so the
+    * upstream stage still runs at its own parallelism... fused into the
+    * coalesced tasks; use only where the relation is known to be far
+    * smaller than its partition count suggests). WHY (r16 verdict item 2):
+    * localCheckpoint writes one block per partition and every consumer
+    * stage schedules one task per block — a dimension-small relation
+    * materialized at the session width (32 here) pays 32 block
+    * writes + 32-task consumer rounds for kilobytes of data, which is
+    * how the Ckpt-heavy queries measured FASTER at 8 cores than 32.
+    * Block count should scale with the RELATION (callers pass a width
+    * matched to its size), not with the cluster.
+    */
+  def apply(df: DataFrame, width: Int): DataFrame = apply(df.coalesce(width))
 }

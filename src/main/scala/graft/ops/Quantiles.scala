@@ -72,6 +72,94 @@ object Quantiles {
       ties: Seq[Column], out: String, coarseCells: Int = 64): DataFrame =
     exactNtiles(df, n, Seq(NtileKey(value, ascending, out)), ties, coarseCells)
 
+  /** EXACT interpolating percentiles of one double column, bit-identical
+    * to Spark's `percentile`/`median` aggregate (PercentileParitySpec pins
+    * the equality on adversarial inputs), computed WITHOUT the
+    * exact-percentile buffer. Why: Spark's `percentile` ships every
+    * distinct value with its count in an OpenHashMap through partial
+    * aggregation — the per-partition maps are data-sized, their merge is
+    * single-threaded per group, and at 100 TB the buffer itself is an OOM
+    * (guide §5: per-task state). This helper keeps everything bounded:
+    *
+    *   1. one approxQuantile pass picks ~`coarseCells` boundaries
+    *      (load-balance only — membership never depends on them);
+    *   2. one exact per-cell count aggregate (≤ coarseCells rows
+    *      collected — the documented bounded driver-side pattern);
+    *   3. the 1-2 boundary ROWS each percentile needs are located by
+    *      rank arithmetic and picked via an in-cell sort of only the
+    *      cells that contain them (~N/coarseCells rows, distributed);
+    *   4. the interpolation `(ceil(pos)−pos)·lo + (pos−floor(pos))·hi`
+    *      with pos = p·(n−1), integral pos short-circuiting to `lo`, is
+    *      Spark's own IEEE shape (pinned bit-exact on Spark 4.1 across
+    *      magnitude-adversarial inputs by PercentileParitySpec — the
+    *      `lo + frac·(hi−lo)` form is 1 ULP off on real inputs).
+    *
+    * Nulls are skipped, exactly as the percentile aggregate skips them.
+    * The caller's `df` is scanned three times (boundaries, counts, pick)
+    * — pass a materialized (Ckpt) relation when the upstream plan is
+    * expensive. Returns one double per prob, for embedding as broadcast
+    * literals.
+    */
+  def exactPercentileValues(
+      df: DataFrame, value: Column, probs: Seq[Double],
+      coarseCells: Int = 64): Seq[Double] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    val spark = df.sparkSession
+    val v = df.select(value.cast("double").as("__pv"))
+      .filter(col("__pv").isNotNull)
+    val qprobs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
+    val bounds =
+      if (coarseCells <= 1) Array.empty[Double]
+      else v.stat.approxQuantile("__pv", qprobs, 0.001)
+        .map(_ + 0.0).distinct.sorted
+    val celled = v.withColumn("__qc",
+      cellOf(spark, col("__pv"), bounds, "Quantiles.exactPercentileValues"))
+    val counts = celled.groupBy(col("__qc")).agg(count(lit(1)).as("__qn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    require(n > 0, "exactPercentileValues: empty input")
+    // cell -> exclusive rank offset (ranks are 1-based over the sorted multiset)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
+    // the global 1-based ranks each prob interpolates between
+    val wanted: Seq[(Double, Long, Long)] = probs.map { p =>
+      val pos = p * (n - 1) // Spark: percentage * (count - 1), in doubles
+      (pos, math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L)
+    }
+    val ranks = wanted.flatMap { case (_, rLo, rHi) => Seq(rLo, rHi) }.distinct
+    // rank -> (cell, in-cell rank)
+    val located: Map[Long, (Int, Long)] = ranks.map { r =>
+      val (cell, off) = offsets.zip(counts)
+        .collectFirst { case ((c, o), (_, cn)) if r > o && r <= o + cn => (c, o) }
+        .getOrElse(sys.error(s"rank $r out of range 1..$n"))
+      r -> (cell, r - off)
+    }.toMap
+    val byCell = located.values.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // one distributed pick job: sort ONLY the cells that hold boundary
+    // rows (~N/coarseCells rows each), emit the exact in-cell ranks
+    val needCells = byCell.keys.toSeq
+    val w = Window.partitionBy(col("__qc")).orderBy(col("__pv"))
+    val pickCond = byCell.toSeq.map { case (c, rs) =>
+      col("__qc") === lit(c) && col("__rn").isin(rs.map(java.lang.Long.valueOf): _*)
+    }.reduce(_ || _)
+    val picked = celled.filter(col("__qc").isin(needCells.map(Integer.valueOf): _*))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .filter(pickCond)
+      .select(col("__qc"), col("__rn"), col("__pv"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
+    def valueAt(r: Long): Double = picked(located(r) match { case (c, ir) => (c, ir) })
+    wanted.map { case (pos, rLo, rHi) =>
+      val lo = valueAt(rLo)
+      if (rLo == rHi) lo
+      else {
+        val hi = valueAt(rHi)
+        // Spark Percentile's own interpolation shape (bit-exact: the
+        // lo + frac*(hi-lo) form differs by 1 ULP on real inputs —
+        // PercentileParitySpec caught exactly that)
+        (math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi
+      }
+    }
+  }
+
   /** Several exact ntiles over the SAME relation (q172's RFM shape —
     * recency/frequency/monetary quintiles) sharing ONE approxQuantile
     * scan: the multi-column variant summarizes every sort key in a single

@@ -99,7 +99,7 @@ object Extended11 {
             sum(R(col("value"), 4).cast(DecimalType(18, 4))).as("__vs"))
         // stream runs at shuffle width 4: state-store fixed cost per
         // partition per batch (see Streaming.withStreamShuffleWidth)
-        Streaming.withStreamShuffleWidth(s, 4) {
+        Streaming.withReplayWidth(s) {
           val q = agg.writeStream
             .outputMode("complete")
             .option("checkpointLocation", ckpt)
@@ -159,7 +159,7 @@ object Extended11 {
             count(lit(1)).as("n_events"),
             sum(R(col("value"), 4).cast(DecimalType(18, 4))).as("__vs"))
         // stream runs at shuffle width 4 (see withStreamShuffleWidth)
-        Streaming.withStreamShuffleWidth(s, 4) {
+        Streaming.withReplayWidth(s) {
           val q = agg.writeStream
             .outputMode("complete")
             .option("checkpointLocation", ckpt)
@@ -436,7 +436,7 @@ object Extended11 {
           // stream runs at shuffle width 4 — transformWithState opens a
           // RocksDB instance per partition per batch, the priciest
           // store-per-partition case (see withStreamShuffleWidth)
-          Streaming.withStreamShuffleWidth(s, 4) {
+          Streaming.withReplayWidth(s) {
             val q = Streaming.runningUserTotalsExact(stream).toDF().writeStream
               .outputMode("update")
               .option("checkpointLocation", ckpt)

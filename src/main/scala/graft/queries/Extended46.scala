@@ -66,7 +66,7 @@ object Extended46 {
         // state stores per partition per side per batch — at the session's
         // 32 partitions that fixed cost dominated this query (r16 sweep:
         // ~10-14 s; see Streaming.withStreamShuffleWidth)
-        Streaming.withStreamShuffleWidth(s, 4) {
+        Streaming.withReplayWidth(s) {
           val q = joined
             .select(col("user_id"),
               unix_micros(col("s_ts")).as("st"), unix_micros(col("p_ts")).as("pt"))

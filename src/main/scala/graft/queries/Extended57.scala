@@ -48,7 +48,7 @@ object Extended57 {
           Streaming.eventsFileStream(s, src.toString),
           window_ = "1 hour", slide = "15 minutes")
         // stream runs at shuffle width 4 (see withStreamShuffleWidth)
-        Streaming.withStreamShuffleWidth(s, 4) {
+        Streaming.withReplayWidth(s) {
           val q = agg.writeStream
             .outputMode("complete")
             .option("checkpointLocation", ckpt)

@@ -56,7 +56,7 @@ object Extended60 {
           .agg(count(lit(1)).as("n_distinct_users"))
         // stream runs at shuffle width 4 — dedup + agg = two stateful
         // operators' stores per partition (see withStreamShuffleWidth)
-        Streaming.withStreamShuffleWidth(s, 4) {
+        Streaming.withReplayWidth(s) {
           val q = agg.writeStream
             .outputMode("complete")
             .option("checkpointLocation", ckpt)

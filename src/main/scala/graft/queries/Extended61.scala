@@ -154,7 +154,7 @@ object Extended61 {
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
         // stream runs at shuffle width 4 (see withStreamShuffleWidth)
-        Streaming.withStreamShuffleWidth(s, 4) {
+        Streaming.withReplayWidth(s) {
           val q = agg.writeStream
             .outputMode("complete")
             .option("checkpointLocation", ckpt)

@@ -62,7 +62,7 @@ object Extended63 {
         // stateful job; 4 fits a single-box 100k-row replay. Restore the
         // session conf either way (the r10 buildBloom lesson: no conf
         // ratchets).
-        Streaming.withStreamShuffleWidth(s, 4) {
+        Streaming.withReplayWidth(s) {
           val q = joined
             .select(col("user_id"), col("s_id"),
               unix_micros(col("s_ts")).as("st"), unix_micros(col("p_ts")).as("pt"))

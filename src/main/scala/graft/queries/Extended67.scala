@@ -64,7 +64,7 @@ object Extended67 {
           .groupBy(window(col("p_ts"), "1 hour").as("w"))
           .agg(count(lit(1)).as("n_pairs"),
             sum(col("p_value")).as("v"))
-        Streaming.withStreamShuffleWidth(s, 4) {
+        Streaming.withReplayWidth(s) {
           val q = agg
             .select(unix_micros(col("w.start")).as("wstart_us"),
               col("n_pairs"), col("v"))
