@@ -12,6 +12,22 @@ object BenchOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = BenchSession.build()
+    // opt-in micro-batch profile for the streaming queries: per-batch
+    // wall/addBatch/stateOp durations to stderr (builder-side diagnosis
+    // only; nothing in the timed path changes)
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS"))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            System.err.println(s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
+              s"durations=${p.durationMs} stateOps=${p.stateOperators.map(s =>
+                s"(commit=${s.allUpdatesTimeMs}+${s.commitTimeMs}ms rows=${s.numRowsTotal})").mkString}")
+          }
+        })
     spark.range(1000000).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)
     val host0 = Host.sample()

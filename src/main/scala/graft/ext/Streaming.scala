@@ -43,11 +43,17 @@ object Streaming {
   /** The ONE definition of the bounded-replay stream width (r16 verdict
     * item: nine call sites carried the literal 4 — a cluster deploy now
     * changes this line, or sets `graft.stream.shuffle.width` on the
-    * session, instead of editing every stream query). 4 fits the
-    * single-box ~100k-row replays and equals the width the Verify gate
-    * runs at; production sizes it to executors × cores.
+    * session, instead of editing every stream query). r17 re-measured the
+    * width sweep on the full stream family: state-store instances (and
+    * their per-batch commit cost, ~50 ms each on ≤4 rows) scale with the
+    * partition count, so 2 beats 4 by 10–20% on every replay
+    * (q322 6.2→5.1 s, q317 4.6→4.1, q271 1.9→1.7), while 1 collapses the
+    * batch-0 join/agg compute onto one task and LOSES (q322 7.4, q152
+    * 4.4 — data work needs ≥2 ways even at 100k rows). Production sizes
+    * it to executors × cores via the conf; the Verify gate exercises the
+    * same helper, so correctness and bench always run the same width.
     */
-  val LocalReplayWidth = 4
+  val LocalReplayWidth = 2
 
   /** [[withStreamShuffleWidth]] at the deploy-knob width: the session
     * conf `graft.stream.shuffle.width` when set, else [[LocalReplayWidth]].
@@ -59,9 +65,23 @@ object Streaming {
 
   def withStreamShuffleWidth[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // r17: also skip the trailing NO-DATA micro-batch. Profiled on q322:
+    // each tail batch costs ~1.0 s of pure state-store commit overhead
+    // (~0.75 s commitTimeMs on ≤4 rows) regardless of data, and the
+    // replay design NEVER needs the no-data batch — the sentinel
+    // contract (appendWatermarkSentinels, pinned by StreamingSpec
+    // "sentinel-flush contract") guarantees every real window flushes
+    // with no-data batches OFF: sentinel batch 1 advances the watermark,
+    // sentinel batch 2 evicts under it. Set/restore, same as the width.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val prevNd = s.conf.get(ndKey)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(ndKey, "false")
+    try body finally {
+      s.conf.set(key, prev)
+      s.conf.set(ndKey, prevNd)
+    }
   }
 
   /** File-source stream over an events parquet directory (replays the
