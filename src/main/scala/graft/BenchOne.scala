@@ -15,6 +15,20 @@ object BenchOne {
     // opt-in micro-batch profile for the streaming queries: per-batch
     // wall/addBatch/stateOp durations to stderr (builder-side diagnosis
     // only; nothing in the timed path changes)
+    // opt-in per-JOB profile: job wall durations localize which eager
+    // action (Ckpt materialization, boundary scan, bounded collect, final
+    // noop) owns a multi-job query's seconds (builder-side diagnosis)
+    if (sys.env.contains("SPARK_GRAFT_JOB_PROFILE"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(e.jobId, System.nanoTime())
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = starts.remove(e.jobId)
+          if (t0 != null)
+            System.err.println(f"[job] id=${e.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+      })
     if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS"))
       spark.streams.addListener(
         new org.apache.spark.sql.streaming.StreamingQueryListener {

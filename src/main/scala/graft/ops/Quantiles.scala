@@ -102,10 +102,83 @@ object Quantiles {
     */
   def exactPercentileValues(
       df: DataFrame, value: Column, probs: Seq[Double],
-      coarseCells: Int = 64): Seq[Double] = {
+      coarseCells: Int = 64): Seq[Double] =
+    percentileBoundsByKey(df, Nil, value, probs, coarseCells) match {
+      case Seq((_, triples)) => triples.map(sparkInterpolate)
+      case other => sys.error(s"expected one group, got ${other.size}")
+    }
+
+  /** The raw (pos, lo, hi) interpolation inputs of each prob — for
+    * callers that replicate a DIFFERENT engine-pinned interpolation
+    * (q232's slope median mirrors DuckDB quantile_cont's
+    * `lo + frac·(hi−lo)` shape, which is 1 ULP off Spark's). Same
+    * machinery, same passes.
+    */
+  def exactPercentileBounds(
+      df: DataFrame, value: Column, probs: Seq[Double],
+      coarseCells: Int = 64): Seq[(Double, Double, Double)] =
+    percentileBoundsByKey(df, Nil, value, probs, coarseCells) match {
+      case Seq((_, triples)) => triples
+      case other => sys.error(s"expected one group, got ${other.size}")
+    }
+
+  /** Per-KEY exact interpolating percentiles over a BOUNDED key domain
+    * (q137's per-returnflag median/MAD, q94's per-flag p50/95/99): the
+    * same cell machinery with (key, cell) counts — the collected relation
+    * is |keys|·cells rows, so the key domain must be a lattice, never
+    * data-sized. Returns a LOCAL relation (key columns with their
+    * original types + one double column per prob) for broadcast
+    * join-back; values are bit-identical to the per-group
+    * `percentile(...)` aggregate (PercentileParitySpec).
+    */
+  def exactPercentilesByKey(
+      df: DataFrame, keyCols: Seq[String], value: Column,
+      probs: Seq[Double], outCols: Seq[String],
+      coarseCells: Int = 64): DataFrame = {
+    require(keyCols.nonEmpty && outCols.size == probs.size)
+    val spark = df.sparkSession
+    val rows = percentileBoundsByKey(df, keyCols, value, probs, coarseCells)
+      .map { case (key, triples) =>
+        org.apache.spark.sql.Row.fromSeq(key ++ triples.map(sparkInterpolate))
+      }
+    val keySchema = df.select(keyCols.map(col): _*).schema
+    val schema = org.apache.spark.sql.types.StructType(
+      keySchema.fields ++ outCols.map(o =>
+        org.apache.spark.sql.types.StructField(
+          o, org.apache.spark.sql.types.DoubleType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Spark Percentile's own interpolation shape, bit-exact: integral pos
+    * short-circuits to `lo`; otherwise `(ceil(pos)−pos)·lo +
+    * (pos−floor(pos))·hi` — the `lo + frac·(hi−lo)` form is 1 ULP off on
+    * real inputs (PercentileParitySpec caught exactly that).
+    */
+  private def sparkInterpolate(t: (Double, Double, Double)): Double = {
+    val (pos, lo, hi) = t
+    if (math.floor(pos) == math.ceil(pos)) lo
+    else (math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi
+  }
+
+  /** Shared core: per key (or globally for keyCols = Nil), the
+    * (pos, lo, hi) triple of every prob. Three bounded passes over `df`:
+    * boundary scan, (key, cell) exact counts (collected — bounded by
+    * |keys|·cells), and one pick job that sorts ONLY the cells holding
+    * boundary rows (~N/coarseCells rows each, distributed). Nulls are
+    * skipped exactly as the percentile aggregate skips them; keys whose
+    * group is empty after the null filter are absent from the result
+    * (the aggregate would emit NULL — callers join, so absence ≡ NULL
+    * dropped, which every battery caller wants).
+    */
+  private def percentileBoundsByKey(
+      df: DataFrame, keyCols: Seq[String], value: Column,
+      probs: Seq[Double],
+      coarseCells: Int): Seq[(Seq[Any], Seq[(Double, Double, Double)])] = {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
     val spark = df.sparkSession
-    val v = df.select(value.cast("double").as("__pv"))
+    val kcols = keyCols.map(col)
+    val v = df.select(kcols :+ value.cast("double").as("__pv"): _*)
       .filter(col("__pv").isNotNull)
     val qprobs = (1 until coarseCells).map(_.toDouble / coarseCells).toArray
     val bounds =
@@ -113,49 +186,66 @@ object Quantiles {
       else v.stat.approxQuantile("__pv", qprobs, 0.001)
         .map(_ + 0.0).distinct.sorted
     val celled = v.withColumn("__qc",
-      cellOf(spark, col("__pv"), bounds, "Quantiles.exactPercentileValues"))
-    val counts = celled.groupBy(col("__qc")).agg(count(lit(1)).as("__qn"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val n = counts.map(_._2).sum
-    require(n > 0, "exactPercentileValues: empty input")
-    // cell -> exclusive rank offset (ranks are 1-based over the sorted multiset)
-    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
-    // the global 1-based ranks each prob interpolates between
-    val wanted: Seq[(Double, Long, Long)] = probs.map { p =>
-      val pos = p * (n - 1) // Spark: percentage * (count - 1), in doubles
-      (pos, math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L)
+      cellOf(spark, col("__pv"), bounds, "Quantiles.exactPercentiles"))
+    val k = keyCols.size
+    val counts = celled.groupBy(kcols :+ col("__qc"): _*)
+      .agg(count(lit(1)).as("__qn")).collect()
+    require(counts.nonEmpty, "exactPercentiles: empty input")
+    val byKey: Seq[(Seq[Any], Seq[(Int, Long)])] = counts
+      .groupBy(r => (0 until k).map(r.get): Seq[Any])
+      .view.mapValues(_.map(r => (r.getInt(k), r.getLong(k + 1))).sortBy(_._1).toSeq)
+      .toSeq
+    // per key: 1-based global ranks each prob interpolates between, and
+    // their (cell, in-cell rank) location
+    case class Pick(key: Seq[Any], cell: Int, inRank: Long)
+    val plans = byKey.map { case (key, cc) =>
+      val n = cc.map(_._2).sum
+      val offs = cc.map(_._1).zip(cc.scanLeft(0L)(_ + _._2))
+      val triples = probs.map { p =>
+        val pos = p * (n - 1) // Spark: percentage * (count - 1), in doubles
+        (pos, math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L)
+      }
+      val locate = triples.flatMap(t => Seq(t._2, t._3)).distinct.map { r =>
+        val (cell, off) = offs.zip(cc)
+          .collectFirst { case ((c, o), (_, cn)) if r > o && r <= o + cn => (c, o) }
+          .getOrElse(sys.error(s"rank $r out of range 1..$n"))
+        r -> Pick(key, cell, r - off)
+      }.toMap
+      (key, triples, locate)
     }
-    val ranks = wanted.flatMap { case (_, rLo, rHi) => Seq(rLo, rHi) }.distinct
-    // rank -> (cell, in-cell rank)
-    val located: Map[Long, (Int, Long)] = ranks.map { r =>
-      val (cell, off) = offsets.zip(counts)
-        .collectFirst { case ((c, o), (_, cn)) if r > o && r <= o + cn => (c, o) }
-        .getOrElse(sys.error(s"rank $r out of range 1..$n"))
-      r -> (cell, r - off)
-    }.toMap
-    val byCell = located.values.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    // one distributed pick job: sort ONLY the cells that hold boundary
-    // rows (~N/coarseCells rows each), emit the exact in-cell ranks
-    val needCells = byCell.keys.toSeq
-    val w = Window.partitionBy(col("__qc")).orderBy(col("__pv"))
-    val pickCond = byCell.toSeq.map { case (c, rs) =>
-      col("__qc") === lit(c) && col("__rn").isin(rs.map(java.lang.Long.valueOf): _*)
-    }.reduce(_ || _)
-    val picked = celled.filter(col("__qc").isin(needCells.map(Integer.valueOf): _*))
+    // one distributed pick job across all keys: restrict to the cells
+    // that hold boundary rows, rank in-(key, cell), join the needed
+    // (key, cell, rank) rows (driver-built local relation, broadcast)
+    val needs = plans.flatMap(_._3.values).distinct
+    val keySchema = df.select(kcols: _*).schema
+    val needSchema = org.apache.spark.sql.types.StructType(
+      keySchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "__qc", org.apache.spark.sql.types.IntegerType, nullable = false) :+
+        org.apache.spark.sql.types.StructField(
+          "__rn", org.apache.spark.sql.types.LongType, nullable = false))
+    import scala.jdk.CollectionConverters._
+    val needDf = spark.createDataFrame(
+      needs.map(p => org.apache.spark.sql.Row.fromSeq(p.key :+ p.cell :+ p.inRank)).asJava,
+      needSchema)
+    val needCells = needs.map(_.cell).distinct
+    val w = Window.partitionBy(kcols :+ col("__qc"): _*).orderBy(col("__pv"))
+    val picked = celled
+      .filter(col("__qc").isin(needCells.map(Integer.valueOf): _*))
       .withColumn("__rn", row_number().over(w).cast("long"))
-      .filter(pickCond)
-      .select(col("__qc"), col("__rn"), col("__pv"))
-      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
-    def valueAt(r: Long): Double = picked(located(r) match { case (c, ir) => (c, ir) })
-    wanted.map { case (pos, rLo, rHi) =>
-      val lo = valueAt(rLo)
-      if (rLo == rHi) lo
-      else {
-        val hi = valueAt(rHi)
-        // Spark Percentile's own interpolation shape (bit-exact: the
-        // lo + frac*(hi-lo) form differs by 1 ULP on real inputs —
-        // PercentileParitySpec caught exactly that)
-        (math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi
+      .join(broadcast(needDf), keyCols :+ "__qc" :+ "__rn")
+      .collect()
+      .map(r => ((0 until k).map(r.get): Seq[Any],
+        r.getAs[Int]("__qc"), r.getAs[Long]("__rn")) -> r.getAs[Double]("__pv"))
+      .toMap
+    plans.map { case (key, triples, locate) =>
+      def valueAt(r: Long): Double = {
+        val p = locate(r)
+        picked((p.key, p.cell, p.inRank))
+      }
+      key -> triples.map { case (pos, rLo, rHi) =>
+        if (rLo == rHi) (pos, valueAt(rLo), valueAt(rLo))
+        else (pos, valueAt(rLo), valueAt(rHi))
       }
     }
   }

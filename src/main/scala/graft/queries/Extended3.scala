@@ -827,12 +827,21 @@ object Extended3 {
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice"))
+        // r17: the EXACT side comes from Quantiles.exactPercentilesByKey
+        // (bit-identical to the grouped percentile aggregate —
+        // PercentileParitySpec) instead of the exact-percentile buffer;
+        // the GK sketch stays the percentile_approx aggregate — the
+        // mergeable-summary path is this query's subject
+        val exRel = graft.ops.Quantiles.exactPercentilesByKey(
+          li, Seq("l_returnflag"), col("l_extendedprice"),
+          Seq(0.5, 0.95, 0.99), Seq("ex0", "ex1", "ex2"))
         val agg = li.groupBy(col("l_returnflag"))
           .agg(
             percentile_approx(col("l_extendedprice"),
               array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("ap"),
-            expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("ex"),
             count(lit(1)).as("n"))
+          .join(broadcast(exRel), "l_returnflag")
+          .withColumn("ex", array(col("ex0"), col("ex1"), col("ex2")))
         val rankAggs =
           Seq(first(col("ap")).as("ap"), first(col("ex")).as("ex"),
             first(col("n")).as("n")) ++

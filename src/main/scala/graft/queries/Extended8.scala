@@ -153,12 +153,20 @@ object Extended8 {
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
           .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
-        val med = li.groupBy("flag").agg(expr("percentile(x, 0.5)").as("med"))
+        // r17: both medians via Quantiles.exactPercentilesByKey (per-flag
+        // coarse cells + in-cell positional pick — bit-identical to the
+        // grouped percentile aggregate, PercentileParitySpec) instead of
+        // TWO exact-percentile buffers whose per-partition value maps are
+        // data-sized state (guide §5); the 3-row med/mad relations join
+        // back as broadcast local relations
+        val med = graft.ops.Quantiles.exactPercentilesByKey(
+          li, Seq("flag"), col("x"), Seq(0.5), Seq("med"))
         // Ckpt (r16): dev feeds the MAD percentile AND the final rollup —
         // the lineitem scan + median join otherwise ran twice
         val dev = graft.ops.Ckpt(li.join(broadcast(med), "flag")
           .withColumn("dev", abs(col("x") - col("med"))))
-        val mad = dev.groupBy("flag").agg(expr("percentile(dev, 0.5)").as("mad"))
+        val mad = graft.ops.Quantiles.exactPercentilesByKey(
+          dev, Seq("flag"), col("dev"), Seq(0.5), Seq("mad"))
         dev.join(broadcast(mad), "flag")
           .groupBy("flag")
           .agg(

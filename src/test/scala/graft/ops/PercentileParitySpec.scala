@@ -54,6 +54,42 @@ class PercentileParitySpec extends SparkSuite {
       java.lang.Double.doubleToLongBits(got))
   }
 
+  test("per-key parity with the grouped percentile aggregate (q137/q94 shape)") {
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+    val want = li.groupBy("flag")
+      .agg(expr("percentile(x, array(0.5, 0.95, 0.99))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val got = Quantiles.exactPercentilesByKey(
+        li, Seq("flag"), col("x"), Seq(0.5, 0.95, 0.99), Seq("p50", "p95", "p99"))
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(want.keySet == got.keySet)
+    for (k <- want.keySet; (w, g) <- want(k).zip(got(k)))
+      assert(java.lang.Double.doubleToLongBits(w) ==
+        java.lang.Double.doubleToLongBits(g), s"key $k: $w vs $g")
+  }
+
+  test("exactPercentileBounds feeds the quantile_cont frac form (q232 shape)") {
+    import spark.implicits._
+    val vals = (1 to 57).map(_.toDouble * 1.37)
+    val df = vals.toDF("v")
+    for (n <- Seq(56, 57)) { // even and odd counts
+      val ds = vals.take(n)
+      val sorted = ds.sorted
+      val pos = 0.5 * (n - 1)
+      val expect = sorted(math.floor(pos).toInt) +
+        (pos - math.floor(pos)) *
+          (sorted(math.ceil(pos).toInt) - sorted(math.floor(pos).toInt))
+      val Seq((gpos, lo, hi)) = Quantiles.exactPercentileBounds(
+        ds.toDF("v"), col("v"), Seq(0.5), 4)
+      val got = lo + (gpos - math.floor(gpos)) * (hi - lo)
+      assert(java.lang.Double.doubleToLongBits(expect) ==
+        java.lang.Double.doubleToLongBits(got))
+    }
+    val _ = df // keep one DF construction on the default path
+  }
+
   test("parity on the real fixture column q10/q266 read") {
     val g = graft.Tables.load(spark, sf0001, "lineitem")
       .select(when(col("l_extendedprice").between(1000, 50000),
