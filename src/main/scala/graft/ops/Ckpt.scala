@@ -20,7 +20,22 @@ object Ckpt {
 
   val ConfKey = "graft.checkpoint.dir"
 
+  /** TEST-ONLY capture hook (r17, BatteryPlanSpec): while set on the
+    * constructing thread, every Ckpt call appends its child's ANALYZED
+    * logical plan. Motivation (r16 verdict item 7): each materialization
+    * point hides its child from the battery-wide structural boundedness
+    * gate, so "Ckpt hides the agg" whitelist entries were drifting into
+    * unchecked prose — the gate now asserts the hidden aggregate really
+    * sits beneath the Ckpt. Null outside tests; zero cost on the query
+    * path (one ThreadLocal read).
+    */
+  private[graft] val captureTo =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]()
+
   def apply(df: DataFrame): DataFrame = {
+    val buf = captureTo.get()
+    if (buf != null) buf += df.queryExecution.analyzed
     val s = df.sparkSession
     s.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>

@@ -55,13 +55,18 @@ object Extended42 {
       (s, dir) => {
         // Ckpt (r16): the cell rollup — a full events scan with per-row
         // md5 — feeds the threshold agg, the dense relation (3 consumers)
-        // and the noise rollup; it otherwise recomputed ~5×
+        // and the noise rollup; it otherwise recomputed ~5×.
+        // width 1 (r17): the rollup is GRID-bounded (≤ 30×8 = 240 cells
+        // by construction at any corpus size), so one block — block count
+        // scales with the relation's bound, not the cluster width
+        // (materializing ≤240 rows as 32 blocks cost a 32-task round in
+        // every consumer)
         val cells = graft.ops.Ckpt(tbl(s, dir, "events")
           .select(least(col("value"), lit(299.99)).as("x"),
             mdFrac(col("event_id")).as("y"))
           .groupBy(floor(col("x") / 10.0).cast("long").as("cx"),
             floor(col("y") / 0.125).cast("long").as("cy"))
-          .agg(count(lit(1)).as("n")))
+          .agg(count(lit(1)).as("n")), width = 1)
         val thr = cells.agg((sum(col("n")).cast("double") /
           count(lit(1)).cast("double")).as("a"))
         val dense = cells.crossJoin(broadcast(thr))

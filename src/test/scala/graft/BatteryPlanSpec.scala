@@ -372,6 +372,37 @@ class BatteryPlanSpec extends SparkSuite {
     (failures.toSeq, flagged.toSet, report.toSeq)
   }
 
+  test("every 'Ckpt hides the agg' whitelist claim shows the aggregate in the captured pre-Ckpt plan") {
+    // r16 verdict item 7: each materialization point blinds the
+    // structural gate, so whitelist entries justified by "the rollup
+    // sits beneath the Ckpt" were unchecked prose. This asserts them:
+    // construct each such query with the Ckpt capture hook on and
+    // require at least one captured pre-Ckpt ANALYZED plan to contain an
+    // Aggregate — if a refactor ever drops the hidden rollup, the claim
+    // fails here instead of silently eroding the gate. Entries are
+    // selected by their own wording (any whitelist row whose claim
+    // mentions Ckpt), so a new "Ckpt hides" entry is auto-enrolled.
+    val claimants = (globalWindowBounded.view.mapValues(_.why).toSeq ++
+      latticeWindowBounded.toSeq ++ latticeDocDecadeBounded.toSeq)
+      .filter(_._2.toLowerCase.contains("hides the agg")).map(_._1).distinct.sorted
+    assert(claimants.nonEmpty, "selector broke: no Ckpt-justified whitelist entries found")
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    for (name <- claimants) {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+      graft.ops.Ckpt.captureTo.set(buf)
+      try SparkEntry.queries(name)(spark, sf0001).queryExecution.analyzed
+      finally graft.ops.Ckpt.captureTo.remove()
+      if (buf.isEmpty)
+        failures += s"$name: whitelist claim mentions Ckpt but the query constructed no Ckpt"
+      else if (!buf.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])))
+        failures += s"$name: no captured pre-Ckpt plan contains an Aggregate — the 'Ckpt hides the agg' claim no longer holds:\n" +
+          buf.map(_.treeString.take(800)).mkString("\n--\n")
+    }
+    assert(failures.isEmpty, failures.mkString("\n---\n"))
+  }
+
   test("lattice sweep: no window funnels data-growing row counts into single partition keys") {
     val conf = spark.conf
     val aqeKey = "spark.sql.adaptive.enabled"
